@@ -1,0 +1,76 @@
+"""Query registry: the single source of truth for the driver contract.
+
+Each operator module registers its queries with the :func:`query`
+decorator, providing the Spark implementation and (when the semantics
+are ANSI-SQL-expressible) a DuckDB oracle string. ``__spark_entry__``
+then assembles ``queries()`` / ``oracle_sql()`` from here.
+
+Column-name parity rule (driver compares by sorted column name):
+alias every computed column identically in the Spark code and the
+oracle SQL.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+# Operator modules that register queries on import. Order is the
+# SURVEY §7 milestone order; it only affects listing order.
+_OPERATOR_MODULES = [
+    "roborock_data_pipeline_spark.operators.aggregates",
+    "roborock_data_pipeline_spark.operators.projections",
+    "roborock_data_pipeline_spark.operators.filters",
+    "roborock_data_pipeline_spark.operators.topk",
+    "roborock_data_pipeline_spark.operators.incremental",
+    "roborock_data_pipeline_spark.operators.windows",
+    "roborock_data_pipeline_spark.operators.joins",
+    "roborock_data_pipeline_spark.operators.setops",
+    "roborock_data_pipeline_spark.operators.dedup",
+    "roborock_data_pipeline_spark.operators.text",
+    "roborock_data_pipeline_spark.operators.similarity",
+    "roborock_data_pipeline_spark.operators.multimodal",
+]
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as a driver-checkable query under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> QuerySpec:
+    _load_all()
+    return _REGISTRY[name]

@@ -1,0 +1,57 @@
+"""SparkSession construction + per-session runtime configuration.
+
+``prepare(spark)`` is idempotent and safe on a session we did not
+build (the driver owns the session in verify runs): it sets only
+runtime-settable confs every query in this engine depends on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs required for correctness / oracle parity.
+_RUNTIME_CONFS = {
+    # testdata events.ts is parquet TIMESTAMP(NANOS); Spark has no ns
+    # timestamp — read as raw epoch-ns long, converted in sources.tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so to_date /
+    # date_trunc agree with the oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join handling —
+    # the 100 TB posture (SURVEY §4).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas interchange (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def prepare(spark: SparkSession) -> SparkSession:
+    """Apply engine runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by the host
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "roborock-data-pipeline-spark") -> SparkSession:
+    """Build a local session sized for this container (tests/bench).
+
+    On a real cluster, the hosting application owns the builder; only
+    :func:`prepare` applies there.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    return prepare(builder.getOrCreate())

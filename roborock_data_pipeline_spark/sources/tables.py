@@ -1,0 +1,48 @@
+"""Table loaders over the driver parquet testdata.
+
+Scan discipline for 100 TB (SURVEY §4): always `spark.read.parquet`
+with the pinned schema (no inference, no footer merging), keep
+projections/filters on the DataFrame so Catalyst pushes them into the
+scan. On a real deployment the same loaders point at date-partitioned
+fact tables, enabling partition pruning for the incremental queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark import schemas
+from roborock_data_pipeline_spark.session import prepare
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with its pinned schema.
+
+    ``events.ts`` arrives as parquet TIMESTAMP(NANOS); we read it as
+    epoch-ns long (legacy.parquet.nanosAsLong) and truncate to µs —
+    exactly what DuckDB's ns→µs cast does, so oracle comparisons on
+    timestamps agree bit-for-bit.
+    """
+    prepare(spark)  # idempotent; the driver's session needs these confs
+    df = spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(
+        f"{sf_dir}/{name}.parquet"
+    )
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
