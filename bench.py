@@ -1,0 +1,75 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec}, "sf": ...}. Each query is forced to
+full execution with the noop sink (no driver collect, no sink I/O —
+pure engine time).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_daily_summary",
+    "q_tpch_q1_shape",
+    "q_star_join",
+    "q_fact_join",
+    "q_sessionize",
+    "q_latest_per_device",
+    "q_dedup_exact",
+    "q_near_dup_jaccard",
+    "q_dedup_minhash",
+    "q_similarity_search",
+    "q_text_stats",
+    "q_token_explode",
+    "q_lang_id",
+    "q_multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from roborock_data_pipeline_spark.registry import all_queries
+    from roborock_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("rdp-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warm the JVM/codegen once on the flagship so per-query numbers
+    # measure the engine, not first-call JIT.
+    specs["q_daily_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

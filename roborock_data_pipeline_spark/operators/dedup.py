@@ -1,1 +1,242 @@
-"""Stub — filled in by later milestone."""
+"""Deduplication (SURVEY §2.K L1/L2 — north-star EXT).
+
+Ladder of dedup strategies, cheapest first:
+1. Exact: hash-groupBy on content (or md5 for wide text) — one
+   shuffle on the hash, perfect precision.
+2. Fingerprint: md5 over the sorted distinct token set — catches
+   reorderings/repetitions, still one shuffle.
+3. Near-dup jaccard: blocked pairwise — exact similarity inside
+   cheap blocks. Correct but quadratic-in-block; the oracle-checked
+   reference implementation.
+4. MinHash+LSH (q_dedup_minhash): the 100 TB path — linear candidate
+   generation via band buckets, jaccard verification only on
+   candidates. Built entirely from xxhash64 + array ops (JVM-side).
+5. SimHash (q_dedup_simhash): 64-bit sketch, hamming≤k near-dup —
+   one long per doc, self-join on band keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.functions.hashing import (
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+)
+from roborock_data_pipeline_spark.functions.text import (
+    distinct_tokens,
+    fingerprint,
+    hashed_shingles,
+)
+from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources.tables import load, spread
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup via content-hash groupBy — keep the lowest
+    doc_id per identical text. Hashing first means the shuffle key is
+    16 bytes instead of the full document."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+/L4: vocabulary-fingerprint dedup — md5 over the sorted
+    distinct token set collapses docs that differ only in word order
+    or repetition."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(fingerprint(F.col("text")).alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "q_near_dup_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars // 100 AS len_bucket,
+               string_split(text, ' ') AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id, len_bucket,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM d
+    )
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                 4) AS jaccard
+    FROM t a
+    JOIN t b
+      ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+     AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """,
+)
+def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 3-shingle jaccard near-dup over blocked candidate pairs.
+
+    Shingles (word 3-grams), not token sets: this corpus's docs share
+    a small vocabulary, so token-set jaccard between *random* pairs
+    has median ≈0.66 (non-discriminative, quadratic output), while
+    3-shingle jaccard is ≈0.001 for random pairs vs ≥0.5 for genuine
+    near-dups. Blocking key = length bucket (n_chars // 100):
+    near-identical docs land in the same bucket, so the self-join is
+    per-block quadratic instead of corpus quadratic. The linear
+    100 TB candidate-generation path is q_dedup_minhash.
+
+    Performance details (same results, measured ~8× faster than the
+    naive form): shingles are pre-hashed to int64 (cheap intersects,
+    ~3× smaller shuffle; set size identical to the string shingle set
+    so DuckDB's string-based oracle still matches), the intersection
+    size is computed once per pair, and the join carries a
+    semantics-preserving size-ratio prune (jaccard ≥ 0.5 is
+    impossible when one shingle set is >2× the other)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        hashed_shingles(F.col("text"), 3).alias("sh"),
+    ).withColumn("n", F.size("sh"))
+    # broadcast the build side: the whole shingle table is a few MB,
+    # and a broadcast hash join keeps the probe side's parallelism
+    # instead of shuffling into ~6 len_bucket groups.
+    a, b = t.alias("a"), F.broadcast(t.alias("b"))
+    paired = a.join(
+        b,
+        (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n") <= 2 * F.col("b.n"))
+        & (F.col("b.n") <= 2 * F.col("a.n")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id_1"),
+        F.col("b.doc_id").alias("doc_id_2"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        .cast("double")
+        .alias("inter"),
+        (F.col("a.n") + F.col("b.n")).alias("sz"),
+    )
+    jac = F.col("inter") / (F.col("sz") - F.col("inter"))
+    return paired.where(jac >= 0.5).select(
+        "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@query("q_dedup_minhash")  # no oracle: xxhash64 is Spark-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (100 TB path): MinHash+LSH near-dup candidates.
+
+    shingle(3-word, hashed to int64) → 32 min-hashes → 16 bands →
+    explode bands → self-join on (band_id, band_hash) → verify exact
+    shingle jaccard ≥ 0.5 on the candidates only. Candidate
+    generation is linear in corpus size; the quadratic step touches
+    only same-bucket docs. Driver does a rows-only check;
+    tests/test_dedup.py asserts candidates cover the blocked-jaccard
+    ground truth.
+
+    Shuffle discipline: the banded self-join carries only three longs
+    per row (doc_id, band_id, band_hash); the shingle arrays are
+    joined back onto the (few) distinct candidate pairs afterwards —
+    never shuffled 16× through the band explosion."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", hashed_shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    banded = sh.select(
+        "doc_id", F.explode(lsh_bands(minhash_signature(F.col("sh")))).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    s1 = sh.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("sh").alias("sh1"),
+        F.col("n").alias("n1"),
+    )
+    s2 = sh.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("sh").alias("sh2"),
+        F.col("n").alias("n2"),
+    )
+    verified = (
+        candidates.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double").alias("inter"),
+            (F.col("n1") + F.col("n2")).alias("sz"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sz") - F.col("inter"))
+    return verified.where(jac >= 0.5).select(
+        "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@query("q_dedup_simhash")  # no oracle: xxhash64 is Spark-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (sketch variant): SimHash near-dup — 64-bit signature per
+    doc, candidates block on the high 16 bits of the sketch, verified
+    by hamming distance ≤ 8. One long per doc ⇒ the shuffle payload
+    is 8 bytes regardless of document size."""
+    from roborock_data_pipeline_spark.functions.hashing import hamming64
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", simhash64(distinct_tokens(F.col("text"))).alias("simhash")
+    ).withColumn("block", F.shiftrightunsigned("simhash", 48))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", hamming64(F.col("a.simhash"), F.col("b.simhash")))
+        .where(F.col("hamming") <= 8)
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("hamming"),
+        )
+    )

@@ -1,1 +1,286 @@
-"""Stub — filled in by later milestone."""
+"""Similarity search over embeddings (SURVEY §2.K L3/P10 — EXT).
+
+Baseline: brute-force cosine top-k — a broadcast of the query vector
+against a linear scan; the dot product runs in codegen via
+zip_with/aggregate (no Python). Scale paths: LSH bucketing (random
+hyperplanes → candidate buckets → exact rerank) and label-blocked
+all-pairs. At 100 TB the brute force is still embarrassingly
+parallel (scan + per-row math + TakeOrdered(k)), but LSH cuts the
+scan by the bucket selectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.functions.arrays import cosine, dot, norm
+from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources.tables import load
+
+QUERY_VEC_ID = 0  # the probe vector for top-k queries
+TOP_K = 10
+
+
+@query(
+    "q_similarity_search",
+    oracle=f"""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), scored AS (
+        SELECT e.vec_id, e.label,
+               list_aggregate(list_transform(
+                   list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv),
+                   p -> p[1] * p[2]), 'sum')
+               / (SQRT(list_aggregate(list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                  * SQRT(list_aggregate(list_transform(q.qv, x -> x * x), 'sum')))
+               AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, ROUND(cos, 4) AS cosine
+    FROM scored
+    ORDER BY cos DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: brute-force cosine top-k — query vector vs the corpus.
+
+    The query vector is a 1-row broadcast cross join; cosine is pure
+    higher-order-function SQL (functions/arrays.py); the global top-k
+    plans as TakeOrderedAndProject (per-partition heaps, no full
+    sort)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.where(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "label", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), normed AS (
+        SELECT vec_id, label, v,
+               SQRT(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+        FROM e
+    )
+    SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+           ROUND(list_aggregate(list_transform(list_zip(a.v, b.v),
+                     p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm), 4)
+               AS cosine
+    FROM normed a JOIN normed b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_aggregate(list_transform(list_zip(a.v, b.v),
+              p -> p[1] * p[2]), 'sum') / (a.nrm * b.nrm) >= 0.9
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-embedding (EXT): cosine near-duplicate pairs, blocked on
+    `label` (the cluster id) so the self-join is per-block quadratic.
+    The unblocked scale path is q_similarity_lsh."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", "embedding").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
+@query("q_similarity_lsh")  # no oracle: bucket assignment is Spark-hash-specific
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (100 TB path): random-hyperplane LSH top-k with multi-probe.
+
+    6 pseudo-random hyperplanes (deterministic: plane i's component j
+    = a hash of (i, j), centered) → 6-bit bucket signature → search
+    the query's bucket plus all buckets within hamming distance 2
+    (multi-probe: 22 of 64 buckets ≈ 34% of the corpus instead of a
+    full scan), exact cosine rerank inside the probed set. Recall vs
+    the brute-force top-k is tested in tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    n_planes = 6
+
+    def plane_proj(vec, plane: int):
+        # deterministic pseudo-random hyperplane: component j =
+        # xxhash64(plane, j) mapped to [-0.5, 0.5); JVM-side only.
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, j: x.cast("double")
+                * ((F.pmod(F.xxhash64(F.lit(plane), j), F.lit(10000)) / 10000.0) - 0.5),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket_bits(vec):
+        bits = F.lit(0)
+        for plane in range(n_planes):
+            bits = bits.bitwiseOR(
+                F.when(plane_proj(vec, plane) > 0, F.lit(1 << plane)).otherwise(
+                    F.lit(0)
+                )
+            )
+        return bits
+
+    bucketed = emb.withColumn("bucket", bucket_bits(F.col("embedding")))
+    q = (
+        bucketed.where(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket"))
+    )
+    probe = F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= 2
+    return (
+        bucketed.join(F.broadcast(q), probe)
+        .where(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec_id: int, k: int = TOP_K, nprobe: int = 2
+) -> DataFrame:
+    """IVF (inverted-file) ANN over an (vec_id, embedding, label)
+    DataFrame — the reusable operator behind q_similarity_ivf.
+
+    Index build (one batch pass, incremental-friendly): centroids =
+    per-cluster mean vectors (posexplode → per-dimension avg →
+    re-assemble), every vector assigned to its nearest centroid via a
+    broadcast cross join. Query: probe the nprobe nearest centroid
+    cells and exact-rerank only their members (~nprobe/k_cells of the
+    corpus). Recall depends on data locality: ≈1.0 on clustered
+    corpora (tests/test_similarity.py proves this on a synthetic
+    clustered set); on uniform-random vectors no partition-based ANN
+    beats the probed fraction — that is geometry, not implementation.
+
+    At 100 TB the assignment table is written out partitioned by
+    centroid_id, so a probe reads only the probed partitions."""
+    # --- index build ---------------------------------------------------
+    dims = emb.select("vec_id", "label", F.posexplode("embedding"))
+    per_dim = dims.groupBy("label", "pos").agg(F.avg("col").alias("c"))
+    centroids = (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("centroid_id"), "centroid")
+    )
+
+    def nearest(vec_col: str, cent: DataFrame, out: str, n: int) -> DataFrame:
+        scored = cent.withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= n)
+            .select("vec_id", F.col("centroid_id").alias(out))
+        )
+
+    assigned = nearest(
+        "embedding",
+        emb.crossJoin(F.broadcast(centroids)),
+        "cell",
+        1,
+    )
+    indexed = emb.join(assigned, "vec_id")
+
+    # --- query ---------------------------------------------------------
+    qv = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id"), F.col("embedding").alias("qv")
+    )
+    probes = nearest(
+        "qv", qv.crossJoin(F.broadcast(centroids)), "cell", nprobe
+    ).select("cell")
+    return (
+        indexed.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv.select("qv")))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+@query("q_similarity_ivf")  # no oracle: index assignment is engine-internal
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (100 TB path, preferred): IVF ANN over the embeddings table
+    — see ivf_topk for the algorithm and scale notes."""
+    return ivf_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)
+
+
+@query(
+    "q_vector_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(SQRT(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+           ROUND(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum'), 4) AS comp_sum
+    FROM embeddings
+    """,
+)
+def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: vector scalar math (norms / component sums) as
+    higher-order functions — the building block the similarity
+    queries compose."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
+        F.round(comp_sum, 4).alias("comp_sum"),
+    )

@@ -1,1 +1,187 @@
-"""Stub — filled in by later milestone."""
+"""Text analysis (SURVEY §2.K L4 — north-star EXT).
+
+Language-ID, quality scoring, token counting, fingerprint grouping —
+all as JVM-side column expressions over the `documents` table. No
+Python UDFs: split/explode/array ops/regex all run in codegen, so
+these scale to a 100 TB corpus limited only by the (map-side
+combined) aggregation shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.functions.text import BPE_PATTERN, bpe_tokens, tokens
+from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources.tables import load
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 2) AS avg_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 2) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus statistics per language — the lang-distribution +
+    size profile a training-data pipeline reports first."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 2).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_token_explode",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 10
+    """,
+)
+def q_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: vocabulary frequency via explode + groupBy (min support 10
+    to bound output). Partial aggregation collapses each partition's
+    token stream before the shuffle — the scalable word count."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 10)
+    )
+
+
+@query(
+    "q_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-doc token counting — whitespace and BPE-ish regex
+    (word/number/symbol classes). The token-budget accounting step of
+    a training-data pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(bpe_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS ttr,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 2) AS avg_token_len,
+           ROUND(0.5 * LEAST(n_tokens / 50.0, 1.0)
+                 + 0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS quality
+    FROM t
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: heuristic quality score per document — length saturation +
+    type-token ratio (lexical diversity). The filterable scalar a
+    pipeline thresholds on before training."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text")))
+    n_distinct = F.size(F.array_distinct(tokens(F.col("text"))))
+    ttr = n_distinct.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(F.col("n_chars").cast("double") / n_tokens, 2).alias("avg_token_len"),
+        F.round(
+            0.5 * F.least(n_tokens / F.lit(50.0), F.lit(1.0)) + 0.5 * ttr, 4
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), profile AS (
+        SELECT lang AS profile_lang, token FROM (
+            SELECT lang, token, COUNT(*) AS freq,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY COUNT(*) DESC, token) AS rk
+            FROM tok GROUP BY lang, token
+        ) WHERE rk <= 20
+    ), scored AS (
+        SELECT t.doc_id, t.lang, p.profile_lang, COUNT(*) AS hits
+        FROM tok t JOIN profile p ON t.token = p.token
+        GROUP BY t.doc_id, t.lang, p.profile_lang
+    ), best AS (
+        SELECT doc_id, lang, profile_lang AS predicted_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, profile_lang) AS rk
+        FROM scored
+    )
+    SELECT doc_id, lang, predicted_lang, (lang = predicted_lang) AS correct
+    FROM best WHERE rk = 1
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (EXT): corpus-derived language identification — build a
+    top-20-token profile per language, score each doc by profile
+    hits, predict the argmax. Self-contained n-gram-style heuristic:
+    no external model, two aggregation shuffles + one broadcast join
+    (the profile is lang×20 rows)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("lang", "token").agg(F.count("*").alias("freq"))
+    wprof = W.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token"))
+    profile = (
+        freq.withColumn("rk", F.row_number().over(wprof))
+        .where(F.col("rk") <= 20)
+        .select(F.col("lang").alias("profile_lang"), "token")
+    )
+    scored = (
+        tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wbest = W.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("profile_lang")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wbest))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("profile_lang").alias("predicted_lang"),
+            (F.col("lang") == F.col("profile_lang")).alias("correct"),
+        )
+    )

@@ -8,6 +8,8 @@ runtime-settable confs every query in this engine depends on.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -29,6 +31,41 @@ _RUNTIME_CONFS = {
 }
 
 
+_shipped_sessions: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers.
+
+    Pandas-UDF/mapInPandas functions are pickled by reference
+    (module + name); the worker processes spawned by the executors do
+    NOT inherit the driver's sys.path, so unless the package is on
+    PYTHONPATH cluster-wide, any Python-UDF stage dies with
+    ModuleNotFoundError. Shipping a zip via addPyFile fixes this for
+    every deployment shape (local, YARN, k8s) in one place."""
+    key = id(spark)
+    if key in _shipped_sessions:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "roborock_data_pipeline_spark_pkg.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(zip_path + ".tmp", zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # pragma: no cover - e.g. Spark Connect w/o SC access
+        pass
+    _shipped_sessions.add(key)
+
+
 def prepare(spark: SparkSession) -> SparkSession:
     """Apply engine runtime confs to an existing session (idempotent)."""
     for k, v in _RUNTIME_CONFS.items():
@@ -36,6 +73,7 @@ def prepare(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked by the host
             pass
+    _ship_package(spark)
     return spark
 
 

@@ -38,6 +38,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition up to cluster parallelism — for
+    compute-heavy operators reading small single-row-group files.
+
+    The local testdata is one parquet row group per table, which
+    Spark cannot split: every scan is one task no matter what
+    maxPartitionBytes says. Operators whose per-row work is heavy
+    (shingle hashing, minhash, pairwise verification) repartition
+    first so the work uses every core. On a real 100 TB deployment
+    inputs arrive as thousands of splits and this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -1,0 +1,70 @@
+"""Streaming windowed aggregations + incremental sync (SURVEY §2.I
+T1/T3/T6).
+
+- `hourly_rollup_stream`: the streaming twin of
+  operators/windows.py::q_tumbling_window — tumbling event-time
+  window with a watermark for late data (the reference's
+  string-compare watermark, pipeline.py:725-726, silently DROPS any
+  late record; `withWatermark` admits bounded lateness instead).
+- `incremental_sync`: Trigger.AvailableNow file-source run — the
+  exactly-once replacement for the reference's JSON-state one-shot
+  sync (pipeline.py:472-572): the checkpoint replaces
+  config/last_state.json, and state only advances when the sink
+  batch commits (fixes the at-most-once bug T5, pipeline.py:562-568).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark import schemas
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events table (stands in for
+    the MQTT/HTTPS device feed, roborock_collector.py:295-352)."""
+    raw = (
+        spark.readStream.schema(schemas.EVENTS_RAW)
+        .format("parquet")
+        .load(f"{sf_dir}/")
+    )
+    # same ns→µs conversion as the batch loader
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, lateness: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window per event_type with bounded lateness."""
+    return (
+        events.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def incremental_sync(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> None:
+    """One Trigger.AvailableNow pass: process exactly the files not
+    yet recorded in the checkpoint, append to the parquet sink,
+    stop. Re-running with the same checkpoint is a no-op — the
+    idempotence invariant the reference enforces by hand with its
+    counter file (state_manager.py:66-74)."""
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,94 @@
+"""Unit tests for functions/ on tiny in-memory frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_dot_and_norm(spark):
+    from roborock_data_pipeline_spark.functions.arrays import cosine, dot, norm
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+    )
+    row = df.select(
+        dot(F.col("a"), F.col("b")).alias("d"),
+        norm(F.col("a")).alias("n"),
+        cosine(F.col("a"), F.col("b")).alias("c"),
+    ).collect()[0]
+    assert row.d == 32.0
+    assert abs(row.n - 14**0.5) < 1e-12
+    assert abs(row.c - 32.0 / (14**0.5 * 77**0.5)) < 1e-12
+
+
+def test_shingles(spark):
+    from roborock_data_pipeline_spark.functions.text import shingles
+
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "text string")
+    rows = df.select(shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == ["a b"]  # shorter than k → whole text
+
+
+def test_fingerprint_order_insensitive(spark):
+    from roborock_data_pipeline_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [("a b c", "c b a a"), ("a b c", "a b d")], "t1 string, t2 string"
+    )
+    rows = df.select(
+        fingerprint(F.col("t1")).alias("f1"), fingerprint(F.col("t2")).alias("f2")
+    ).collect()
+    assert rows[0].f1 == rows[0].f2  # same vocab, order/repetition differ
+    assert rows[1].f1 != rows[1].f2  # different vocab
+
+
+def test_minhash_similarity_correlates(spark):
+    """Signature agreement rate approximates jaccard."""
+    from roborock_data_pipeline_spark.functions.hashing import minhash_signature
+    from roborock_data_pipeline_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [(0, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+         (1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 zz"),
+         (2, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9")],
+        "id long, text string",
+    )
+    sigs = {
+        r.id: r.sig
+        for r in df.select(
+            "id", minhash_signature(shingles(F.col("text"), 2)).alias("sig")
+        ).collect()
+    }
+    agree_near = sum(a == b for a, b in zip(sigs[0], sigs[1])) / len(sigs[0])
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2])) / len(sigs[0])
+    assert agree_near > agree_far
+    assert agree_far == 0.0
+
+
+def test_simhash_hamming(spark):
+    from roborock_data_pipeline_spark.functions.hashing import hamming64, simhash64
+    from roborock_data_pipeline_spark.functions.text import distinct_tokens
+
+    df = spark.createDataFrame(
+        [("a b c d e f g h", "a b c d e f g x", "q r s t u v w z")],
+        "t1 string, t2 string, t3 string",
+    )
+    row = df.select(
+        simhash64(distinct_tokens(F.col("t1"))).alias("h1"),
+        simhash64(distinct_tokens(F.col("t2"))).alias("h2"),
+        simhash64(distinct_tokens(F.col("t3"))).alias("h3"),
+    ).collect()[0]
+    d_near = df.select(hamming64(F.lit(row.h1), F.lit(row.h2))).collect()[0][0]
+    d_far = df.select(hamming64(F.lit(row.h1), F.lit(row.h3))).collect()[0][0]
+    assert d_near < d_far
+
+
+def test_multimodal_stub_raises_without_fake():
+    import pytest
+
+    from roborock_data_pipeline_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"abc", "image/png", fake=False)
+    assert decode_media(b"ab", "text/plain") == [97.5, 97.0]

@@ -1,0 +1,77 @@
+"""Similarity-search properties beyond the oracle check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    """LSH top-k results must be genuine cosine scores: every LSH hit
+    appears in the brute-force ranking with the same cosine."""
+    from roborock_data_pipeline_spark.operators.similarity import (
+        q_similarity_lsh,
+        q_similarity_search,
+    )
+
+    brute = {r.vec_id: r.cosine for r in q_similarity_search(spark, sf_dir).collect()}
+    # widen the brute-force list for comparison
+    lsh = q_similarity_lsh(spark, sf_dir).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        if r.vec_id in brute:
+            assert abs(r.cosine - brute[r.vec_id]) < 1e-6
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On a corpus with real locality (3 tight clusters), IVF with
+    1-cell probing recovers the full brute-force top-k."""
+    import random
+
+    from roborock_data_pipeline_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[5.0 if d == c else 0.0 for d in range(8)] for c in (0, 3, 6)]
+    for i in range(90):
+        c = i % 3
+        vec = [x + rng.uniform(-0.3, 0.3) for x in centers[c]]
+        rows.append((i, vec, c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    got = ivf_topk(df, query_vec_id=0, k=5, nprobe=1).collect()
+    assert len(got) == 5
+    # every neighbor must come from the query's own cluster
+    assert all(r.label == 0 for r in got)
+
+
+def test_ivf_runs_on_testdata(spark, sf_dir):
+    """Machinery check on the real table (uniform-random vectors →
+    recall is geometry-bound; assert shape + score validity only)."""
+    from roborock_data_pipeline_spark.operators.similarity import q_similarity_ivf
+
+    rows = q_similarity_ivf(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+
+
+def test_cosine_self_similarity(spark, sf_dir):
+    """cos(v, v) == 1 for every vector (sanity of the HOF math)."""
+    from roborock_data_pipeline_spark.functions.arrays import cosine
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    bad = (
+        emb.select(cosine(F.col("embedding"), F.col("embedding")).alias("c"))
+        .where(F.abs(F.col("c") - 1.0) > 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_topk_is_sorted_descending(spark, sf_dir):
+    from roborock_data_pipeline_spark.operators.similarity import q_similarity_search
+
+    rows = q_similarity_search(spark, sf_dir).collect()
+    scores = [r.cosine for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) == 10

@@ -1,0 +1,108 @@
+"""Streaming operators: memory-sink smoke + semantics checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ts(day, h, m=0):
+    return dt.datetime(2024, 1, day, h, m)
+
+
+def test_detect_sessions_stream(spark):
+    """cleaning→idle transition emits one session with start/end
+    battery (the reference's monitor semantics, pipeline.py:132-196)."""
+    from roborock_data_pipeline_spark.streaming.sessionize import (
+        SESSION_SCHEMA,
+        detect_sessions_stream,
+    )
+
+    rows = [
+        ("bot1", _ts(1, 8), "charging", 100),
+        ("bot1", _ts(1, 9), "cleaning", 98),
+        ("bot1", _ts(1, 10), "cleaning", 70),
+        ("bot1", _ts(1, 11), "charging", 55),   # ← end edge
+        ("bot2", _ts(1, 9), "idle", 80),        # never cleans
+        ("bot3", _ts(1, 9), "cleaning", 90),    # still cleaning at end
+    ]
+    src_dir = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            rows, "device_name string, ts timestamp, state string, battery int"
+        ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(
+                "device_name string, ts timestamp, state string, battery int"
+            )
+            .parquet(src_dir)
+        )
+        q = (
+            detect_sessions_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sessions_out").collect()
+        q.stop()
+        assert len(got) == 1
+        s = got[0]
+        assert s.device_name == "bot1"
+        assert s.battery_start == 98 and s.battery_end == 55
+        assert s.session_start == _ts(1, 9) and s.session_end == _ts(1, 11)
+        assert [f.name for f in SESSION_SCHEMA] == list(got[0].asDict())
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir):
+    """Streaming tumbling window over the events files == the batch
+    q_tumbling_window result (same date_trunc semantics)."""
+    from roborock_data_pipeline_spark.operators.windows import q_tumbling_window
+    from roborock_data_pipeline_spark.streaming.aggregations import (
+        events_stream,
+        hourly_rollup_stream,
+    )
+
+    q = (
+        hourly_rollup_stream(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("rollup_out")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    stream_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    q.stop()
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in q_tumbling_window(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+
+
+def test_incremental_sync_is_idempotent(spark, sf_dir):
+    """Trigger.AvailableNow + checkpoint: second run adds zero rows
+    (the exactly-once fix for the reference's T5 at-most-once bug)."""
+    from roborock_data_pipeline_spark.streaming.aggregations import incremental_sync
+
+    ckpt, out = tempfile.mkdtemp(), tempfile.mkdtemp() + "/out"
+    try:
+        incremental_sync(spark, sf_dir, ckpt, out)
+        n1 = spark.read.parquet(out).count()
+        incremental_sync(spark, sf_dir, ckpt, out)
+        n2 = spark.read.parquet(out).count()
+        assert n1 > 0
+        assert n2 == n1
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
