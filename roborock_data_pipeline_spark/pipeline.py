@@ -1,0 +1,202 @@
+"""The reference pipeline's seven modes, Spark-first.
+
+Mirror of /root/reference/pipeline.py:795-833 (argparse dispatch) —
+same modes a reference user runs today, re-expressed over a parquet
+warehouse instead of Google Sheets, with the semantics upgraded
+where the reference is buggy (T5 at-most-once → exactly-once by
+deriving state from what the sink actually holds).
+
+  mode setup         S9  provision the warehouse tables
+  mode log           S1  one-shot: append current device status
+  mode smart         §3.1 counter-dedup'd incremental sync
+  mode record_sync   §3.2 watermark incremental sync of records
+  mode monitor       §3.3 continuous session detection (streaming)
+  mode history       O1  print the k most recent records
+  mode daily_summary A6  build the gold table the reference declared
+                         but never implemented
+
+"Device cloud" stand-in: a parquet directory of device telemetry
+(device_status + cleaning_records shapes) — the process boundary the
+reference crosses via MQTT/HTTPS (roborock_collector.py:295-352)
+becomes a table scan; everything downstream is identical semantics.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark import schemas
+from roborock_data_pipeline_spark.sources import sinks
+from roborock_data_pipeline_spark.session import get_spark, prepare
+
+
+def _cloud(spark: SparkSession, cloud_dir: str, name: str) -> DataFrame:
+    schema = {
+        "device_status": schemas.DEVICE_STATUS,
+        "cleaning_records": schemas.CLEANING_RECORDS,
+    }[name]
+    return spark.read.schema(schema).parquet(f"{cloud_dir}/{name}")
+
+
+def mode_setup(spark: SparkSession, warehouse: str) -> None:
+    sinks.setup_warehouse(spark, warehouse)
+
+
+def mode_log(spark: SparkSession, cloud: str, warehouse: str) -> None:
+    """One-shot status append (pipeline.py:443-446 'log' mode): the
+    latest snapshot per device goes to device_status."""
+    st = _cloud(spark, cloud, "device_status")
+    w = W.partitionBy("device_name").orderBy(F.col("timestamp").desc())
+    latest = st.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    sinks.append_with_console_fallback(latest, warehouse, "device_status")
+
+
+def mode_smart(spark: SparkSession, cloud: str, warehouse: str) -> None:
+    """§3.1 smart_sync: per device, only if the cleaning counter
+    advanced past what the warehouse already holds, append the new
+    summary snapshot + latest status. State is the sink itself —
+    re-running after a failed write simply retries (exactly-once),
+    unlike pipeline.py:562-568 which advances state regardless."""
+    st = _cloud(spark, cloud, "device_status")
+    # device-side lifetime counters (what get_clean_summary returns)
+    current = st.groupBy("device_name").agg(
+        F.max("timestamp").alias("timestamp"),
+        F.sum("clean_time").alias("total_clean_time"),
+        F.round(F.sum("clean_area"), 2).alias("total_clean_area"),
+        F.count("*").alias("total_clean_count"),
+    )
+    prior = (
+        sinks.read_table(spark, warehouse, "clean_summary")
+        .groupBy("device_name")
+        .agg(F.max("total_clean_count").alias("last_count"))
+    )
+    fresh = (
+        current.join(F.broadcast(prior), "device_name", "left")
+        .where(
+            F.col("total_clean_count") > F.coalesce(F.col("last_count"), F.lit(0))
+        )
+        .select(
+            "timestamp",
+            "device_name",
+            "total_clean_time",
+            "total_clean_area",
+            "total_clean_count",
+        )
+    )
+    sinks.append_with_console_fallback(fresh, warehouse, "clean_summary")
+
+
+def mode_record_sync(spark: SparkSession, cloud: str, warehouse: str) -> None:
+    """§3.2 sync_new_records: per device, append only records with
+    start_time beyond the warehouse's high-water mark, oldest first.
+    Native timestamps, not ISO-string compares (fixes T7)."""
+    recs = _cloud(spark, cloud, "cleaning_records")
+    wm = (
+        sinks.read_table(spark, warehouse, "cleaning_records")
+        .groupBy("device_name")
+        .agg(F.max("start_time").alias("wm"))
+    )
+    fresh = (
+        recs.join(F.broadcast(wm), "device_name", "left")
+        .where(
+            F.col("start_time")
+            > F.coalesce(F.col("wm"), F.lit("1970-01-01").cast("timestamp"))
+        )
+        .drop("wm")
+        .orderBy("start_time")  # O3: oldest-first like the sheet append
+        .select(*[f.name for f in schemas.CLEANING_RECORDS])
+    )
+    sinks.append_with_console_fallback(fresh, warehouse, "cleaning_records")
+
+
+def mode_monitor(
+    spark: SparkSession, cloud: str, warehouse: str, checkpoint: str
+) -> None:
+    """§3.3 continuous monitor: streaming edge detection over status
+    ticks → completed sessions appended to cleaning_history. State
+    lives in the checkpoint (survives restarts — the reference's
+    dicts don't, pipeline.py:104-106)."""
+    from roborock_data_pipeline_spark.streaming.sessionize import (
+        detect_sessions_stream,
+    )
+
+    ticks = (
+        spark.readStream.schema(schemas.DEVICE_STATUS)
+        .parquet(f"{cloud}/device_status")
+        .select(
+            "device_name", F.col("timestamp").alias("ts"), "state", "battery"
+        )
+    )
+    sessions = detect_sessions_stream(ticks)
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", sinks.table_path(warehouse, "cleaning_history_stream"))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def mode_history(spark: SparkSession, cloud: str, limit: int = 10) -> DataFrame:
+    """O1 'history' mode: k most recent records, newest first
+    (pipeline.py:811-816, default limit 10)."""
+    recs = _cloud(spark, cloud, "cleaning_records")
+    return recs.orderBy(F.col("start_time").desc()).limit(limit)
+
+
+def mode_daily_summary(spark: SparkSession, warehouse: str) -> None:
+    """A6: build the Daily_Summary gold table from cleaning_records —
+    the aggregation the reference declared twice (pipeline.py:307,
+    sheets_client.py:299-307) and never computed."""
+    recs = sinks.read_table(spark, warehouse, "cleaning_records")
+    daily = recs.groupBy(
+        F.date_format("start_time", "yyyy-MM-dd").alias("date")
+    ).agg(
+        F.count("*").alias("total_cleanings"),
+        F.round(F.sum("area_sqm"), 2).alias("total_area_m2"),
+        F.sum("duration_minutes").cast("long").alias("total_time_min"),
+        F.round(F.avg("area_sqm"), 2).alias("avg_area_m2"),
+        F.round(F.avg("duration_minutes"), 2).alias("avg_time_min"),
+    )
+    sinks.append_rows(daily, warehouse, "daily_summary")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--mode",
+        required=True,
+        choices=[
+            "setup", "log", "smart", "record_sync",
+            "monitor", "history", "daily_summary",
+        ],
+    )
+    p.add_argument("--cloud", help="telemetry parquet dir (device stand-in)")
+    p.add_argument("--warehouse", help="warehouse dir")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir")
+    p.add_argument("--limit", type=int, default=10)
+    args = p.parse_args(argv)
+
+    spark = prepare(get_spark("rdp-pipeline"))
+    if args.mode == "setup":
+        mode_setup(spark, args.warehouse)
+    elif args.mode == "log":
+        mode_log(spark, args.cloud, args.warehouse)
+    elif args.mode == "smart":
+        mode_smart(spark, args.cloud, args.warehouse)
+    elif args.mode == "record_sync":
+        mode_record_sync(spark, args.cloud, args.warehouse)
+    elif args.mode == "monitor":
+        mode_monitor(spark, args.cloud, args.warehouse, args.checkpoint)
+    elif args.mode == "history":
+        mode_history(spark, args.cloud, args.limit).show(truncate=False)
+    elif args.mode == "daily_summary":
+        mode_daily_summary(spark, args.warehouse)
+
+
+if __name__ == "__main__":
+    main()
