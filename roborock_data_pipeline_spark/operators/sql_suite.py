@@ -1,0 +1,276 @@
+"""SQL-API surface: subqueries, grouping sets, pivot, percentiles,
+statistics, string functions, analytic windows.
+
+These queries are written as `spark.sql` over registered views —
+Catalyst produces the same plans as the DataFrame API, and the
+correlated-subquery forms showcase its decorrelation (a correlated
+scalar subquery becomes an aggregate + join, no per-row re-execution;
+the reference has nothing comparable, its only "query language" is
+Python loops).
+
+Parity notes: Spark `percentile` (exact, interpolated) == DuckDB
+`quantile_cont`; corr/stddev/var match at 6 dp (verified at two SFs);
+`mode`/`min_by` are excluded from oracles — tie-breaking is
+engine-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources.tables import load, register_views
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _sql(spark: SparkSession, sf_dir: str, stmt: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(stmt)
+
+
+@query(
+    "q_pivot_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (event_type = 'click') AS click,
+           COUNT(*) FILTER (event_type = 'error') AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup') AS signup,
+           COUNT(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per category (explicit value list so the
+    plan is a single pass — no dictionary-discovery job)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS date,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (STRFTIME(ts, '%Y-%m-%d')), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: by-type, by-day, and grand total in one pass."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS date,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')), ())
+        """,
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders at >2× their customer's
+    average. Catalyst decorrelates into an aggregate + join (visible
+    in the plan: no per-row subquery execution)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """,
+    )
+
+
+@query(
+    "q_subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → planned as a left-semi join."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        """,
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.90), 4) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles. At 100 TB switch to
+    percentile_approx (t-digest sketch, mergeable map-side) — same
+    query shape, bounded memory."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.90)"), 4).alias("p90"),
+    )
+
+
+@query(
+    "q_corr_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(CORR(value, CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+               AS corr_vk,
+           ROUND(STDDEV(value), 6) AS sd_value,
+           ROUND(VAR_SAMP(value), 6) AS var_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation / stddev / variance."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", k), 6).alias("corr_vk"),
+        F.round(F.stddev("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 20) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via bucketed group-by (one pass,
+    partial-agg friendly — the scalable histogram)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 20).cast("long").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT doc_id,
+           UPPER(lang) AS lang_uc,
+           source || ':' || lang AS src_lang,
+           LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+           REGEXP_REPLACE(SUBSTRING(text, 1, 20), '[aeiou]', '', 'g') AS devoweled
+    FROM documents
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (P-family breadth): case, concat,
+    padding, regex replace — all codegen'd."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.concat_ws(":", "source", "lang").alias("src_lang"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
+        F.regexp_replace(F.substring("text", 1, 20), "[aeiou]", "").alias(
+            "devoweled"
+        ),
+    )
+
+
+@query(
+    "q_rank_dense",
+    oracle="""
+    SELECT user_id, event_id,
+           RANK() OVER w AS rk,
+           DENSE_RANK() OVER w AS drk,
+           NTILE(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+    QUALIFY RANK() OVER w <= 5
+    """,
+)
+def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking analytics: rank / dense_rank / ntile per device with a
+    total order (value, event_id) so results are deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .where(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "q_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER w, 2) AS delta_prev,
+           ROUND(LEAD(value) OVER w - value, 2) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas — the declarative form of the reference's
+    previous-vs-current comparisons (pipeline.py:141-159)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
+    )

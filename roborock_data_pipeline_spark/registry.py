@@ -46,6 +46,7 @@ _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.text",
     "roborock_data_pipeline_spark.operators.similarity",
     "roborock_data_pipeline_spark.operators.multimodal",
+    "roborock_data_pipeline_spark.operators.sql_suite",
 ]
 
 
