@@ -123,11 +123,16 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics-preserving size-ratio prune (jaccard ≥ 0.5 is
     impossible when one shingle set is >2× the other)."""
     docs = spread(load(spark, sf_dir, "documents"))
-    t = docs.select(
-        "doc_id",
-        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
-        hashed_shingles(F.col("text"), 3).alias("sh"),
-    ).withColumn("n", F.size("sh"))
+    # materialize once — both join sides read this table
+    t = (
+        docs.select(
+            "doc_id",
+            (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            hashed_shingles(F.col("text"), 3).alias("sh"),
+        )
+        .withColumn("n", F.size("sh"))
+        .persist()
+    )
     # broadcast the build side: the whole shingle table is a few MB,
     # and a broadcast hash join keeps the probe side's parallelism
     # instead of shuffling into ~6 len_bucket groups.
@@ -169,9 +174,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back onto the (few) distinct candidate pairs afterwards —
     never shuffled 16× through the band explosion."""
     docs = spread(load(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", hashed_shingles(F.col("text"), 3).alias("sh")
-    ).withColumn("n", F.size("sh"))
+    # Materialize the shingle index once (persist): it is read three
+    # times below (banding + both verify sides). At warehouse scale
+    # this is the persisted signature table.
+    sh = (
+        docs.select("doc_id", hashed_shingles(F.col("text"), 3).alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .persist()
+    )
     banded = sh.select(
         "doc_id", F.explode(lsh_bands(minhash_signature(F.col("sh")))).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")

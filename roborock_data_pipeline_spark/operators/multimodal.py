@@ -75,10 +75,21 @@ def decode_media(blob: bytes, fmt: str, *, fake: bool = True) -> list[float]:
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: Arrow batch in → feature frame out. Runs
-    once per input batch (vectorized over rows inside the batch)."""
+    """mapInPandas worker: Arrow batch in → feature frame out.
+
+    The fake decode is vectorized with numpy inside the batch (the
+    shape real decoders take: batch of blobs in, matrix of features
+    out) — not a per-row Python loop."""
+    import numpy as np
+
     for pdf in batches:
-        feats = [decode_media(m, f) for m, f in zip(pdf["media"], pdf["fmt"])]
+        means = np.array(
+            [np.frombuffer(m, dtype=np.uint8).mean() if len(m) else 0.0
+             for m in pdf["media"]]
+        )
+        heads = np.array(
+            [float(m[0]) if len(m) else 0.0 for m in pdf["media"]]
+        )
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"],
             "format": pdf["fmt"],
@@ -86,8 +97,8 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             # no rounding: integer-sum / count is bit-identical across
             # engines, while Python round() (banker's) disagrees with
             # SQL ROUND (half-away) on exact ties.
-            "feat_mean": [f[0] for f in feats],
-            "feat_head": [f[1] for f in feats],
+            "feat_mean": means,
+            "feat_head": heads,
         })
 
 
@@ -109,7 +120,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas plumbing (Arrow batches, pinned output schema). The
     deterministic fake decoder makes this oracle-checkable: byte mean
     == ascii mean for utf-8 text payloads."""
-    media = media_table(spark, sf_dir).select(
+    from roborock_data_pipeline_spark.sources.tables import spread
+
+    media = spread(media_table(spark, sf_dir)).select(
         "doc_id",
         "media",
         F.col("meta.format").alias("fmt"),

@@ -100,11 +100,17 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-embedding (EXT): cosine near-duplicate pairs, blocked on
     `label` (the cluster id) so the self-join is per-block quadratic.
     The unblocked scale path is q_similarity_lsh."""
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", "embedding").withColumn(
-        "nrm", norm(F.col("embedding"))
+    from roborock_data_pipeline_spark.sources.tables import spread
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    # materialize the normed vectors once; broadcast the build side so
+    # the 10-value label key doesn't cap parallelism at 10 tasks
+    e = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("nrm", norm(F.col("embedding")))
+        .persist()
     )
-    a, b = e.alias("a"), e.alias("b")
+    a, b = e.alias("a"), F.broadcast(e.alias("b"))
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
