@@ -252,6 +252,27 @@ def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_array_agg",
+    oracle="""
+    SELECT user_id,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT event_type)), ',') AS state_set,
+           CAST(LEN(LIST(DISTINCT event_type)) AS INTEGER) AS n_states
+    FROM events GROUP BY user_id
+    """,
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation with a deterministic order
+    (sorted set, emitted as a joined string so cross-engine value
+    hashing is representation-independent)."""
+    ev = load(spark, sf_dir, "events")
+    states = F.sort_array(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(states, ",").alias("state_set"),
+        F.size(states).alias("n_states"),
+    )
+
+
+@query(
     "q_lag_lead",
     oracle="""
     SELECT user_id, event_id,

@@ -31,7 +31,7 @@ _RUNTIME_CONFS = {
 }
 
 
-_shipped_sessions: set[int] = set()
+_shipped_sessions: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -43,7 +43,11 @@ def _ship_package(spark: SparkSession) -> None:
     PYTHONPATH cluster-wide, any Python-UDF stage dies with
     ModuleNotFoundError. Shipping a zip via addPyFile fixes this for
     every deployment shape (local, YARN, k8s) in one place."""
-    key = id(spark)
+    try:
+        key = spark.sparkContext.applicationId  # unique per context;
+        # id(spark) could be reused by a new session at the same address
+    except Exception:  # pragma: no cover
+        key = str(id(spark))
     if key in _shipped_sessions:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -91,5 +95,13 @@ def get_spark(app_name: str = "roborock-data-pipeline-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # isolated managed-table location (bucketed tables in tests/demos)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "rdp_spark_warehouse"),
+            ),
+        )
     )
     return prepare(builder.getOrCreate())

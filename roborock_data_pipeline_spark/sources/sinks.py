@@ -72,6 +72,26 @@ def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 16
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into n_buckets
+    files by `key`, sorted within buckets.
+
+    Two tables bucketed the same way join WITHOUT a shuffle — the
+    exchange disappears from the plan (asserted in
+    tests/test_bucketing.py). At 100 TB this is how the recurring
+    lineitem⋈orders-shaped joins avoid re-shuffling terabytes every
+    run: pay the shuffle once at write time, reuse it every query."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def append_with_console_fallback(
     df: DataFrame, warehouse_dir: str, name: str, n_show: int = 20
 ) -> bool:
