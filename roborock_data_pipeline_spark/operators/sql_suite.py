@@ -252,6 +252,47 @@ def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_deterministic_sample",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE SUBSTRING(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 sample via content hashing — unlike
+    `TABLESAMPLE`/`rand()`, the same rows are selected on every run,
+    every engine, and every retry (resume-safe at 100 TB, and the
+    predicate pushes to the scan)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.where(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "q_map_extract",
+    oracle="""
+    SELECT event_id,
+           ARRAY_TO_STRING(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-object → MapType column: parse once, then key/value ops
+    are JVM-side collection functions (the engine's map-column
+    surface; the reference's only map is its state dict)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k"),
+    )
+
+
+@query(
     "q_array_agg",
     oracle="""
     SELECT user_id,
