@@ -74,6 +74,21 @@ def decode_media(blob: bytes, fmt: str, *, fake: bool = True) -> list[float]:
     return [sum(blob) / len(blob), float(blob[0])]
 
 
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """STUB (L5 image op). Real impl: PIL.Image.open(io.BytesIO(blob))
+    .resize((width, height)) — codec not present in this container.
+    The Spark-side call pattern is mapInPandas over (media, meta)
+    batches, identical to _extract_features."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def sample_frames(blob: bytes, every_n: int = 30) -> list[bytes]:
+    """STUB (L5 video op). Real impl: av.open(io.BytesIO(blob)) and
+    keep every Nth decoded frame. Output schema is
+    ARRAY<BINARY> + frame metadata struct per row."""
+    raise NotImplementedError("video codec not available in this environment")
+
+
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: Arrow batch in → feature frame out.
 

@@ -252,6 +252,36 @@ def q_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_date_parts",
+    oracle="""
+    SELECT event_id,
+           CAST(EXTRACT(year FROM ts) AS INTEGER) AS y,
+           CAST(EXTRACT(month FROM ts) AS INTEGER) AS mo,
+           CAST(EXTRACT(day FROM ts) AS INTEGER) AS d,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS h,
+           CAST(EXTRACT(isodow FROM ts) AS INTEGER) AS iso_dow,
+           CAST(ts + INTERVAL 7 DAY AS DATE) IS NOT NULL AS has_next_week
+    FROM events
+    """,
+)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar part extraction + date arithmetic. Convention trap
+    handled explicitly: Spark `dayofweek` is 1=Sunday while DuckDB
+    `isodow` is 1=Monday — the engine emits ISO day-of-week
+    (`weekday()+1`) so downstream logic is engine-portable."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.date_add(F.to_date("ts"), 7).isNotNull().alias("has_next_week"),
+    )
+
+
+@query(
     "q_deterministic_sample",
     oracle="""
     SELECT event_id, user_id, event_type

@@ -92,3 +92,13 @@ def test_multimodal_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_media(b"abc", "image/png", fake=False)
     assert decode_media(b"ab", "text/plain") == [97.5, 97.0]
+
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        resize_image,
+        sample_frames,
+    )
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"abc", 64, 64)
+    with pytest.raises(NotImplementedError):
+        sample_frames(b"abc")
