@@ -149,6 +149,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_approx_percentiles")  # no oracle: sketch impls differ by engine
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for q_percentiles: approx_percentile
+    (Greenwald-Khanna sketch — mergeable map-side, bounded memory),
+    the 100 TB replacement for exact interpolated percentiles whose
+    sort-based evaluation doesn't scale. Rows-only driver check;
+    tests/test_dedup.py-style accuracy bound asserted in
+    tests/test_functions.py against the exact values."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("p90"),
+    )
+
+
 @query(
     "q_corr_stats",
     oracle="""

@@ -84,6 +84,23 @@ def test_simhash_hamming(spark):
     assert d_near < d_far
 
 
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from roborock_data_pipeline_spark.operators.sql_suite import (
+        q_approx_percentiles,
+        q_percentiles,
+    )
+
+    exact = {r.event_type: (r.p50, r.p90) for r in q_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: (r.p50, r.p90) for r in q_approx_percentiles(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, (p50, p90) in exact.items():
+        a50, a90 = approx[et]
+        assert abs(a50 - p50) <= max(1.0, 0.05 * p50)
+        assert abs(a90 - p90) <= max(1.0, 0.05 * p90)
+
+
 def test_multimodal_stub_raises_without_fake():
     import pytest
 
