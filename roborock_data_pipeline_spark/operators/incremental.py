@@ -98,7 +98,12 @@ def q_new_records_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/O3: event-time watermark filter — keep only records newer
     than the per-device high-water mark, emitted oldest-first
     (pipeline.py:717-737). The reference compares ISO strings; the
-    engine compares native timestamps (SURVEY §7 risk 3)."""
+    engine compares native timestamps (SURVEY §7 risk 3).
+
+    O3's oldest-first ordering only needs to hold within each sink
+    task's output file, so it is a `sortWithinPartitions` — a global
+    `orderBy` would add a full range-shuffle of every new record at
+    100 TB for an ordering nothing downstream relies on."""
     ev = load(spark, sf_dir, "events")
     wm = _state_counts(spark, sf_dir).select("user_id", "last_ts")
     return (
@@ -107,7 +112,7 @@ def q_new_records_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts")
             > F.coalesce(F.col("last_ts"), F.lit("1970-01-01").cast("timestamp"))
         )
-        .orderBy("ts", "event_id")  # O3: ascending re-sort before sink
+        .sortWithinPartitions("ts", "event_id")  # O3: oldest-first per sink file
         .select("event_id", "user_id", "ts", "event_type")
     )
 

@@ -99,18 +99,34 @@ def q_similarity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-embedding (EXT): cosine near-duplicate pairs, blocked on
     `label` (the cluster id) so the self-join is per-block quadratic.
-    The unblocked scale path is q_similarity_lsh."""
+    The unblocked scale path is q_similarity_lsh.
+
+    Scale shape: a SALTED shuffle join on the block key (see
+    functions/skew.py) — never a broadcast of the corpus, which cannot
+    fit executor memory at 100 TB. The label key has few distinct
+    values (10 here), which would cap join parallelism at 10 tasks and
+    make every block a skew straggler; salting spreads each block over
+    N_SALTS partitions (probe side hashed to one salt, build side
+    replicated across all salts — each qualifying pair meets exactly
+    once). Shuffle volume is |corpus| + N_SALTS·|corpus| of slim
+    normed rows, and AQE skew-join splitting remains as the runtime
+    backstop for residual imbalance."""
     from roborock_data_pipeline_spark.sources.tables import spread
 
+    N_SALTS = 8
     emb = spread(load(spark, sf_dir, "embeddings"))
-    # materialize the normed vectors once; broadcast the build side so
-    # the 10-value label key doesn't cap parallelism at 10 tasks
+    # materialize the normed vectors once (scanned by both join sides)
     e = (
         emb.select("vec_id", "label", "embedding")
         .withColumn("nrm", norm(F.col("embedding")))
         .persist()
     )
-    a, b = e.alias("a"), F.broadcast(e.alias("b"))
+    a = e.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(N_SALTS)).cast("int")
+    ).alias("a")
+    b = e.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    ).alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
@@ -118,6 +134,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(cos >= 0.9)

@@ -80,9 +80,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reused by both window steps and the final group-by."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # microsecond precision: cast("long") would second-truncate and
+    # mis-sessionize gaps within ~1s of the 1800s boundary vs the
+    # oracle's full-interval comparison
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
     flagged = ev.withColumn(
-        "is_new", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     )
     numbered = flagged.withColumn(
         "session_id",

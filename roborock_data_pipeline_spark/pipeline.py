@@ -24,6 +24,8 @@ becomes a table scan; everything downstream is identical semantics.
 from __future__ import annotations
 
 import argparse
+import time
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -106,7 +108,10 @@ def mode_record_sync(spark: SparkSession, cloud: str, warehouse: str) -> None:
             > F.coalesce(F.col("wm"), F.lit("1970-01-01").cast("timestamp"))
         )
         .drop("wm")
-        .orderBy("start_time")  # O3: oldest-first like the sheet append
+        # O3 oldest-first: per-partition sort at the sink is enough —
+        # a global orderBy would total-shuffle every new record at
+        # 100 TB for an ordering no downstream query depends on
+        .sortWithinPartitions("start_time")
         .select(*[f.name for f in schemas.CLEANING_RECORDS])
     )
     sinks.append_with_console_fallback(fresh, warehouse, "cleaning_records")
@@ -162,7 +167,62 @@ def mode_daily_summary(spark: SparkSession, warehouse: str) -> None:
         F.round(F.avg("area_sqm"), 2).alias("avg_area_m2"),
         F.round(F.avg("duration_minutes"), 2).alias("avg_time_min"),
     )
-    sinks.append_rows(daily, warehouse, "daily_summary")
+    # gold table is a full rebuild from cleaning_records — overwrite so
+    # re-runs are idempotent (an append would duplicate per-date rows)
+    sinks.overwrite_rows(daily, warehouse, "daily_summary")
+
+
+def run_scheduled(
+    tick: Callable[[], None],
+    interval_s: float,
+    *,
+    error_backoff_s: float = 60.0,
+    max_runs: int | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    on_error: Callable[[Exception], None] | None = None,
+) -> int:
+    """T4: the reference's scheduled re-run loop (pipeline.py:575-594
+    runs smart_sync every 12 h; :755-792 runs record sync hourly),
+    including its 60 s error backoff — a failed tick sleeps the
+    backoff, not the full interval, then retries.
+
+    ``sleep``/``max_runs`` are injectable so tests drive ticks without
+    wall-clock waits. Returns the number of successful ticks."""
+    ok = 0
+    runs = 0
+    while max_runs is None or runs < max_runs:
+        runs += 1
+        try:
+            tick()
+            ok += 1
+            delay = interval_s
+        except Exception as exc:  # noqa: BLE001 - loop must survive a bad tick
+            if on_error is not None:
+                on_error(exc)
+            else:
+                print(f"[scheduled] tick failed ({exc}); retrying in {error_backoff_s}s")
+            delay = error_backoff_s
+        if max_runs is None or runs < max_runs:
+            sleep(delay)
+    return ok
+
+
+def run_mode(spark: SparkSession, args: argparse.Namespace) -> None:
+    """One tick of the selected mode (shared by one-shot and looped runs)."""
+    if args.mode == "setup":
+        mode_setup(spark, args.warehouse)
+    elif args.mode == "log":
+        mode_log(spark, args.cloud, args.warehouse)
+    elif args.mode == "smart":
+        mode_smart(spark, args.cloud, args.warehouse)
+    elif args.mode == "record_sync":
+        mode_record_sync(spark, args.cloud, args.warehouse)
+    elif args.mode == "monitor":
+        mode_monitor(spark, args.cloud, args.warehouse, args.checkpoint)
+    elif args.mode == "history":
+        mode_history(spark, args.cloud, args.limit).show(truncate=False)
+    elif args.mode == "daily_summary":
+        mode_daily_summary(spark, args.warehouse)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -179,23 +239,27 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--warehouse", help="warehouse dir")
     p.add_argument("--checkpoint", help="streaming checkpoint dir")
     p.add_argument("--limit", type=int, default=10)
+    p.add_argument(
+        "--interval",
+        type=float,
+        default=None,
+        help="re-run the mode every N seconds (reference cadence: 43200 "
+        "for smart, 3600 for record_sync) with 60 s error backoff",
+    )
+    p.add_argument(
+        "--max-runs", type=int, default=None, help="stop after N ticks (testing)"
+    )
     args = p.parse_args(argv)
 
     spark = prepare(get_spark("rdp-pipeline"))
-    if args.mode == "setup":
-        mode_setup(spark, args.warehouse)
-    elif args.mode == "log":
-        mode_log(spark, args.cloud, args.warehouse)
-    elif args.mode == "smart":
-        mode_smart(spark, args.cloud, args.warehouse)
-    elif args.mode == "record_sync":
-        mode_record_sync(spark, args.cloud, args.warehouse)
-    elif args.mode == "monitor":
-        mode_monitor(spark, args.cloud, args.warehouse, args.checkpoint)
-    elif args.mode == "history":
-        mode_history(spark, args.cloud, args.limit).show(truncate=False)
-    elif args.mode == "daily_summary":
-        mode_daily_summary(spark, args.warehouse)
+    if args.interval is None:
+        run_mode(spark, args)
+    else:
+        run_scheduled(
+            lambda: run_mode(spark, args),
+            args.interval,
+            max_runs=args.max_runs,
+        )
 
 
 if __name__ == "__main__":

@@ -7,6 +7,7 @@ runtime-settable confs every query in this engine depends on.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import zipfile
@@ -51,17 +52,30 @@ def _ship_package(spark: SparkSession) -> None:
     if key in _shipped_sessions:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # Collect sources deterministically and key the zip by a content
+    # hash: a cached zip from before a source edit would ship stale
+    # code to the Python workers while the driver runs new code.
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                sources.append((rel, full))
+    sources.sort()
+    digest = hashlib.sha256()
+    for rel, full in sources:
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), "roborock_data_pipeline_spark_pkg.zip"
+        tempfile.gettempdir(),
+        f"roborock_data_pipeline_spark_pkg_{digest.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for rel, full in sources:
+                zf.write(full, rel)
         os.replace(zip_path + ".tmp", zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)

@@ -19,6 +19,8 @@ queries' date predicates prune partitions at 100 TB.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -59,17 +61,66 @@ def setup_warehouse(spark: SparkSession, warehouse_dir: str) -> None:
 
 
 def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
-    """S6/S7: append a batch to a table. Parquet appends are
-    partition-atomic and schema-checked; batch amortization (the
-    reference's append_rows vs append_row distinction) is native."""
-    df.write.mode("append").parquet(table_path(warehouse_dir, name))
+    """S6/S7: append a batch to a table — job-level atomic.
+
+    A raw ``mode("append")`` commits per-task part-files as tasks
+    finish, so a job that dies mid-write leaves SOME new rows visible;
+    because the incremental modes derive their watermark from the sink
+    (pipeline.py mode_record_sync), a partially-committed newer record
+    could advance the per-device watermark past older rows that were
+    lost — reintroducing the reference's T5 silent-loss bug
+    (reference pipeline.py:562-568) at the job level.
+
+    Fix: write the whole batch to a staging dir, then publish it with
+    ONE ``os.replace`` (atomic directory rename on POSIX). Readers see
+    either none of the batch or all of it. On a real cluster the same
+    contract comes from a transactional table format (Delta/Iceberg
+    commit log); the staged-rename is the HDFS-/local-FS-native form.
+    """
+    table_dir = table_path(warehouse_dir, name)
+    staging_root = os.path.join(warehouse_dir, ".staging")
+    os.makedirs(staging_root, exist_ok=True)
+    batch_id = uuid.uuid4().hex
+    staged = os.path.join(staging_root, f"{name}-{batch_id}")
+    try:
+        df.write.mode("overwrite").parquet(staged)
+        os.makedirs(table_dir, exist_ok=True)
+        os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+    finally:
+        if os.path.exists(staged):  # job failed before publish
+            shutil.rmtree(staged, ignore_errors=True)
 
 
 def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
-    """S5: full-table read with the pinned schema."""
-    return spark.read.schema(WAREHOUSE_TABLES[name]).parquet(
-        table_path(warehouse_dir, name)
+    """S5: full-table read with the pinned schema. Batches published
+    by :func:`append_rows` live in ``batch-*`` subdirs —
+    recursiveFileLookup picks them up; orphaned ``.staging`` dirs are
+    outside the table path and never read."""
+    return (
+        spark.read.schema(WAREHOUSE_TABLES[name])
+        .option("recursiveFileLookup", "true")
+        .parquet(table_path(warehouse_dir, name))
     )
+
+
+def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
+    """Full-replace publish for rebuilt gold tables (idempotent
+    re-runs): stage, then swap the table dir in one rename."""
+    table_dir = table_path(warehouse_dir, name)
+    staging_root = os.path.join(warehouse_dir, ".staging")
+    os.makedirs(staging_root, exist_ok=True)
+    batch_id = uuid.uuid4().hex
+    staged = os.path.join(staging_root, f"{name}-{batch_id}")
+    old = os.path.join(staging_root, f"{name}-{batch_id}-old")
+    try:
+        df.write.mode("overwrite").parquet(staged)
+        if os.path.exists(table_dir):
+            os.replace(table_dir, old)
+        os.replace(staged, table_dir)
+    finally:
+        for leftover in (staged, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
 
 
 def write_bucketed(

@@ -47,11 +47,13 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     maxPartitionBytes says. Operators whose per-row work is heavy
     (shingle hashing, minhash, pairwise verification) repartition
     first so the work uses every core. On a real 100 TB deployment
-    inputs arrive as thousands of splits and this is a no-op."""
+    inputs arrive as thousands of splits and AQE's partition
+    coalescing absorbs the extra exchange."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    # NOTE: deliberately no df.rdd.getNumPartitions() pre-check — that
+    # forces a Python->RDD conversion per call; an unconditional
+    # round-robin repartition is one exchange Catalyst/AQE can manage.
     return df.repartition(target)
 
 

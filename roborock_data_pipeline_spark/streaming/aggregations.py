@@ -27,7 +27,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(schemas.EVENTS_RAW)
         .format("parquet")
-        .load(f"{sf_dir}/")
+        # glob, not the bare file path: the file source requires its
+        # inferred basePath to be a directory; the glob keeps sf_dir as
+        # base while matching ONLY the events table (a bare sf_dir/
+        # load would suck every table in, yielding all-null rows)
+        .option("basePath", sf_dir)
+        .load(f"{sf_dir}/events*")
     )
     # same ns→µs conversion as the batch loader
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -55,8 +55,12 @@ def _detect_sessions(
         state.get if state.exists else (None, None, None)
     )
     out = []
-    for pdf in batches:
-        pdf = pdf.sort_values("ts")
+    # a device's micro-batch group can span multiple Arrow chunks
+    # (>maxRecordsPerBatch rows) delivered in arbitrary relative
+    # order — concatenate before sorting or edges come out wrong
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         for row in pdf.itertuples():
             cur = str(row.state).lower()
             was_cleaning = prev_state in CLEANING_STATES

@@ -106,3 +106,57 @@ def test_incremental_sync_is_idempotent(spark, sf_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_session_state_survives_micro_batch_boundary(spark):
+    """T2 depth: a device mid-cleaning when a micro-batch ends must
+    still yield exactly ONE session once the idle tick arrives in a
+    LATER micro-batch — i.e. the (prev_state, start_ts, start_battery)
+    tuple in GroupState genuinely carries across batches (the
+    reference's in-memory dicts lose it on any restart)."""
+    from roborock_data_pipeline_spark.streaming.sessionize import (
+        detect_sessions_stream,
+    )
+
+    schema = "device_name string, ts timestamp, state string, battery int"
+    src_dir = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    try:
+        # batch 1: cleaning starts, no end edge yet
+        spark.createDataFrame(
+            [
+                ("bot1", _ts(1, 8), "charging", 100),
+                ("bot1", _ts(1, 9), "cleaning", 98),
+                ("bot1", _ts(1, 10), "cleaning", 80),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            detect_sessions_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sessions_mb")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM sessions_mb").count() == 0  # still open
+
+        # batch 2 (new file → new micro-batch): the end edge
+        spark.createDataFrame(
+            [("bot1", _ts(1, 11), "charging", 55)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sessions_mb").collect()
+        q.stop()
+
+        assert len(got) == 1
+        s = got[0]
+        # start captured in batch 1, end in batch 2 → state crossed over
+        assert s.session_start == _ts(1, 9) and s.session_end == _ts(1, 11)
+        assert s.battery_start == 98 and s.battery_end == 55
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
