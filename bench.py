@@ -35,6 +35,14 @@ HEADLINE = [
     "q_embedding_near_dup",
     "q_asof_status",
     "q_new_records_incremental",
+    # round-1 additions (VERDICT r1 next-#6): regressions in the new
+    # surface must be visible round-over-round
+    "q_percentiles",
+    "q_approx_percentiles",
+    "q_subquery_in",
+    "q_grouping_sets",
+    "q_map_extract",
+    "q_deterministic_sample",
 ]
 
 

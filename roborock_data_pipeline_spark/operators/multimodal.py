@@ -61,13 +61,29 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_media(blob: bytes, fmt: str, *, fake: bool = True) -> list[float]:
-    """STUB decode step. Real codecs (PIL/ffmpeg/torchaudio) are not
-    in this container; `fake=True` produces deterministic
-    byte-statistic features so the pipeline is testable."""
+    """Decode step. `fake=True` (default) produces deterministic
+    byte-statistic features so the pipeline is testable without
+    codecs. `fake=False` takes the real-codec path, feature-flagged
+    behind an import guard: if the codec library is installed
+    (PIL for image/*), it decodes for real; otherwise it raises
+    NotImplementedError — this container ships no codecs, so the
+    raise path is what tests exercise."""
     if not fake:
+        if fmt.startswith("image/"):
+            try:
+                import io
+
+                from PIL import Image  # type: ignore[import-not-found]
+            except ImportError as exc:
+                raise NotImplementedError(
+                    f"no codec for {fmt!r} in this environment — install "
+                    "Pillow to enable the real image decode path"
+                ) from exc
+            px = list(Image.open(io.BytesIO(blob)).convert("L").getdata())
+            return [sum(px) / len(px), float(px[0])] if px else [0.0, 0.0]
         raise NotImplementedError(
             f"no codec for {fmt!r} in this environment — plug in the real "
-            "decoder here (PIL.Image.open / av.open / soundfile.read)"
+            "decoder here (av.open / soundfile.read)"
         )
     if not blob:
         return [0.0, 0.0]
