@@ -1,0 +1,275 @@
+"""Training-data curation operators (SURVEY §2.K EXT).
+
+The quality ladder a 100 TB pretraining pipeline runs between raw
+scrape and tokenizer: repetition scoring (Gopher-style), stratified
+language sampling, test-set contamination detection, PII redaction,
+and token-budget batch packing. All per-row work is JVM codegen
+(split / array ops / regex); the only shuffles are the contamination
+posting join (inverted-index shaped, same as q_near_dup_jaccard) and
+the final small aggregates.
+
+Reference parity: the reference has no text corpus at all — this
+family is part of the EXT surface the brief mandates for LLM data
+pipelines, exercised on the driver's `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from roborock_data_pipeline_spark.functions.text import shingles, tokens
+from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources.tables import load, spread
+
+
+@query(
+    "q_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(1.0 - len(list_distinct(toks)) / len(toks), 6) AS dup_word_frac,
+           ROUND(1.0 - len(list_distinct(
+                     list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])))
+                     / (len(toks) - 1), 6) AS dup_bigram_frac
+    FROM t
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-word and
+    duplicate-bigram fractions per document.
+
+    Pure per-row array math (split → array_distinct → size), no
+    explode and no shuffle — at 100 TB this is a map-only pass that
+    rides whatever scan partitioning the input has, and the filter
+    that consumes it (`dup_bigram_frac > θ`) fuses into the same
+    WholeStageCodegen stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bigrams = shingles(F.col("text"), 2)
+    n = F.size(toks).cast("double")
+    nb = F.size(bigrams).cast("double")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n, 6).alias("dup_word_frac"),
+        F.round(1.0 - F.size(F.array_distinct(bigrams)) / nb, 6).alias(
+            "dup_bigram_frac"
+        ),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+               ELSE SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+          END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: downsample the dominant
+    language (en 1/16) harder than the tail (1/4) — the standard
+    rebalancing step before pretraining mixes.
+
+    Content-hash thresholding (not rand()) keeps the sample identical
+    across retries, engines, and partial re-runs; the predicate is a
+    scan-level filter, so at 100 TB this costs one map-only pass and
+    prunes before any downstream shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(F.col("lang") == "en", h == "0").otherwise(
+        h.isin("0", "1", "2", "3")
+    )
+    return d.where(keep).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, doc_id % 10 = 0 AS is_test,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 4),
+                   i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')
+               ))) AS s
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 5
+    ),
+    test AS (SELECT doc_id, s FROM sh WHERE is_test),
+    train AS (SELECT DISTINCT s FROM sh WHERE NOT is_test)
+    SELECT t.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(tr.s) AS n_contaminated,
+           ROUND(COUNT(tr.s) / COUNT(*), 6) AS contamination_rate
+    FROM test t LEFT JOIN train tr ON t.s = tr.s
+    GROUP BY t.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination: for each held-out document (doc_id %
+    10 == 0), the fraction of its distinct 5-gram shingles that also
+    appear anywhere in the training split.
+
+    Inverted-index shape, not pairwise: explode each side to
+    (shingle, doc) postings, distinct the train side, and equi-join
+    on the shingle — work is Σ postings, linear in corpus size, the
+    same scale geometry as q_near_dup_jaccard. At 100 TB the join
+    key would be xxhash64(shingle) (8-byte shuffle rows) and the
+    train-side distinct posting list is built once and reused across
+    eval sets; strings are kept here so the DuckDB oracle can check
+    exact semantics.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    sh = d.where(F.size(toks) >= 5).select(
+        "doc_id",
+        (F.col("doc_id") % 10 == 0).alias("is_test"),
+        F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
+    )
+    test = sh.where("is_test").select("doc_id", "s")
+    train = sh.where(~F.col("is_test")).select("s").distinct()
+    return (
+        test.join(train.withColumn("hit", F.lit(1)), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count("*"), 6).alias("contamination_rate"),
+        )
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'user' || doc_id || '@example.com call 555-' ||
+                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+                   AS contact_text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(contact_text, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+               + len(regexp_extract_all(contact_text, '[0-9]{3}-[0-9]{4}'))
+               AS n_pii,
+           md5(regexp_replace(
+                   regexp_replace(contact_text,
+                                  '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+    FROM raw
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: mask email and phone patterns, count the hits,
+    and fingerprint the redacted text.
+
+    The corpus is synthetic word-soup with no real PII, so the query
+    first derives a contact line per document (deterministic from
+    doc_id) — the redaction then has non-trivial matches for the
+    oracle to verify (md5 of the redacted text proves byte parity).
+    Patterns use only char classes so Java regex and RE2 agree.
+    Map-only pass: regex_replace is codegen'd JVM work, no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "), F.col("text"),
+    )
+    email = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(contact, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        (
+            F.size(F.regexp_extract_all(contact, F.lit(email), F.lit(0)))
+            + F.size(F.regexp_extract_all(contact, F.lit(phone), F.lit(0)))
+        ).cast("long").alias("n_pii"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+@query(
+    "q_token_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(log2(len(string_split(text, ' ')))) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket histogram (power-of-two token buckets) — the
+    sizing pass before sequence packing: how many docs and tokens
+    land in each context-length class.
+
+    Partial aggregation on a handful of bucket keys: map-side
+    combine collapses each scan partition to ≤~10 rows before the
+    exchange, so the shuffle is negligible at any scale.
+    """
+    d = load(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    return (
+        d.select(
+            F.floor(F.log2(n)).cast("int").alias("bucket"), n.alias("n_tokens")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q_batch_pack",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 2000.0)
+                AS BIGINT) AS batch_id
+    FROM t
+    """,
+)
+def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch packing: assign documents to ~2000-token
+    training batches per language, by token-offset chunking (batch =
+    floor(exclusive-prefix-sum / budget)).
+
+    Offset chunking is the scalable stand-in for greedy bin packing:
+    a prefix sum is one window pass, deterministic under retries, and
+    at 100 TB it partitions by (lang, day) so no single window spans
+    the corpus — true greedy packing is inherently sequential and
+    does not distribute.
+    """
+    d = load(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return d.select("doc_id", "lang", n.alias("n_tokens")).withColumn(
+        "batch_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000.0).cast(
+            "long"
+        ),
+    )

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.similarity",
     "roborock_data_pipeline_spark.operators.multimodal",
     "roborock_data_pipeline_spark.operators.sql_suite",
+    "roborock_data_pipeline_spark.operators.quality",
 ]
 
 
