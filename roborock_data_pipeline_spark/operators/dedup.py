@@ -17,7 +17,7 @@ Ladder of dedup strategies, cheapest first:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from roborock_data_pipeline_spark.functions.hashing import (
@@ -226,6 +226,113 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(jac >= 0.5).select(
         "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
     )
+
+
+@query(
+    "q_dup_groups",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, n_chars // 100 AS len_bucket,
+               string_split(text, ' ') AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id, len_bucket,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM d
+    ), p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM t a
+        JOIN t b
+          ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), e AS (
+        SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+    ), reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a
+    ), comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id, group_id,
+           COUNT(*) OVER (PARTITION BY group_id) AS group_size
+    FROM comp
+    """,
+)
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (cluster step): near-dup *pairs* → duplicate *groups* via
+    connected components, so a canonical doc (min doc_id) can be kept
+    per group — the step every real dedup pipeline needs between LSH
+    pair output and the filtered corpus, since near-dup is not
+    transitive pairwise (A~B, B~C clusters {A,B,C} even if A~C fails
+    the threshold).
+
+    Spark implementation: iterative min-label propagation over the
+    edge list (the DataFrame form of Pregel-style CC). Each round is
+    one shuffle join (labels onto edge endpoints) + one min-groupBy;
+    rounds needed = component diameter, and near-dup clusters are
+    shallow (pairs/triples), so this converges in 1–3 rounds — the
+    driver-side `.count()` per round is the standard convergence
+    check of an iterative algorithm, not a collect-anti-pattern. At
+    100 TB: persist each round's labels, `localCheckpoint` every few
+    rounds to cut lineage, and switch to large-star/small-star
+    alternation (Kiveris et al.) if components were ever deep —
+    O(log n) rounds with the same join+min building blocks.
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same
+    (blocked, exact-jaccard) pair set — fine at oracle SF, impossible
+    at 100 TB, which is exactly why the iterative form exists.
+    """
+    pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    edges = (
+        pairs.select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nbr_min")).alias("label"),
+        )
+        .persist()
+    )
+    for _ in range(20):  # cap >> diameter of any dup cluster
+        prop = edges.join(
+            labels, edges["dst"] == labels["node"], "inner"
+        ).select(edges["src"].alias("node"), "label")
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    w = Window.partitionBy("group_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+    ).withColumn("group_size", F.count("*").over(w))
 
 
 @query("q_dedup_simhash")  # no oracle: xxhash64 is Spark-specific

@@ -87,6 +87,115 @@ def q_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_range_join_binned",
+    oracle="""
+    WITH win AS (
+        SELECT event_id AS window_id,
+               ts - INTERVAL 1 HOUR AS w_start,
+               ts + INTERVAL 1 HOUR AS w_end
+        FROM events
+        WHERE event_type = 'purchase'
+        ORDER BY value DESC, event_id
+        LIMIT 20
+    )
+    SELECT w.window_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM win w
+    JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1
+    """,
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+ (EXT): keyless interval join — all activity inside ±1 h
+    windows around the top-20 purchases by value.
+
+    A naive range join with no equi-key is a nested-loop cartesian
+    (every event × every window). The scale technique: discretize
+    time into bins as wide as the window span (1 h), explode each
+    interval into the 2–3 bins it covers, stamp each event with its
+    bin, and equi-join on the bin — the range predicate then only
+    filters within-bin candidates. Catalyst gets a *hash* join key,
+    so with a big interval side this shuffles on `bin` instead of
+    looping; here the 20-window side is broadcast, so events stream
+    through one codegen stage. Same trick Flink/Trino use for
+    interval joins; output semantics are exactly the BETWEEN oracle.
+    """
+    ev = load(spark, sf_dir, "events")
+    win = (
+        ev.where(F.col("event_type") == "purchase")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(20)
+        .select(
+            F.col("event_id").alias("window_id"),
+            (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+        )
+    )
+    binned_win = win.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("w_start")),
+                F.date_trunc("hour", F.col("w_end")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    evb = ev.withColumn("bin", F.date_trunc("hour", F.col("ts")))
+    return (
+        evb.join(F.broadcast(binned_win), "bin")
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_interval_count_24h",
+    oracle="""
+    SELECT event_id, user_id, ts, n_prior_24h
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING
+               ) AS n_prior_24h
+        FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_interval_count_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+ (EXT): keyed interval join — for each purchase, how many
+    events the same user produced in the strictly-preceding 24 h
+    (the Flink interval-join shape: equi-key + time range).
+
+    Expressed as a RANGE-frame window over microsecond epochs rather
+    than a self-join: one shuffle on user_id, each partition scanned
+    once with a sliding frame — linear where the join form is
+    per-user quadratic. Frame bounds are in µs (unix_micros /
+    epoch_us on both engines) so sub-second gaps at the 24 h boundary
+    resolve identically — the second-truncation trap q_sessionize
+    hit does not apply here.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86_400_000_000, -1)
+    )
+    return (
+        ev.withColumn("n_prior_24h", F.count("*").over(w))
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "n_prior_24h")
+    )
+
+
+@query(
     "q_asof_status",
     oracle="""
     SELECT event_id, user_id, ts, last_view_ts

@@ -236,6 +236,121 @@ def q_token_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bigram_lm",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> (string_split(text, ' '))[i] || ' ' ||
+                        (string_split(text, ' '))[i + 1])) AS bg
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), c AS (
+        SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM b
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(ln(c.cnt / tot.n)), 4) AS avg_logp
+    FROM b JOIN c USING (bg) CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score (the KenLM-style
+    perplexity filter of pretraining pipelines, self-trained here):
+    per document, the mean log-probability of its bigrams under the
+    corpus unigram-of-bigrams distribution. Low avg_logp = rare word
+    transitions = likely gibberish/boilerplate.
+
+    Two distributed passes over one exploded posting table (persisted):
+    (1) count bigram frequencies (map-side partial agg), (2) join each
+    doc's postings back to the counts — inverted-index shape, work
+    linear in Σ bigrams. At 100 TB the join key becomes
+    xxhash64(bigram) (8-byte shuffle rows) and the count table is
+    heavy-hitter-truncated + broadcast; strings are kept here so the
+    DuckDB oracle can verify exact semantics.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    b = (
+        d.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg"))
+        .persist()
+    )
+    counts = b.groupBy("bg").agg(F.count("*").alias("cnt"))
+    tot = b.agg(F.count("*").alias("n"))
+    return (
+        b.join(counts, "bg")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 4).alias(
+                "avg_logp"
+            ),
+        )
+    )
+
+
+@query(
+    "q_global_index",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS global_index
+    FROM documents
+    """,
+)
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global row index (stable sample IDs for a training
+    corpus) WITHOUT the single-partition global window.
+
+    `ROW_NUMBER() OVER (ORDER BY doc_id)` with no PARTITION BY pulls
+    the whole table through one task — the classic scale-killer. The
+    distributed form: (1) one tiny aggregate learns ~equi-depth
+    doc_id boundaries (percentile_approx — same statistics pass AQE
+    does); (2) each row gets a range-bucket from pure codegen
+    comparisons; (3) per-bucket counts (B rows) turn into exclusive
+    prefix offsets with a B-row window; (4) offsets broadcast-join
+    back and rows rank only within their bucket. Every stage is
+    B-way parallel; no task ever sees more than ~1/B of the data,
+    so B scales with the cluster while the oracle semantics stay
+    exactly ROW_NUMBER-over-everything.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    n_buckets = 16
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = d.select(
+        F.percentile_approx("doc_id", fracs, 10000).alias("b")
+    ).first()["b"]
+    bucket_expr = sum(
+        ((F.col("doc_id") > F.lit(int(t))).cast("int") for t in bounds),
+        F.lit(0),
+    )
+    bucketed = d.select("doc_id", bucket_expr.alias("bucket"))
+    counts = bucketed.groupBy("bucket").count()
+    off_w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "bucket", (F.sum("count").over(off_w) - F.col("count")).alias("offset")
+    )
+    rank_w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(rank_w)).alias(
+                "global_index"
+            ),
+        )
+    )
+
+
+@query(
     "q_batch_pack",
     oracle="""
     WITH t AS (
