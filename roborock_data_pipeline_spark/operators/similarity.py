@@ -202,6 +202,90 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nearest(joined: DataFrame, vec_col: str, out: str, n: int) -> DataFrame:
+    """n nearest centroids per vec_id over a (vec, centroid) cross."""
+    from pyspark.sql import Window as W
+
+    scored = joined.withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n)
+        .select("vec_id", F.col("centroid_id").alias(out))
+    )
+
+
+def build_ivf_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """IVF index build (one batch pass): centroids = per-cluster mean
+    vectors (posexplode → per-dimension avg → re-assemble); every
+    vector assigned to its nearest centroid via broadcast cross join.
+    Returns (centroids, indexed) where indexed = emb + `cell`."""
+    dims = emb.select("vec_id", "label", F.posexplode("embedding"))
+    per_dim = dims.groupBy("label", "pos").agg(F.avg("col").alias("c"))
+    centroids = (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("centroid_id"), "centroid")
+    )
+    assigned = _nearest(
+        emb.crossJoin(F.broadcast(centroids)), "embedding", "cell", 1
+    )
+    return centroids, emb.join(assigned, "vec_id")
+
+
+def write_ivf_index(emb: DataFrame, index_dir: str) -> None:
+    """Persist the IVF index in its 100 TB layout: vectors
+    parquet-partitioned by `cell` (a probe is then a partition-pruned
+    scan that never opens unprobed cells' files) + a sibling
+    `<dir>_centroids` metadata table (one row per cell)."""
+    centroids, indexed = build_ivf_index(emb)
+    indexed.write.partitionBy("cell").mode("overwrite").parquet(index_dir)
+    centroids.write.mode("overwrite").parquet(index_dir + "_centroids")
+
+
+def ivf_probe_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = TOP_K,
+    nprobe: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN query against the persisted IVF index.
+
+    Centroid ranking touches only the metadata table (rows = number
+    of cells — the tiny collect is index metadata, like reading a
+    file footer, not data); the vector scan then carries
+    `cell IN (probed)` which Catalyst turns into PartitionFilters —
+    unprobed partitions are never listed or read. Exact cosine
+    rerank + top-k inside the probed fraction."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cent = spark.read.parquet(index_dir + "_centroids")
+    cells = [
+        r["centroid_id"]
+        for r in cent.withColumn("sim", cosine(qv, F.col("centroid")))
+        .orderBy(F.col("sim").desc(), "centroid_id")
+        .limit(nprobe)
+        .collect()
+    ]
+    scan = spark.read.parquet(index_dir).where(F.col("cell").isin(cells))
+    if exclude_vec_id is not None:
+        scan = scan.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        scan.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), qv), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame, query_vec_id: int, k: int = TOP_K, nprobe: int = 2
 ) -> DataFrame:
@@ -219,45 +303,16 @@ def ivf_topk(
     beats the probed fraction — that is geometry, not implementation.
 
     At 100 TB the assignment table is written out partitioned by
-    centroid_id, so a probe reads only the probed partitions."""
-    # --- index build ---------------------------------------------------
-    dims = emb.select("vec_id", "label", F.posexplode("embedding"))
-    per_dim = dims.groupBy("label", "pos").agg(F.avg("col").alias("c"))
-    centroids = (
-        per_dim.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("centroid_id"), "centroid")
-    )
-
-    def nearest(vec_col: str, cent: DataFrame, out: str, n: int) -> DataFrame:
-        scored = cent.withColumn("sim", cosine(F.col(vec_col), F.col("centroid")))
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= n)
-            .select("vec_id", F.col("centroid_id").alias(out))
-        )
-
-    assigned = nearest(
-        "embedding",
-        emb.crossJoin(F.broadcast(centroids)),
-        "cell",
-        1,
-    )
-    indexed = emb.join(assigned, "vec_id")
+    centroid_id, so a probe reads only the probed partitions — that
+    persisted layout is write_ivf_index / ivf_probe_indexed below."""
+    centroids, indexed = build_ivf_index(emb)
 
     # --- query ---------------------------------------------------------
     qv = emb.where(F.col("vec_id") == query_vec_id).select(
         F.col("vec_id"), F.col("embedding").alias("qv")
     )
-    probes = nearest(
-        "qv", qv.crossJoin(F.broadcast(centroids)), "cell", nprobe
+    probes = _nearest(
+        qv.crossJoin(F.broadcast(centroids)), "qv", "cell", nprobe
     ).select("cell")
     return (
         indexed.join(F.broadcast(probes), "cell")

@@ -381,3 +381,33 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
         F.round(F.lead("value").over(w) - F.col("value"), 2).alias("delta_next"),
     )
+
+
+@query(
+    "q_ntile_dist",
+    oracle="""
+    SELECT event_id, event_type, value,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile / percent_rank / cume_dist) — the
+    quantile-bucketing surface BI layers expect. One shuffle on the
+    partition key; the (value, event_id) tiebreak makes every rank
+    deterministic so the oracle comparison is exact."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -73,3 +73,22 @@ def incremental_sync(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, lateness: str = "1 hour"
+) -> DataFrame:
+    """T7+ (EXT): streaming exactly-once dedup of re-delivered events.
+
+    The reference's MQTT feed is QoS-1 (at-least-once,
+    roborock_connect.py:118-141): a broker retry re-delivers the same
+    reading, and the reference would double-append it to the sink.
+    `dropDuplicatesWithinWatermark` keeps one row per key while the
+    key stays inside the watermark horizon — the state store holds
+    O(events per lateness window), NOT O(stream history), so at
+    100 TB/day the dedup state stays bounded and is sharded across
+    executors by the key hash like any stateful operator.
+    """
+    return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -75,3 +75,37 @@ def test_topk_is_sorted_descending(spark, sf_dir):
     scores = [r.cosine for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert len(rows) == 10
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted cell-partitioned index: (1) the probe's scan
+    carries a PartitionFilter on `cell` (unprobed cells never read);
+    (2) results are identical to the in-memory ivf_topk at the same
+    nprobe."""
+    from roborock_data_pipeline_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        ivf_probe_indexed,
+        ivf_topk,
+        write_ivf_index,
+    )
+    from roborock_data_pipeline_spark.plans.inspect import plan_string
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, idx)
+
+    qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    got = ivf_probe_indexed(
+        spark, idx, qvec, nprobe=2, exclude_vec_id=QUERY_VEC_ID
+    )
+    plan = plan_string(got)
+    part_filters = plan.split("PartitionFilters", 1)
+    assert len(part_filters) == 2, "probe scan must have PartitionFilters"
+    assert "cell" in part_filters[1][:200]
+
+    expect = [
+        (r.vec_id, r.cosine)
+        for r in ivf_topk(emb, QUERY_VEC_ID, nprobe=2).collect()
+    ]
+    assert [(r.vec_id, r.cosine) for r in got.collect()] == expect

@@ -160,3 +160,43 @@ def test_session_state_survives_micro_batch_boundary(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_dedup_stream_drops_cross_batch_redelivery(spark):
+    """T7+ semantics: a QoS-1 re-delivery of the same event_id in a
+    LATER micro-batch (still inside the watermark) is dropped — the
+    dedup state genuinely spans micro-batches."""
+    from roborock_data_pipeline_spark.streaming.aggregations import dedup_stream
+
+    schema = "event_id long, ts timestamp, value double"
+    src_dir = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            [(1, _ts(1, 8), 10.0), (2, _ts(1, 8, 5), 20.0), (2, _ts(1, 8, 5), 20.0)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        # batch 2: event 1 re-delivered 10 min later + one new event
+        spark.createDataFrame(
+            [(1, _ts(1, 8, 10), 10.0), (3, _ts(1, 8, 11), 30.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        got = sorted(
+            r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+        q.stop()
+        assert got == [1, 2, 3]  # each id exactly once, across batches
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
