@@ -43,6 +43,17 @@ HEADLINE = [
     "q_grouping_sets",
     "q_map_extract",
     "q_deterministic_sample",
+    # round-2 additions: dup clustering, curation ladder, interval
+    # joins, warehouse analytics
+    "q_dup_groups",
+    "q_bigram_lm",
+    "q_contamination",
+    "q_global_index",
+    "q_range_join_binned",
+    "q_interval_count_24h",
+    "q_tpch_q3_shape",
+    "q_tpch_q5_shape",
+    "q_dq_audit",
 ]
 
 

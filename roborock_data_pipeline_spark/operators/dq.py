@@ -1,0 +1,92 @@
+"""Data-quality audit (SURVEY §2 EXT — pipeline guardrails).
+
+The reference trusts its inputs blindly (no validation anywhere in
+pipeline.py); a 100 TB ingest cannot. One audit query emits a
+(check_name, value) row per invariant — row counts, null keys,
+duplicate PKs, FK orphans, domain-range violations — so a scheduler
+can gate downstream jobs on `value == 0` for the violation checks.
+
+Scale shape: all per-table checks fold into ONE conditional
+aggregation per table (a single scan each, map-side combined to one
+row), not one scan per check; only the PK-duplicate and FK-orphan
+checks add a shuffle (groupBy / anti-join on the key).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources.tables import load
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    SELECT 'orders_rowcount' AS check_name, COUNT(*) AS value FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey', COUNT(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_nonpositive_price', COUNT(*) FROM orders
+    WHERE o_totalprice <= 0
+    UNION ALL
+    SELECT 'orders_dup_pk', COUNT(*) FROM (
+        SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1
+    )
+    UNION ALL
+    SELECT 'lineitem_rowcount', COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_bad_discount', COUNT(*) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', COUNT(*) FROM lineitem l
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality audit as one DataFrame of
+    (check_name, value) metric rows — see module docstring for the
+    one-scan-per-table design."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    o_checks = o.agg(
+        F.count("*").alias("c_rows"),
+        viol(F.col("o_custkey").isNull()).alias("c_null"),
+        viol(F.col("o_totalprice") <= 0).alias("c_price"),
+    ).select(
+        F.expr(
+            "stack(3, 'orders_rowcount', c_rows,"
+            " 'orders_null_custkey', c_null,"
+            " 'orders_nonpositive_price', c_price) AS (check_name, value)"
+        )
+    )
+    li_checks = li.agg(
+        F.count("*").alias("c_rows"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "c_disc"
+        ),
+    ).select(
+        F.expr(
+            "stack(2, 'lineitem_rowcount', c_rows,"
+            " 'lineitem_bad_discount', c_disc) AS (check_name, value)"
+        )
+    )
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.count("*").alias("value"))
+        .select(F.lit("orders_dup_pk").alias("check_name"), "value")
+    )
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("value"))
+        .select(F.lit("lineitem_orphan_orderkey").alias("check_name"), "value")
+    )
+    return reduce(DataFrame.unionByName, [o_checks, li_checks, dup_pk, orphans])
