@@ -335,6 +335,64 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("group_size", F.count("*").over(w))
 
 
+@query(
+    "q_dedup_apply",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, n_chars // 100 AS len_bucket,
+               string_split(text, ' ') AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id, len_bucket,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM d
+    ), p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM t a
+        JOIN t b
+          ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), e AS (
+        SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+    ), reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a
+    ), comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+        FROM reach GROUP BY src
+    )
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (
+        SELECT doc_id FROM comp WHERE doc_id != group_id
+    )
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (final step): the deduplicated corpus — drop every non-
+    canonical member of each dup group (keep group_id == doc_id),
+    completing the pairs → groups → filtered-corpus pipeline.
+
+    One anti-join of the corpus against the (tiny) loser set; at
+    100 TB the loser list is a per-snapshot artifact written once by
+    the clustering job and broadcast into every downstream read —
+    dedup becomes a scan-level filter, not a recompute."""
+    losers = (
+        q_dup_groups(spark, sf_dir)
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    docs = load(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 @query("q_dedup_simhash")  # no oracle: xxhash64 is Spark-specific
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (sketch variant): SimHash near-dup — 64-bit signature per

@@ -1,0 +1,143 @@
+"""Incremental near-dup maintenance (SURVEY §2.K L2 at steady state).
+
+A 100 TB corpus is not re-deduplicated from scratch every ingest; the
+MinHash index (shingle signatures + LSH band postings) is a persisted
+artifact, and each new batch:
+
+1. computes signatures/postings for the NEW docs only,
+2. band-joins new postings against (old ∪ new) postings — candidate
+   work is |new| × collision-rate, independent of corpus age,
+3. jaccard-verifies only those candidates,
+4. publishes the batch's signatures+postings into the index with ONE
+   atomic directory rename (both tables commit together, same
+   staged-rename contract as sources/sinks.append_rows — a crash
+   can never leave postings visible without their signatures).
+
+Pair-emission invariant across calls: every near-dup pair is returned
+by exactly one update — the one that ingested its later member
+(new-new pairs normalized by (least, greatest); new-old pairs join
+new-side-left only). At warehouse scale the postings table is
+bucketed by band_hash so the recurring band-join never re-shuffles
+the accumulated index.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.functions.hashing import (
+    lsh_bands,
+    minhash_signature,
+)
+from roborock_data_pipeline_spark.functions.text import hashed_shingles
+
+SIG_SCHEMA = "doc_id bigint, sh array<bigint>, n int"
+POST_SCHEMA = "doc_id bigint, band_id int, band_hash bigint"
+
+
+def _signatures(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", hashed_shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n", F.size("sh"))
+
+
+def _postings(sigs: DataFrame) -> DataFrame:
+    return sigs.select(
+        "doc_id",
+        F.explode(lsh_bands(minhash_signature(F.col("sh")))).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def _index_batches(index_dir: str) -> list[str]:
+    if not os.path.isdir(index_dir):
+        return []
+    return sorted(
+        os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if d.startswith("batch-")
+    )
+
+
+def update_minhash_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest a batch into the persisted MinHash index and return the
+    verified near-dup pairs (doc_id_1, doc_id_2, jaccard) involving at
+    least one new document. See module docstring for the protocol."""
+    new_sig = _signatures(new_docs).persist()
+    new_post = _postings(new_sig).persist()
+
+    batches = _index_batches(index_dir)
+    if batches:
+        old_post = spark.read.schema(POST_SCHEMA).parquet(
+            *[f"{b}/postings" for b in batches]
+        )
+        old_sig = spark.read.schema(SIG_SCHEMA).parquet(
+            *[f"{b}/signatures" for b in batches]
+        )
+        all_post = old_post.unionByName(new_post)
+        all_sig = old_sig.unionByName(new_sig)
+    else:
+        all_post, all_sig = new_post, new_sig
+
+    a, b = new_post.alias("a"), all_post.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_id_1"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    s1 = all_sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("sh").alias("sh1"),
+        F.col("n").alias("n1"),
+    )
+    s2 = all_sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("sh").alias("sh2"),
+        F.col("n").alias("n2"),
+    )
+    verified = (
+        candidates.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double").alias("inter"),
+            (F.col("n1") + F.col("n2")).alias("sz"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sz") - F.col("inter"))
+    pairs = verified.where(jac >= threshold).select(
+        "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
+    )
+    # materialize pairs BEFORE publishing the batch so a failure here
+    # never leaves the index advanced past an unemitted pair set
+    pairs = pairs.persist()
+    pairs.count()
+
+    batch_id = uuid.uuid4().hex
+    staged = os.path.join(index_dir, ".staging", f"batch-{batch_id}")
+    try:
+        new_sig.write.mode("overwrite").parquet(f"{staged}/signatures")
+        new_post.write.mode("overwrite").parquet(f"{staged}/postings")
+        os.replace(staged, os.path.join(index_dir, f"batch-{batch_id}"))
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return pairs

@@ -75,3 +75,30 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     approx = q_approx_distinct(spark, sf_dir).collect()[0]
     assert abs(approx.n_devices - exact.n_devices) <= max(2, 0.02 * exact.n_devices)
     assert abs(approx.n_states - exact.n_states) <= max(1, 0.02 * exact.n_states)
+
+
+def test_incremental_minhash_matches_full_batch(spark, sf_dir, tmp_path):
+    """Two incremental ingests (even doc_ids, then odd) emit exactly
+    the full-batch q_dedup_minhash pair set, each pair exactly once —
+    the index accumulates, candidates stay new×all."""
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators.dedup import q_dedup_minhash
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        update_minhash_index,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    truth = {
+        (r.doc_id_1, r.doc_id_2, r.jaccard)
+        for r in q_dedup_minhash(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh_index")
+    p1 = update_minhash_index(spark, docs.where(F.col("doc_id") % 2 == 0), idx)
+    p2 = update_minhash_index(spark, docs.where(F.col("doc_id") % 2 == 1), idx)
+    got1 = [(r.doc_id_1, r.doc_id_2, r.jaccard) for r in p1.collect()]
+    got2 = [(r.doc_id_1, r.doc_id_2, r.jaccard) for r in p2.collect()]
+    got = got1 + got2
+    assert len(got) == len(set(got)), "a pair was emitted twice"
+    assert set(got) == truth
