@@ -223,3 +223,28 @@ def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("total_cleanings"),
         F.round(F.sum("value"), 2).alias("total_area_m2"),
     )
+
+
+@query("q_hll_daily_users")  # no oracle: DataSketches HLL is engine-specific
+def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 at scale: per-day distinct users via MERGEABLE HLL sketches
+    (DataSketches `hll_sketch_agg`), plus the month-to-date rollup by
+    sketch UNION — the pattern that makes distinct-count maintainable
+    at 100 TB: each partition/day keeps a kilobyte sketch, rollups
+    union sketches instead of re-scanning raw events, and late
+    partitions just re-union. `approx_count_distinct` (q_approx_distinct)
+    gives one number; sketches compose. Estimate-vs-exact error is
+    pinned in tests/test_functions.py."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    rollup = daily.agg(
+        F.lit("ALL").alias("date"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+    )
+    return per_day.unionByName(rollup)

@@ -222,3 +222,46 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.round(F.sum("value").over(w), 2).alias("running_area"),
     )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS ws,
+               event_type, value
+        FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+ (EXT): sliding event-time window (1 h length, 30 min
+    slide) — each event lands in exactly length/slide = 2 windows.
+
+    Spark's `window(ts, '1 h', '30 min')` explodes each row into its
+    covering windows before the partial aggregation, so the shuffle
+    carries pre-combined (window, type) partials — at 100 TB the
+    overlap factor multiplies map output, not exchange rows. The
+    oracle unnests the same two epoch-aligned window starts."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

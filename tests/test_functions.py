@@ -119,3 +119,23 @@ def test_multimodal_stub_raises_without_fake():
         resize_image(b"abc", 64, 64)
     with pytest.raises(NotImplementedError):
         sample_frames(b"abc")
+
+
+def test_hll_sketch_union_near_exact(spark, sf_dir):
+    """Sketch-union rollup ≈ exact distinct (≤2% error), and the ALL
+    row equals estimating over the union of all days' sketches."""
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators.aggregates import (
+        q_hll_daily_users,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    rows = {r.date: r.est_users for r in q_hll_daily_users(spark, sf_dir).collect()}
+    exact = (
+        load(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .first()["n"]
+    )
+    assert abs(rows["ALL"] - exact) / exact <= 0.02
+    assert len(rows) > 1  # per-day rows present alongside the rollup
