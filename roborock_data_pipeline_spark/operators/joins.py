@@ -230,3 +230,48 @@ def q_asof_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_view_ts")
     )
+
+
+@query(
+    "q_view_purchase_pairs",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id
+    FROM events p
+    JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+)
+def q_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+ (EXT): attribution pairs — (purchase, view-within-1-hour)
+    per user. The batch twin of streaming/aggregations.py::
+    purchase_view_join_stream (stream-stream interval join).
+
+    Equi-join on user_id with the time range riding the join as a
+    predicate — one shuffle per side, no range explosion; output is
+    bounded by genuine matches. At 100 TB both sides pre-filter on
+    event_type at the scan, and AQE handles user skew."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    return (
+        p.join(
+            v,
+            ["user_id"],
+        )
+        .where(
+            (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("purchase_id", "view_id", "user_id")
+    )

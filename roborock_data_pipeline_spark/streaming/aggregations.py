@@ -92,3 +92,44 @@ def dedup_stream(
     return events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def purchase_view_join_stream(events: DataFrame) -> DataFrame:
+    """T-EXT: stream-stream interval join — every purchase matched to
+    the same user's views in the preceding hour.
+
+    Both sides carry watermarks so the join state is bounded: a
+    buffered view can be dropped once event time passes view.ts + 1 h
+    (no purchase can match it anymore), which Spark derives from the
+    time-range condition — state is O(events per hour), not O(stream).
+    Batch twin (same semantics, oracle-checked): operators/joins.py::
+    q_view_purchase_pairs; equality is pinned in tests/test_streaming.py.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            """
+            p_user = v_user AND
+            v_ts <= p_ts AND
+            v_ts > p_ts - INTERVAL 1 HOUR
+            """
+        ),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))

@@ -200,3 +200,34 @@ def test_dedup_stream_drops_cross_batch_redelivery(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) emits
+    exactly the batch q_view_purchase_pairs result."""
+    from roborock_data_pipeline_spark.operators.joins import (
+        q_view_purchase_pairs,
+    )
+    from roborock_data_pipeline_spark.streaming.aggregations import (
+        events_stream,
+        purchase_view_join_stream,
+    )
+
+    q = (
+        purchase_view_join_stream(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("ssjoin_out")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r.purchase_id, r.view_id, r.user_id)
+        for r in spark.sql("SELECT * FROM ssjoin_out").collect()
+    }
+    q.stop()
+    expect = {
+        (r.purchase_id, r.view_id, r.user_id)
+        for r in q_view_purchase_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect and len(expect) > 0
