@@ -53,3 +53,23 @@ def write_date_partitioned(
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — the other columnar warehouse format (Hive-heavy
+    shops); same pushdown/pruning properties as parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    return spark.read.schema(schema).orc(path)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of all parquet files
+    under `path` (`mergeSchema`) so batches written before a column
+    existed read as NULL for it — how a long-lived table adds fields
+    without rewriting history. Footer-merge costs one metadata pass;
+    at 100 TB pin the merged schema in a catalog instead and pass it
+    explicitly."""
+    return spark.read.option("mergeSchema", True).parquet(path)

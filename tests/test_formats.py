@@ -62,3 +62,39 @@ def test_date_partitioned_write_prunes(spark, sf_dir):
         assert one_day.count() == expect
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_orc_round_trip(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    d = tempfile.mkdtemp()
+    try:
+        formats.write_orc(ev, d)
+        back = formats.read_orc(
+            spark, d, "event_id long, user_id long, event_type string, value double"
+        )
+        assert back.count() == ev.count()
+        assert back.schema == ev.schema
+        got = back.agg(F.sum("value")).first()[0]
+        want = ev.agg(F.sum("value")).first()[0]
+        assert abs(got - want) < 1e-6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_schema_evolution_merge(spark):
+    """A batch written before a column existed reads as NULL for it
+    under the merged schema; new-batch rows keep their values."""
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+            "append"
+        ).parquet(d)
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, name string, score double"
+        ).write.mode("append").parquet(d)
+        back = formats.read_evolved(spark, d)
+        rows = {r.id: (r.name, r.score) for r in back.collect()}
+        assert set(back.schema.fieldNames()) == {"id", "name", "score"}
+        assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
