@@ -90,3 +90,40 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem_orphan_orderkey").alias("check_name"), "value")
     )
     return reduce(DataFrame.unionByName, [o_checks, li_checks, dup_pk, orphans])
+
+
+@query(
+    "q_outliers",
+    oracle="""
+    SELECT event_id, event_type, value, ROUND(z, 4) AS zscore
+    FROM (
+        SELECT event_id, event_type, value,
+               (value - AVG(value) OVER (PARTITION BY event_type))
+                   / STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS z
+        FROM events
+    )
+    WHERE ABS(z) > 3
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier gate: events more than 3σ from their
+    type's mean — the numeric-sanity sibling of q_dq_audit (a sensor
+    stuck at 10× its range shows up here, not in the null checks).
+
+    NOT a whole-partition window (PARTITION BY event_type would drag
+    every row of a type through one task): the per-type stats are a
+    partial-aggregated groupBy to a handful of rows, broadcast back
+    onto the scan — two map-only passes, no wide shuffle, same
+    semantics as the oracle's window form."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("s")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id", "event_type", "value", F.round(z, 4).alias("zscore")
+        )
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from roborock_data_pipeline_spark import schemas
-from roborock_data_pipeline_spark.sources import sinks
+from roborock_data_pipeline_spark.sources import sinks, tables
 from roborock_data_pipeline_spark.session import get_spark, prepare
 
 
@@ -172,6 +172,68 @@ def mode_daily_summary(spark: SparkSession, warehouse: str) -> None:
     sinks.overwrite_rows(daily, warehouse, "daily_summary")
 
 
+def mode_curate(spark: SparkSession, corpus: str, out_dir: str) -> dict[str, int]:
+    """EXT: the end-to-end training-data curation funnel over the
+    documents table — the composition every operator in
+    operators/quality.py + operators/dedup.py exists for:
+
+    1. near-dup clustering → drop non-canonical group members,
+    2. quality gate (Gopher-style repetition threshold),
+    3. stratified language rebalance (deterministic content-hash),
+    4. token-budget batch packing,
+    5. atomic publish of the curated corpus (staged rename — a
+       half-written curated set is never visible).
+
+    Returns the funnel counts per stage (the run report a scheduler
+    logs). Each stage is a doc_id semi/anti-join against a
+    (relatively tiny) decision set, so the corpus itself streams
+    through scan-shaped filters — no stage re-shuffles the text."""
+    from roborock_data_pipeline_spark.operators.dedup import q_dup_groups
+    from roborock_data_pipeline_spark.operators.quality import (
+        q_repetition_ratio,
+        q_stratified_sample,
+    )
+
+    docs = tables.load(spark, corpus, "documents")
+    funnel = {"input": docs.count()}
+
+    losers = (
+        q_dup_groups(spark, corpus)
+        .where(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    deduped = docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    funnel["after_dedup"] = deduped.count()
+
+    rep_ok = (
+        q_repetition_ratio(spark, corpus)
+        .where(F.col("dup_bigram_frac") <= 0.2)
+        .select("doc_id")
+    )
+    clean = deduped.join(rep_ok, "doc_id", "left_semi")
+    funnel["after_quality"] = clean.count()
+
+    sampled_ids = q_stratified_sample(spark, corpus).select("doc_id")
+    sampled = clean.join(sampled_ids, "doc_id", "left_semi")
+    funnel["after_rebalance"] = sampled.count()
+
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sampled.withColumn("n_tokens", n_tokens).withColumn(
+        "batch_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2000.0
+        ).cast("long"),
+    )
+    sinks.overwrite_rows(packed, out_dir, "curated_corpus")
+    funnel["published"] = funnel["after_rebalance"]
+    return funnel
+
+
 def run_scheduled(
     tick: Callable[[], None],
     interval_s: float,
@@ -223,6 +285,8 @@ def run_mode(spark: SparkSession, args: argparse.Namespace) -> None:
         mode_history(spark, args.cloud, args.limit).show(truncate=False)
     elif args.mode == "daily_summary":
         mode_daily_summary(spark, args.warehouse)
+    elif args.mode == "curate":
+        print(mode_curate(spark, args.cloud, args.warehouse))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -232,7 +296,7 @@ def main(argv: list[str] | None = None) -> None:
         required=True,
         choices=[
             "setup", "log", "smart", "record_sync",
-            "monitor", "history", "daily_summary",
+            "monitor", "history", "daily_summary", "curate",
         ],
     )
     p.add_argument("--cloud", help="telemetry parquet dir (device stand-in)")

@@ -140,3 +140,32 @@ def test_console_fallback_on_bad_sink(spark, cloud_and_warehouse, capsys):
     assert ok is False
     out = capsys.readouterr().out
     assert "sink fallback" in out
+
+
+def test_mode_curate_funnel(spark, sf_dir, tmp_path):
+    """End-to-end curation: funnel counts are monotone, the published
+    corpus is atomic-complete, no dup-group loser survives, and every
+    doc got a batch assignment."""
+    from roborock_data_pipeline_spark import pipeline
+    from roborock_data_pipeline_spark.operators.dedup import q_dup_groups
+
+    out = str(tmp_path)
+    funnel = pipeline.mode_curate(spark, sf_dir, out)
+    assert (
+        funnel["input"]
+        >= funnel["after_dedup"]
+        >= funnel["after_quality"]
+        >= funnel["after_rebalance"]
+        > 0
+    )
+    cur = spark.read.parquet(out + "/curated_corpus")
+    assert cur.count() == funnel["after_rebalance"]
+    losers = {
+        r.doc_id
+        for r in q_dup_groups(spark, sf_dir)
+        .where("doc_id != group_id")
+        .collect()
+    }
+    kept = {r.doc_id for r in cur.select("doc_id").collect()}
+    assert not (losers & kept)
+    assert cur.where("batch_id < 0 OR batch_id IS NULL").count() == 0
