@@ -54,6 +54,9 @@ HEADLINE = [
     "q_tpch_q3_shape",
     "q_tpch_q5_shape",
     "q_dq_audit",
+    "q_view_purchase_pairs",
+    "q_sliding_window",
+    "q_hll_daily_users",
 ]
 
 
