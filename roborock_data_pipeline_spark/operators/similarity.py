@@ -362,3 +362,58 @@ def q_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
         F.round(comp_sum, 4).alias("comp_sum"),
     )
+
+
+def brute_topk_pandas(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Arrow-batched numpy top-k — the sanctioned Python path for
+    numeric-heavy rerank stages (same policy slot as the multimodal
+    decode: vectorized inside the batch, never per-row).
+
+    Each Arrow batch becomes ONE BLAS matmul (batch_rows × dims @
+    dims), the practical throughput ceiling for Python-side math;
+    every batch then prunes itself to its local top-k by
+    (cosine desc, vec_id asc) — a dropped row is strictly worse than
+    k kept rows, so the prune is lossless — and only those k-row
+    heads reach the global TakeOrdered(k). Shipping k rows per batch
+    instead of the batch itself is what keeps the exchange tiny at
+    100 TB. Rounding happens JVM-side after the UDF (numpy rounds
+    half-even, SQL rounds half-away — mixing them breaks parity).
+
+    Equality with the codegen-HOF q_similarity_search is pinned in
+    tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cos = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cosine": cos,
+                }
+            )
+            yield out.sort_values(
+                ["cosine", "vec_id"], ascending=[False, True]
+            ).head(k)
+
+    src = emb
+    if exclude_vec_id is not None:
+        src = src.where(F.col("vec_id") != exclude_vec_id)
+    return (
+        src.select("vec_id", "label", "embedding")
+        .mapInPandas(score, "vec_id long, label int, cosine double")
+        .select("vec_id", "label", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

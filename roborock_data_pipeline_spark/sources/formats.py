@@ -73,3 +73,20 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     at 100 TB pin the merged schema in a catalog instead and pass it
     explicitly."""
     return spark.read.option("mergeSchema", True).parquet(path)
+
+
+def read_json_audited(spark: SparkSession, path: str, ddl_schema: str) -> DataFrame:
+    """PERMISSIVE JSON ingest with corrupt-record capture: malformed
+    lines land whole in `_corrupt_record` instead of aborting the job
+    (FAILFAST) or silently vanishing (DROPMALFORMED). The caller
+    splits on `_corrupt_record IS NULL` and quarantines the rest —
+    at 100 TB a bad producer must not kill the ingest, and dropped
+    rows must stay auditable. Spark refuses a query that selects ONLY
+    the corrupt column from a raw file scan — cache() (or write out)
+    the parsed frame before filtering on it alone."""
+    return (
+        spark.read.schema(ddl_schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )

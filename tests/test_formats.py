@@ -98,3 +98,44 @@ def test_schema_evolution_merge(spark):
         assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_corrupt_json_quarantine(spark):
+    """2 good lines parse, 1 malformed line is captured whole in
+    _corrupt_record — nothing aborts, nothing vanishes."""
+    import os
+
+    d = tempfile.mkdtemp()
+    try:
+        with open(os.path.join(d, "batch.json"), "w") as f:
+            f.write('{"id": 1, "v": 2.5}\n')
+            f.write('{"id": 2, "v": BROKEN}\n')
+            f.write('{"id": 3, "v": 7.5}\n')
+        df = formats.read_json_audited(spark, d, "id long, v double").cache()
+        good = df.where("_corrupt_record IS NULL")
+        bad = df.where("_corrupt_record IS NOT NULL")
+        assert {r.id for r in good.collect()} == {1, 3}
+        assert bad.count() == 1
+        assert "BROKEN" in bad.first()["_corrupt_record"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_register_views_sql_interface(spark, sf_dir):
+    """After register_views, raw Spark SQL runs against the same
+    table names the oracles use."""
+    from roborock_data_pipeline_spark.sources import tables
+
+    tables.register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name"
+    ).count()
+    assert got == 5
+    joined = spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+    assert joined.count() == 25

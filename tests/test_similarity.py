@@ -109,3 +109,28 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
         for r in ivf_topk(emb, QUERY_VEC_ID, nprobe=2).collect()
     ]
     assert [(r.vec_id, r.cosine) for r in got.collect()] == expect
+
+
+def test_pandas_brute_topk_equals_codegen(spark, sf_dir):
+    """The Arrow-batched numpy rerank returns exactly the codegen HOF
+    brute-force top-k (same scores, same order)."""
+    from roborock_data_pipeline_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        brute_topk_pandas,
+        q_similarity_search,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == QUERY_VEC_ID).first()["embedding"]
+    got = [
+        (r.vec_id, r.label, r.cosine)
+        for r in brute_topk_pandas(
+            emb, qvec, exclude_vec_id=QUERY_VEC_ID
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.label, r.cosine)
+        for r in q_similarity_search(spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -231,3 +231,60 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         for r in q_view_purchase_pairs(spark, sf_dir).collect()
     }
     assert got == expect and len(expect) > 0
+
+
+def test_sessionizer_survives_restart(spark):
+    """Checkpoint durability: stop the query mid-session, start a NEW
+    query object on the same checkpoint, deliver the end edge — still
+    exactly one session with state from before the restart."""
+    from roborock_data_pipeline_spark.streaming.sessionize import (
+        detect_sessions_stream,
+    )
+
+    schema = "device_name string, ts timestamp, state string, battery int"
+    src_dir = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+
+    out_dir = tempfile.mkdtemp() + "/out"
+
+    def start_query():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and restart recovery is exactly what's under test
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        return (
+            detect_sessions_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    try:
+        spark.createDataFrame(
+            [
+                ("bot1", _ts(1, 8), "charging", 100),
+                ("bot1", _ts(1, 9), "cleaning", 98),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q1 = start_query()
+        q1.processAllAvailable()
+        q1.stop()  # ← restart boundary: session still open in state
+
+        spark.createDataFrame(
+            [("bot1", _ts(1, 11), "charging", 55)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q2 = start_query()
+        q2.processAllAvailable()
+        got = spark.read.parquet(out_dir).collect()
+        q2.stop()
+
+        assert len(got) == 1
+        s = got[0]
+        assert s.session_start == _ts(1, 9) and s.session_end == _ts(1, 11)
+        assert s.battery_start == 98 and s.battery_end == 55
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(out_dir.rsplit("/", 1)[0], ignore_errors=True)
