@@ -132,9 +132,13 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
         hashed_shingles(F.col("text"), 3).alias("sh"),
     ).withColumn("n", F.size("sh"))
+    # persist: the self-join below would otherwise re-scan and
+    # re-shingle the corpus for each side (Catalyst does not reuse
+    # the exchange across the aliased sides) — shingle hashing is the
+    # dominant map cost, so computing it once halves the query
     posting = t.select(
         "doc_id", "len_bucket", "n", F.explode("sh").alias("s")
-    )
+    ).persist()
     a, b = posting.alias("a"), posting.alias("b")
     pairs = a.join(
         b,

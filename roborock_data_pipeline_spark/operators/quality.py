@@ -130,11 +130,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = spread(load(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
+    # persist: both join sides (test postings, train distinct) read
+    # this relation — without it the corpus is scanned and re-shingled
+    # twice (no exchange reuse across the filtered branches)
     sh = d.where(F.size(toks) >= 5).select(
         "doc_id",
         (F.col("doc_id") % 10 == 0).alias("is_test"),
         F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
-    )
+    ).persist()
     test = sh.where("is_test").select("doc_id", "s")
     train = sh.where(~F.col("is_test")).select("s").distinct()
     return (
