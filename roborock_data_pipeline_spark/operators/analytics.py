@@ -45,10 +45,12 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     BUILDING-segment orders, top-10.
 
     Plan shape that matters at 100 TB: the segment filter prunes
-    customer ~5× *before* it broadcasts; both date filters push to
-    the parquet scans (PushedFilters); the grouped top-10 plans as
-    partial-agg → exchange → TakeOrderedAndProject, never a global
-    sort of all groups."""
+    customer ~5× before its join (customer scales with SF, so the
+    broadcast-vs-SMJ call is left to Catalyst/AQE — locally it
+    auto-broadcasts); both date filters push to the parquet scans
+    (PushedFilters); the grouped top-10 plans as partial-agg →
+    exchange → TakeOrderedAndProject, never a global sort of all
+    groups."""
     c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit(CUTOFF).cast("timestamp")
@@ -58,7 +60,7 @@ def q_tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -100,8 +102,9 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cycle edge (c_nationkey = s_nationkey) rides the supplier
     join as an extra predicate instead of forcing a second shuffle of
-    the fact; supplier/nation/region broadcast, so the only big
-    exchanges are lineitem⋈orders and the final 5-row aggregate."""
+    the fact. nation/region (fixed 25/5 rows) broadcast explicitly;
+    customer/supplier scale with SF, so their join strategy is left
+    to Catalyst/AQE — auto-broadcast locally, SMJ at warehouse scale."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -113,9 +116,9 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (F.col("c_nationkey") == s.s_nationkey),
         )

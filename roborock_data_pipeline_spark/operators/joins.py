@@ -37,15 +37,18 @@ from roborock_data_pipeline_spark.sources.tables import load
     """,
 )
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 (EXT): star-schema join with explicitly broadcast dims —
-    the fact scan streams through three broadcast hash joins with no
-    shuffle until the final aggregation."""
+    """J2 (EXT): star-schema join. nation/region are FIXED-size dims
+    (25/5 rows at any TPC-H SF) — explicitly broadcast; customer
+    SCALES with SF, so its join is left to Catalyst/AQE: under the
+    threshold it auto-broadcasts (locally identical plan, pinned in
+    tests/test_plans.py), above it AQE picks SMJ — an explicit
+    broadcast hint there would OOM the build side at 100 TB."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
