@@ -288,3 +288,47 @@ def test_sessionizer_survives_restart(spark):
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(out_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def test_anomaly_detector_ewma_state(spark):
+    """T2 (numeric twin): a spike after warm-up alerts; steady-state
+    readings never do; state carries across micro-batches (the spike
+    arrives in batch 2)."""
+    from roborock_data_pipeline_spark.streaming.anomaly import (
+        detect_anomalies_stream,
+    )
+
+    schema = "device_name string, ts timestamp, value double"
+    src_dir = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    try:
+        steady = [
+            ("bot1", _ts(1, 8, m), 50.0 + (m % 3 - 1) * 0.5) for m in range(10)
+        ]
+        spark.createDataFrame(steady, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            detect_anomalies_stream(stream)
+            .writeStream.format("memory")
+            .queryName("alerts_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM alerts_out").count() == 0  # warm-up ok
+
+        spark.createDataFrame(
+            [("bot1", _ts(1, 9), 500.0), ("bot1", _ts(1, 9, 1), 50.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        alerts = spark.sql("SELECT * FROM alerts_out").collect()
+        q.stop()
+        assert len(alerts) >= 1
+        spike = [a for a in alerts if a.value == 500.0]
+        assert len(spike) == 1 and abs(spike[0].zscore) > 3
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
