@@ -185,3 +185,66 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("profile_lang")).alias("correct"),
         )
     )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), idf AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+    ), n AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln((n.n + 1.0) / (idf.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN idf USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+: per-document top-3 terms by TF-IDF (smoothed IDF) — the
+    classic salient-term extraction before indexing or keyword
+    filtering.
+
+    One exploded token table (persisted — both the TF and DF
+    aggregates read it) feeds two partial-aggregated groupBys; the
+    IDF table is term-keyed and joins back onto TF postings —
+    inverted-index shape, linear in Σ tokens. At 100 TB the IDF
+    table for a bounded vocabulary broadcasts, making the score join
+    map-only; the per-doc top-3 is a bounded window inside each
+    doc's partition, never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).persist()
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(idf, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
