@@ -127,3 +127,45 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value", F.round(z, 4).alias("zscore")
         )
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS lo,
+               quantile_cont(value, 0.99) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 4) AS winsorized,
+           e.value <> LEAST(GREATEST(e.value, b.lo), b.hi) AS clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each reading into its type's [p1, p99]
+    band — the repair twin of q_outliers (that one flags, this one
+    fixes, both per-type).
+
+    Same broadcast-stats shape: the per-type bounds are one
+    partial-aggregated groupBy to a handful of rows, broadcast back
+    onto the scan; the clip is codegen least/greatest. At 100 TB the
+    exact percentile becomes approx_percentile (mergeable sketch) —
+    the q_percentiles/q_approx_percentiles ladder applies verbatim."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("lo"),
+        F.expr("percentile(value, 0.99)").alias("hi"),
+    )
+    clip = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(clip, 4).alias("winsorized"),
+            (F.col("value") != clip).alias("clipped"),
+        )
+    )
