@@ -57,6 +57,9 @@ HEADLINE = [
     "q_view_purchase_pairs",
     "q_sliding_window",
     "q_hll_daily_users",
+    "q_tfidf_top_terms",
+    "q_winsorize",
+    "q_dedup_apply",
 ]
 
 
