@@ -60,6 +60,16 @@ HEADLINE = [
     "q_tfidf_top_terms",
     "q_winsorize",
     "q_dedup_apply",
+    # round-2 batch 2: curation gates, sketch heavy hitters, SCD2,
+    # skew-salted agg, k-means clustering
+    "q_boilerplate_segments",
+    "q_gopher_rules",
+    "q_temperature_sample",
+    "q_heavy_hitters",
+    "q_scd2_intervals",
+    "q_skew_agg",
+    "q_unpivot_metrics",
+    "q_kmeans_clusters",
 ]
 
 

@@ -14,11 +14,11 @@ two-table q_star_join/q_fact_join:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from roborock_data_pipeline_spark.registry import query
-from roborock_data_pipeline_spark.sources.tables import load
+from roborock_data_pipeline_spark.sources.tables import load, spread
 
 CUTOFF = "1998-03-15"
 
@@ -130,4 +130,165 @@ def q_tpch_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                         IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+    ),
+    g AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seg
+        FROM s
+    ),
+    segs AS (
+        SELECT user_id, seg, MIN(event_type) AS state,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM g GROUP BY user_id, seg
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) IS NULL AS is_current
+    FROM segs
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream into state-validity intervals (valid_from inclusive,
+    valid_to = next interval's start, NULL while current) — the
+    snapshot-to-history derivation every warehouse runs on device
+    state feeds (reference monitor state, pipeline.py:143-156, kept
+    only the latest state; SCD2 keeps the full history).
+
+    One shuffle on user_id serves all three window passes (lag edge
+    flag, running segment id, lead close-off) plus the segment
+    groupBy — Catalyst reuses the (user_id)-hash exchange because
+    every window/group key is a superset prefix. At 100 TB this
+    partitions cleanly by user; no global ordering anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("event_type")), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    segs = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type", chg.alias("chg")
+        )
+        .withColumn("seg", F.sum("chg").over(run))
+        .groupBy("user_id", "seg")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min("ts").alias("valid_from"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    close_w = Window.partitionBy("user_id").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(close_w)
+    return segs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a skew-prone low-cardinality
+    key (5 event types): phase 1 groups by (event_type, salt-of-16)
+    so every one of the 32 cores holds a slice of even the hottest
+    key; phase 2 re-aggregates the <= 5 x 16 partials. Semantics are
+    identical to a plain GROUP BY (the oracle), but at 100 TB a
+    single 'view' key holding 40% of a trillion rows lands on ONE
+    reducer in the naive plan — the salt caps any reducer at 1/16 of
+    the hottest key. avg is derived at the final stage (sum/count),
+    never averaged-of-averages.
+    """
+    ev = spread(load(spark, sf_dir, "events"))
+    salted = (
+        ev.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt"),
+        )
+        .agg(F.count("*").alias("c"), F.sum("value").alias("s"))
+    )
+    return (
+        salted.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.round(F.sum("s"), 4).alias("total_value"),
+            F.round(F.sum("s") / F.sum("c"), 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "q_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'n_view' AS metric, n_view AS cnt FROM wide
+    UNION ALL
+    SELECT user_id, 'n_click' AS metric, n_click AS cnt FROM wide
+    UNION ALL
+    SELECT user_id, 'n_purchase' AS metric, n_purchase AS cnt FROM wide
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (the inverse of q_pivot_counts): build
+    per-user conditional-count metric columns, then unpivot them to
+    (user_id, metric, cnt) rows with the native melt operator.
+
+    The wide aggregate is one partial-agg pass (3 codegen CASE
+    counters, no per-metric scans); unpivot/melt is a map-only
+    Expand node — 3x row fan-out with zero shuffle, so the whole
+    reshape costs exactly one exchange on user_id at any scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ).cast("long")
+    wide = ev.groupBy("user_id").agg(
+        cnt("view").alias("n_view"),
+        cnt("click").alias("n_click"),
+        cnt("purchase").alias("n_purchase"),
+    )
+    return wide.unpivot(
+        ["user_id"], ["n_view", "n_click", "n_purchase"], "metric", "cnt"
     )

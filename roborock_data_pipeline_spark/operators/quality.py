@@ -354,6 +354,272 @@ def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_boilerplate_segments",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 5
+    ),
+    e AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, CAST(FLOOR(len(toks) / 5) AS INTEGER) - 1),
+                   i -> array_to_string(toks[i * 5 + 1 : i * 5 + 5], ' ')
+               )) AS seg
+        FROM t
+    ),
+    f AS (
+        SELECT seg FROM e GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(f.seg) AS n_boilerplate,
+           ROUND(COUNT(f.seg) / COUNT(*), 6) AS boilerplate_frac
+    FROM e LEFT JOIN f ON e.seg = f.seg
+    GROUP BY e.doc_id
+    """,
+)
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate detection: chunk each
+    document into non-overlapping 5-token segments, mark segments
+    that recur in >= 3 distinct documents (nav bars, footers, license
+    headers at web scale), and score each document by its boilerplate
+    fraction — the pre-filter before paragraph-level dedup.
+
+    Inverted-index shape again: explode to (segment, doc) postings
+    (persisted — both the frequency count and the join-back read it),
+    count document frequency per segment with a map-side partial agg,
+    and left-join the tiny frequent-segment set back onto the
+    postings. At 100 TB the segment key becomes xxhash64(segment)
+    (8-byte shuffle rows) and the frequent-segment table — bounded by
+    the frequency threshold — broadcasts; strings are kept here so
+    the DuckDB oracle can verify exact semantics.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    nseg = F.floor(F.size(toks) / F.lit(5)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+    )
+    e = (
+        d.where(F.size(toks) >= 5)
+        .select("doc_id", F.explode(segs).alias("seg"))
+        .persist()
+    )
+    frequent = (
+        e.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 3)
+        .select("seg", F.lit(1).alias("hit"))
+    )
+    return (
+        e.join(frequent, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count("hit").alias("n_boilerplate"),
+            F.round(F.count("hit") / F.count("*"), 6).alias("boilerplate_frac"),
+        )
+    )
+
+
+# Stopword probe list for the Gopher-style gate (kept tiny: the
+# corpus is synthetic word soup; real deployments swap in the usual
+# ~50-word list).
+_STOPWORDS = ["the", "and", "of", "a", "in", "to", "is"]
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                      AS DOUBLE) / len(toks), 4) AS mean_token_len,
+           ROUND(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+                     / CAST(len(toks) AS DOUBLE), 4) AS alpha_frac,
+           len(list_intersect(toks, {_STOPWORDS!r})) > 0 AS has_stopword,
+           (len(toks) BETWEEN 10 AND 100000
+            AND ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                           AS DOUBLE) / len(toks), 4) BETWEEN 2 AND 12
+            AND ROUND(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$')))
+                          / CAST(len(toks) AS DOUBLE), 4) >= 0.7
+            AND len(list_intersect(toks, {_STOPWORDS!r})) > 0) AS pass_gate
+    FROM t
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1):
+    token-count bounds, mean-token-length window, alphabetic-token
+    fraction, and stopword presence, combined into one pass/fail
+    flag. The boolean gate is computed on the ROUNDED signals in both
+    engines so float boundary noise can never flip it.
+
+    Pure per-row array math (split → HOF filter/aggregate), no
+    explode, no shuffle: at 100 TB this is a map-only codegen pass
+    and the gate predicate fuses into the consuming filter stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.round(len_sum.cast("double") / n, 4)
+    alpha = F.round(
+        F.size(F.filter(toks, lambda x: x.rlike("^[a-z]+$"))) / n.cast("double"),
+        4,
+    )
+    has_stop = F.arrays_overlap(
+        toks, F.array(*[F.lit(s) for s in _STOPWORDS])
+    )
+    gate = (
+        n.between(10, 100000)
+        & mean_len.between(2, 12)
+        & (alpha >= 0.7)
+        & has_stop
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        alpha.alias("alpha_frac"),
+        has_stop.alias("has_stopword"),
+        gate.alias("pass_gate"),
+    )
+
+
+@query(
+    "q_temperature_sample",
+    oracle="""
+    WITH lc AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    tot AS (
+        SELECT CAST(SUM(n_lang) AS DOUBLE) AS n_total,
+               SUM(sqrt(n_lang)) AS w_total
+        FROM lc
+    ),
+    r AS (
+        SELECT lang,
+               LEAST(CAST(4 AS BIGINT), GREATEST(CAST(1 AS BIGINT),
+                   CAST(CEIL(n_total * sqrt(n_lang) / w_total / n_lang)
+                        AS BIGINT))) AS rep
+        FROM lc CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.lang, r.rep,
+           unnest(generate_series(CAST(1 AS BIGINT), r.rep)) AS copy_id
+    FROM documents d JOIN r ON d.lang = r.lang
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual
+    mixing step of mT5/XLM-R pipelines, alpha = 0.5): each language's
+    target share is proportional to sqrt(its natural share), realised
+    as an integer per-document repeat factor (capped at 4x), and
+    documents are replicated rep times with a copy_id.
+
+    Two tiny aggregates (per-language counts, then one global total)
+    broadcast back onto the corpus — the fact table never shuffles;
+    replication is a codegen explode(sequence(1, rep)). CEIL (not
+    ROUND) keeps the factor engine-portable: Spark HALF_UP vs Python
+    banker's rounding can never disagree on a ceiling.
+    """
+    d = load(spark, sf_dir, "documents")
+    lc = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    tot = lc.agg(
+        F.sum("n_lang").cast("double").alias("n_total"),
+        F.sum(F.sqrt("n_lang")).alias("w_total"),
+    )
+    rep = (
+        lc.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.least(
+                F.lit(4).cast("long"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(
+                        F.col("n_total") * F.sqrt("n_lang")
+                        / F.col("w_total") / F.col("n_lang")
+                    ),
+                ),
+            ).alias("rep"),
+        )
+    )
+    return (
+        d.join(F.broadcast(rep), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "rep",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("rep"))).alias(
+                "copy_id"
+            ),
+        )
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    ORDER BY cnt DESC, t
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens via SpaceSaving-style candidate
+    pruning + exact recount — the vocabulary/heavy-hitter pass of
+    tokenizer training.
+
+    A naive groupBy(token) shuffles one row per distinct token per
+    scan partition; at web scale (billions of distinct tokens/URLs)
+    that shuffle dwarfs the answer. Instead: (1) an Arrow-batched
+    per-partition SpaceSaving sketch (mapInPandas, vectorized
+    value_counts) emits only each partition's top-M candidates —
+    shuffle bounded at P x M rows regardless of vocabulary size; (2)
+    the candidate set (<= P x M, deduped) broadcasts back for an
+    exact recount, so reported counts are exact. A token is missed
+    only if it is outside the top-M of EVERY partition, which bounds
+    its global count below P x (M-th local count) — with M >> k the
+    standard SpaceSaving union guarantee; at test SF the vocabulary
+    is far smaller than M, so the result is exactly the oracle's.
+    The sketch phase is the sanctioned Arrow-batch pattern (same as
+    multimodal decode), not a row-at-a-time Python UDF.
+    """
+    d = spread(load(spark, sf_dir, "documents"))
+
+    def topm(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["text"].str.split(" ").explode().value_counts()
+            for tok, c in vc.items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+        yield pd.DataFrame(top, columns=["token", "est"])
+
+    cand = (
+        d.select("text")
+        .mapInPandas(topm, "token string, est long")
+        .select("token")
+        .distinct()
+    )
+    exact = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return exact.orderBy(F.col("cnt").desc(), "token").limit(20)
+
+
+@query(
     "q_batch_pack",
     oracle="""
     WITH t AS (

@@ -48,6 +48,7 @@ _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.multimodal",
     "roborock_data_pipeline_spark.operators.sql_suite",
     "roborock_data_pipeline_spark.operators.quality",
+    "roborock_data_pipeline_spark.operators.clustering",
     "roborock_data_pipeline_spark.operators.analytics",
     "roborock_data_pipeline_spark.operators.dq",
 ]

@@ -29,5 +29,5 @@ def test_queries_and_oracles_align(spark):
     assert rows_only == {
         "q_approx_distinct", "q_approx_percentiles", "q_dedup_minhash",
         "q_dedup_simhash", "q_similarity_lsh", "q_similarity_ivf",
-        "q_hll_daily_users",
+        "q_hll_daily_users", "q_kmeans_clusters",
     }
