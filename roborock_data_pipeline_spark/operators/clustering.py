@@ -8,10 +8,16 @@ trains IVF centroids for `operators/similarity.ivf_topk`.
 
 Lloyd's algorithm in its canonical distributed form (same geometry
 as Spark MLlib's KMeans): centroids are a k x d driver-side array
-(2 KB here) broadcast into a codegen assignment expression each
-iteration; the update is a (cluster, dim)-keyed partial aggregate.
-No per-row Python anywhere — assignment and update are both
-JVM-side.
+(2 KB here) shipped into a map-only assignment pass each iteration;
+the update is a (cluster, dim)-keyed partial aggregate. The
+assignment kernel is an Arrow-batched numpy matmul — the same
+delegate-to-BLAS choice MLlib makes (it hands the distance matrix to
+netlib); a pure-codegen HOF formulation (transform/zip_with/
+aggregate) was tried first and ran ~50x slower because Catalyst
+evaluates HOF lambdas interpreted, per element. This is the
+sanctioned vectorized-numeric-kernel exception to the zero-Python-UDF
+policy (see tests/test_plans.py), alongside multimodal decode and the
+SpaceSaving sketch.
 
 The iteration is inherently non-SQL-expressible (fixed-point loop),
 so the registered query carries no DuckDB oracle — the driver runs
@@ -22,11 +28,15 @@ runs.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from roborock_data_pipeline_spark.registry import query
-from roborock_data_pipeline_spark.sources.tables import load, spread
+from roborock_data_pipeline_spark.sources.tables import load
 
 
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
@@ -34,42 +44,42 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
     """Add `cluster` (argmin squared-L2 centroid index, first-min
     tie-break) and `dist` (that squared distance) columns.
 
-    Pure codegen: per centroid one zip_with/aggregate expression over
-    the vector column; k x d literals fold into the generated code.
-    Map-only — rides the input partitioning at any scale.
+    Map-only — rides the input partitioning at any scale. The kernel
+    is one Arrow batch -> numpy matmul per task:
+    ``d2 = |x|^2 - 2 X @ C.T + |c|^2`` — O(n*k*d) flops at memory
+    bandwidth instead of interpreted per-element expression eval. The
+    k x d centroid array ships in the task closure (2 KB at k=8,
+    d=64), never a join.
     """
-    # Centroids enter as a broadcast one-row relation, and distances
-    # are ONE transform over that nested-array column — not k
-    # unrolled aggregate expressions and not k x d literals in the
-    # plan tree. Both alternatives made every Lloyd iteration pay
-    # ~1 s of Catalyst analysis/codegen at k=8, d=64; this form keeps
-    # the plan size constant in k and d (the BroadcastNestedLoopJoin
-    # build side is a single k x d row, ~2 KB).
-    spark = df.sparkSession
-    cent_df = spark.createDataFrame(
-        [([list(map(float, c)) for c in centroids],)],
-        "cents: array<array<double>>",
+    import numpy as np
+
+    C = np.asarray([[float(v) for v in c] for c in centroids],
+                   dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    # fresh StructType — StructType.add mutates in place, and
+    # df.schema hands back pyspark's cached object for the frame
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("cluster", T.IntegerType()),
+           T.StructField("dist", T.DoubleType())]
     )
-    darr = F.transform(
-        F.col("cents"),
-        lambda c: F.aggregate(
-            F.zip_with(F.col(vec_col), c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    df = df.crossJoin(F.broadcast(cent_df))
-    # bind the distance array once; dist/cluster read the bound column
-    # (array_min + array_position) instead of re-evaluating the HOF
-    return (
-        df.withColumn("_dists", darr)
-        .withColumn("dist", F.array_min("_dists"))
-        .withColumn(
-            "cluster",
-            (F.array_position("_dists", F.col("dist")) - 1).cast("int"),
-        )
-        .drop("_dists")
-    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf["cluster"] = np.array([], dtype="int32")
+                pdf["dist"] = np.array([], dtype="float64")
+                yield pdf
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            pdf["cluster"] = d2.argmin(axis=1).astype("int32")
+            # the expansion form can go epsilon-negative on exact hits
+            pdf["dist"] = np.maximum(d2.min(axis=1), 0.0)
+            yield pdf
+
+    return df.mapInPandas(_assign, schema=out_schema)
 
 
 def kmeans_fit(df: DataFrame, k: int, iters: int,
@@ -111,13 +121,21 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-profile report that drives SemDeDup-style per-cluster
     dedup budgets and IVF index training.
 
-    At 100 TB: assignment is a map-only codegen pass per iteration
-    (centroids are k x d literals, ~kB broadcast in the plan), the
+    At 100 TB: assignment is a map-only Arrow/BLAS pass per iteration
+    (centroids ride the task closure, ~kB), the
     update shuffle carries at most k x d x P partial rows, and the
     output is k rows. Iteration count is fixed (5), so total cost is
     5 scans — the standard trade against MLlib's convergence loop.
     """
-    e = spread(load(spark, sf_dir, "embeddings"))
+    # Persist the working set once: Lloyd's makes iters+1 full passes
+    # (5 assignments + the final one), and without this each pass
+    # re-reads and re-decodes the parquet. At 100 TB the same lever is
+    # MEMORY_AND_DISK on the (id, vector) projection — the vectors are
+    # the only columns the loop touches. No repartition: the BLAS
+    # kernel needs ~µs per thousand rows, so parallelism should come
+    # from the input splits (thousands at real scale); fanning a tiny
+    # corpus wide just pays per-task Arrow/worker overhead 32x.
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     assigned, _ = kmeans_fit(e, k=8, iters=5)
     return (
         assigned.groupBy("cluster")

@@ -73,9 +73,12 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
 
     for name, spec in all_queries().items():
         # q_heavy_hitters' candidate phase is a per-partition
-        # SpaceSaving sketch — the sanctioned Arrow-batch pattern
-        # (its exact-recount phase stays JVM-side).
-        if name in ("q_multimodal_features", "q_heavy_hitters"):
+        # SpaceSaving sketch and q_kmeans_clusters' assignment is a
+        # BLAS matmul — both the sanctioned Arrow-batch
+        # vectorized-kernel pattern (heavy_hitters' exact-recount
+        # phase stays JVM-side).
+        if name in ("q_multimodal_features", "q_heavy_hitters",
+                    "q_kmeans_clusters"):
             continue
         plan = plan_string(spec.fn(spark, sf_dir))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
