@@ -70,6 +70,16 @@ HEADLINE = [
     "q_skew_agg",
     "q_unpivot_metrics",
     "q_kmeans_clusters",
+    # round-2 batch 3: CDC merge, fuzzy linkage, layout, sampling
+    "q_cdc_apply",
+    "q_fuzzy_match",
+    "q_mode_impute",
+    "q_zorder_layout",
+    "q_date_scaffold",
+    "q_sentence_split",
+    "q_reservoir_sample",
+    "q_train_split",
+    "q_cube_summary",
 ]
 
 

@@ -248,3 +248,29 @@ def q_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
     )
     return per_day.unionByName(rollup)
+
+
+@query(
+    "q_cube_summary",
+    oracle="""
+    SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+           l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 completion: full CUBE over (returnflag, linestatus) with the
+    grouping_id disambiguator — all four aggregation levels in one
+    pass. Spark expands the cube map-side (Expand) then runs one
+    partial-agg-friendly hash aggregate, so the shuffle carries
+    2^dims partial rows per map task, not 2^dims scans.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -657,3 +657,87 @@ def q_batch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
+
+
+@query(
+    "q_reservoir_sample",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reservoir sampling, k=5 per language, as bottom-k
+    by uniform hash: ranking every row by md5(id) and keeping the k
+    smallest IS a uniform k-sample, and unlike the classic
+    single-pass reservoir it is mergeable — each partition keeps its
+    local bottom-k and the merge keeps the global bottom-k, which is
+    exactly what Spark's partial TakeOrdered/window machinery does.
+    Deterministic under retries (hash order, id tie-break), unlike
+    rand()-based sampling.
+
+    At 100 TB: per-partition bottom-k partial aggregation means the
+    shuffle carries k rows per (partition, lang), never the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "q_train_split",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               (doc_id * 2654435761) % 4294967296 AS hv
+        FROM documents
+    )
+    SELECT CASE WHEN hv < 0.8 * 4294967296 THEN 'train'
+                WHEN hv < 0.9 * 4294967296 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM h GROUP BY 1
+    """,
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by Knuth
+    multiplicative hash of the document id — the split that stays
+    stable as the corpus grows (a doc's split never changes when new
+    docs arrive, unlike percentile- or rand()-based splits) and needs
+    no shuffle to assign: the hash is a map-side expression, and only
+    the tiny per-split summary aggregates.
+
+    Engine-portable on purpose: plain modular arithmetic, so the
+    oracle (and any downstream consumer in another engine) computes
+    the identical assignment.
+    """
+    d = load(spark, sf_dir, "documents")
+    hv = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    split = (
+        F.when(hv < 0.8 * 4294967296, "train")
+        .when(hv < 0.9 * 4294967296, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

@@ -248,3 +248,46 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@query(
+    "q_sentence_split",
+    oracle=r"""
+    WITH parts AS (
+        SELECT doc_id, string_split_regex(text, '\. ') AS ps FROM documents
+    ),
+    sent AS (
+        SELECT doc_id, i AS sent_idx, ps[i + 1] AS sentence
+        FROM parts, UNNEST(range(len(ps))) AS t(i)
+    )
+    SELECT doc_id, sent_idx, sentence,
+           len(string_split(sentence, ' ')) AS n_words
+    FROM sent WHERE length(trim(sentence)) > 0
+    """,
+)
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation: split each document on '. ' boundaries
+    and emit (doc_id, sent_idx, sentence, n_words) — the unit-of-work
+    table for sentence-level dedup, quality scoring, or parallel-data
+    mining. The split regex is deliberately lookbehind-free so the
+    exact same pattern runs on any RE2-class engine.
+
+    posexplode keeps the intra-document ordinal without a window; the
+    op is map-only (explode fuses into the scan stage) and output
+    partitioning follows the input, so at 100 TB it is a pure
+    flat-map with no shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\. ")).alias("sent_idx", "sentence"),
+        )
+        .where(F.length(F.trim(F.col("sentence"))) > 0)
+        .select(
+            "doc_id",
+            "sent_idx",
+            "sentence",
+            F.size(F.split(F.col("sentence"), " ")).alias("n_words"),
+        )
+    )

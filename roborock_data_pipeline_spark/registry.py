@@ -49,6 +49,8 @@ _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.sql_suite",
     "roborock_data_pipeline_spark.operators.quality",
     "roborock_data_pipeline_spark.operators.clustering",
+    "roborock_data_pipeline_spark.operators.linkage",
+    "roborock_data_pipeline_spark.operators.layout",
     "roborock_data_pipeline_spark.operators.analytics",
     "roborock_data_pipeline_spark.operators.dq",
 ]
