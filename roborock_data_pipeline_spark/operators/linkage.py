@@ -29,13 +29,21 @@ CDC_CUTOFF = "2024-01-16"
 
 
 def cdc_merge(snapshot: DataFrame, changes: DataFrame, key_cols: list[str],
-              order_cols: list[str], delete_col: str) -> DataFrame:
+              order_cols: list[str], delete_col: str,
+              keep_tombstones: bool = False) -> DataFrame:
     """Latest-writer-wins merge of a CDC batch onto a snapshot.
 
-    ``changes`` rows outrank snapshot rows at equal ``order_cols``
-    (the batch is by definition newer); within each side the max of
-    ``order_cols`` wins. Rows whose winning version has
-    ``delete_col = true`` are tombstones and drop out entirely.
+    The max of ``order_cols`` wins across both sides; ``changes``
+    rows outrank snapshot rows only at EXACTLY equal ``order_cols``
+    (a rewrite of the same version is by definition newer). Keeping
+    ``order_cols`` dominant is what makes late-arriving old versions
+    harmless: a change row older than the stored version — including
+    a stored tombstone — loses. Rows whose winning version has
+    ``delete_col = true`` are tombstones and drop out entirely —
+    unless ``keep_tombstones`` is set, which retains them (with
+    ``delete_col``) so a *stored* snapshot remembers deletions and a
+    late-arriving older version cannot resurrect a deleted key. The
+    streaming upserter stores with tombstones and filters on read.
 
     Scale shape: one shuffle on ``key_cols`` (the window), rank=1
     filter inside the window operator — identical cost to
@@ -47,14 +55,16 @@ def cdc_merge(snapshot: DataFrame, changes: DataFrame, key_cols: list[str],
     s = snapshot.withColumn("_src", F.lit(0))
     c = changes.withColumn("_src", F.lit(1))
     merged = s.unionByName(c)
-    order = [F.col(o).desc() for o in ["_src", *order_cols]]
+    order = [F.col(o).desc() for o in [*order_cols, "_src"]]
     w = W.partitionBy(*key_cols).orderBy(*order)
-    return (
+    latest = (
         merged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .where(~F.col(delete_col))
-        .drop("_rn", "_src", delete_col)
+        .drop("_rn", "_src")
     )
+    if keep_tombstones:
+        return latest
+    return latest.where(~F.col(delete_col)).drop(delete_col)
 
 
 @query(

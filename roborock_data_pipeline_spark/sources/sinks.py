@@ -43,6 +43,17 @@ WAREHOUSE_TABLES: dict[str, T.StructType] = {
         T.StructField("avg_area_m2", T.DoubleType(), True),
         T.StructField("avg_time_min", T.DoubleType(), True),
     ]),
+    # streaming CDC snapshot (streaming/cdc_upsert.py) — tombstones
+    # are stored (is_delete=true) so late older versions can't
+    # resurrect deleted keys; read_snapshot filters them
+    "user_state_cdc": T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("last_op", T.StringType(), False),
+        T.StructField("last_value", T.DoubleType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("is_delete", T.BooleanType(), False),
+    ]),
 }
 
 

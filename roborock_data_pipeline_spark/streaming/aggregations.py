@@ -21,10 +21,13 @@ from pyspark.sql import functions as F
 from roborock_data_pipeline_spark import schemas
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(spark: SparkSession, sf_dir: str,
+                  **options: str) -> DataFrame:
     """File-source readStream over the events table (stands in for
-    the MQTT/HTTPS device feed, roborock_collector.py:295-352)."""
-    raw = (
+    the MQTT/HTTPS device feed, roborock_collector.py:295-352).
+    Extra ``options`` reach the reader (e.g. maxFilesPerTrigger to
+    force multi-micro-batch runs)."""
+    reader = (
         spark.readStream.schema(schemas.EVENTS_RAW)
         .format("parquet")
         # glob, not the bare file path: the file source requires its
@@ -32,8 +35,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # base while matching ONLY the events table (a bare sf_dir/
         # load would suck every table in, yielding all-null rows)
         .option("basePath", sf_dir)
-        .load(f"{sf_dir}/events*")
     )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.load(f"{sf_dir}/events*")
     # same ns→µs conversion as the batch loader
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
