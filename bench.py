@@ -80,6 +80,7 @@ HEADLINE = [
     "q_reservoir_sample",
     "q_train_split",
     "q_cube_summary",
+    "q_pagerank",
 ]
 
 
