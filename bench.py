@@ -81,6 +81,8 @@ HEADLINE = [
     "q_train_split",
     "q_cube_summary",
     "q_pagerank",
+    "q_funnel",
+    "q_cohort_retention",
 ]
 
 

@@ -292,3 +292,122 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["user_id"], ["n_view", "n_click", "n_purchase"], "metric", "cnt"
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'view' AND e.ts > s.t0 GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click,
+           (SELECT COUNT(*) FROM p) AS n_purchase,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / (SELECT COUNT(*) FROM s), 6) AS conversion
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered event funnel: signup → view → click →
+    purchase, each stage's timestamp strictly after the previous
+    stage's FIRST occurrence; reports stage populations and end-to-end
+    conversion.
+
+    Each stage is one per-user MIN aggregate semi-joined onto the
+    previous stage's user set — per-user state stays one timestamp,
+    and every join key is user_id, so at 100 TB all four stages
+    co-partition on one key (a single exchange amortized across the
+    chain by AQE); no window over raw events and no cross-stage
+    explosion.
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    v = stage(s, "view", "t1", "t0")
+    c = stage(v, "click", "t2", "t1")
+    p = stage(c, "purchase", "t3", "t2")
+    counts = [
+        df.agg(F.count("*").alias(name))
+        for df, name in ((s, "n_signup"), (v, "n_view"), (c, "n_click"), (p, "n_purchase"))
+    ]
+    out = counts[0]
+    for df in counts[1:]:
+        out = out.crossJoin(df)
+    return out.withColumn(
+        "conversion",
+        F.round(F.col("n_purchase") * 1.0 / F.col("n_signup"), 6),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    )
+    SELECT STRFTIME(DATE_TRUNC('week', f.d0), '%Y-%m-%d') AS cohort_week,
+           CAST(FLOOR(DATE_DIFF('day', DATE_TRUNC('week', f.d0),
+                                DATE_TRUNC('week', CAST(e.ts AS DATE))) / 7)
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week,
+    counted distinct in each subsequent activity week — the
+    engagement report behind every retention curve.
+
+    The first-seen table is user-sized (one shuffle on user_id); the
+    join back co-partitions on the same key, and the final
+    (cohort, offset) aggregate is tiny. COUNT(DISTINCT user) shuffles
+    (cohort, offset, user) once — partial-distinct map-side first. At
+    100 TB swap the exact distinct for the HLL-sketch rollup
+    (q_hll_daily_users) if the matrix must be maintained
+    incrementally.
+    """
+    ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    w0 = F.date_trunc("week", F.col("d0")).cast("date")
+    wk = F.date_trunc("week", F.col("d")).cast("date")
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.date_format(w0, "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(wk, w0) / 7).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
