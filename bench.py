@@ -83,6 +83,8 @@ HEADLINE = [
     "q_pagerank",
     "q_funnel",
     "q_cohort_retention",
+    "q_event_transitions",
+    "q_weighted_sample",
 ]
 
 

@@ -411,3 +411,46 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    pairs AS (
+        SELECT src, dst, COUNT(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY src), 6) AS p
+    FROM pairs
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the path-analysis
+    summary behind funnels, churn prediction features, and session
+    simulators.
+
+    One shuffle on user_id for the lead() window (sequences stay
+    inside their partition), then the pair counts collapse to
+    |types|² rows — the probability normalization window runs on that
+    tiny table, never on raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    pairs = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return pairs.select(
+        "src", "dst", "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wsrc), 6).alias("p"),
+    )

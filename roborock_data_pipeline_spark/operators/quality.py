@@ -741,3 +741,50 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@query(
+    "q_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               POWER((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS UBIGINT) + 1) / 4294967296.0,
+                     1.0 / n_chars) AS k,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY POWER((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                        AS UBIGINT) + 1) / 4294967296.0,
+                                  1.0 / n_chars) DESC, doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, rk FROM keyed WHERE rk <= 3
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res): each
+    doc draws key u^(1/w) from a deterministic uniform u (md5 of its
+    id) with weight w = n_chars; the top-k keys per language are a
+    without-replacement sample where inclusion probability scales
+    with document length — the standard long-document-upweighted
+    corpus draw.
+
+    Same mergeable bottom/top-k scale shape as q_reservoir_sample
+    (partial top-k per partition, k rows per stratum through the
+    shuffle), and deterministic under retries because u is a hash,
+    not rand(). Engine-portable: the oracle computes the identical
+    keys from the identical md5.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(F.desc(key), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "lang", "rk")
+    )
