@@ -95,3 +95,77 @@ def test_whole_stage_codegen_covers_q1(spark, sf_dir):
     # "*(n)" prefixes mark WholeStageCodegen spans in the final plan
     assert "== Final Plan ==" in plan
     assert "*(" in plan.split("== Final Plan ==")[1]
+
+
+def _n_nodes(plan: str, op: str) -> int:
+    """Count physical-plan NODES of type `op` (formatted plans print
+    each node twice: once in the tree, once as a "(n) Op" detail
+    header — count the detail headers)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_mode_impute_broadcasts_mode_table(spark, sf_dir):
+    """The k-row mode lookup joins back by broadcast — raw customer
+    rows never shuffle for the join."""
+    from roborock_data_pipeline_spark.operators.linkage import q_mode_impute
+
+    plan = plan_string(q_mode_impute(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_match_pairs_vocabulary_not_rows(spark, sf_dir):
+    """Blocking discipline: both join inputs aggregate (DISTINCT) the
+    vocabulary BEFORE the self-join, so pairing cost is block²-of-
+    vocab, never corpus²."""
+    from roborock_data_pipeline_spark.operators.linkage import q_fuzzy_match
+
+    plan = plan_string(q_fuzzy_match(spark, sf_dir))
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin"))
+        if p >= 0
+    )
+    # the distinct aggregates appear below (after, in printed order)
+    # the join node — i.e. they are the join's children
+    assert plan.count("HashAggregate", join_pos) >= 2
+
+
+def test_zorder_key_is_single_scan_single_agg(spark, sf_dir):
+    """The Morton key is pure projection: one scan, one aggregate
+    pair, no joins or extra exchanges."""
+    from roborock_data_pipeline_spark.operators.layout import q_zorder_layout
+
+    plan = plan_string(q_zorder_layout(spark, sf_dir))
+    for marker in ("Join", "Window", "Sort"):
+        assert marker not in plan
+    assert _n_nodes(plan, "Exchange") == 1  # only the groupBy shuffle
+
+
+def test_sentence_split_is_shuffle_free(spark, sf_dir):
+    """Map-only flat-map: explode fuses with the scan; no exchange."""
+    from roborock_data_pipeline_spark.operators.text import q_sentence_split
+
+    plan = plan_string(q_sentence_split(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_train_split_assignment_is_map_side(spark, sf_dir):
+    """The split expression must not force a pre-shuffle: exactly one
+    exchange (the final tiny aggregate)."""
+    from roborock_data_pipeline_spark.operators.quality import q_train_split
+
+    plan = plan_string(q_train_split(spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1
+
+
+def test_cdc_apply_single_key_shuffle(spark, sf_dir):
+    """The merge is one window on the key: no join operators at all
+    (the union feeds a single ranking pass)."""
+    from roborock_data_pipeline_spark.operators.linkage import q_cdc_apply
+
+    plan = plan_string(q_cdc_apply(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
