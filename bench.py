@@ -116,6 +116,13 @@ def main() -> None:
     # and a single sample can be 3-5x inflated by external noise.
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # isolate queries from each other's persisted data (minhash
+        # postings, k-means working sets, pagerank iterations...):
+        # unbounded cache accumulation across 60 queries evicts and
+        # GC-thrashes late queries. The cache a query builds for
+        # itself stays live across its own two samples, so min-of-2
+        # still reports the warm number.
+        spark.catalog.clearCache()
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
