@@ -85,6 +85,9 @@ HEADLINE = [
     "q_cohort_retention",
     "q_event_transitions",
     "q_weighted_sample",
+    "q_target_encode",
+    "q_feature_hash",
+    "q_autocorr",
 ]
 
 

@@ -51,6 +51,7 @@ _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.clustering",
     "roborock_data_pipeline_spark.operators.linkage",
     "roborock_data_pipeline_spark.operators.graph",
+    "roborock_data_pipeline_spark.operators.features",
     "roborock_data_pipeline_spark.operators.layout",
     "roborock_data_pipeline_spark.operators.analytics",
     "roborock_data_pipeline_spark.operators.dq",
