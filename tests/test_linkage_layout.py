@@ -87,3 +87,41 @@ def test_date_scaffold_dense_and_zero_filled(spark, sf_dir):
     # dense: every (date, type) cell exists exactly once
     assert len(rows) == len(dates) * len(types)
     assert all(r.n_events >= 0 for r in rows)
+
+
+def test_cdc_merge_matches_reference_model_randomized(spark):
+    """Model-based check: random op sequences applied through
+    cdc_merge in two chunks (snapshot build + change batch) must
+    equal a sequential dict-based reference interpreter."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        ops = []
+        for i in range(120):
+            k = rng.randrange(8)
+            is_del = rng.random() < 0.25
+            # ts deliberately non-monotonic with duplicates; seq breaks ties
+            ops.append((k, f"v{i}", rng.randrange(20), i, is_del))
+
+        # reference: latest (ts, seq) version per key wins; tombstone hides
+        best: dict[int, tuple] = {}
+        for k, v, ts, seq, is_del in ops:
+            if k not in best or (ts, seq) > (best[k][2], best[k][3]):
+                best[k] = (k, v, ts, seq, is_del)
+        expect = {k: r[1] for k, r in best.items() if not r[4]}
+
+        cut = len(ops) // 2
+        snap_src = _snap(spark, ops[:cut])
+        # snapshot = latest per key of the first half, tombstones kept
+        from roborock_data_pipeline_spark.operators.linkage import cdc_merge
+
+        snapshot = cdc_merge(
+            snap_src.limit(0), snap_src, ["k"], ["ts", "seq"], "is_delete",
+            keep_tombstones=True,
+        )
+        merged = cdc_merge(
+            snapshot, _snap(spark, ops[cut:]), ["k"], ["ts", "seq"], "is_delete"
+        )
+        got = {r.k: r.v for r in merged.collect()}
+        assert got == expect, f"seed {seed}"
