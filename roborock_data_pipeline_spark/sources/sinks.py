@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,7 +92,10 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     table_dir = table_path(warehouse_dir, name)
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
-    batch_id = uuid.uuid4().hex
+    # batch ids encode publish time (ns) so the batch log is ordered:
+    # time-travel (read_table_as_of) and compaction cut on this
+    # prefix; the uuid suffix keeps concurrent writers collision-free
+    batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
     staged = os.path.join(staging_root, f"{name}-{batch_id}")
     try:
         df.write.mode("overwrite").parquet(staged)
@@ -168,3 +172,71 @@ def append_with_console_fallback(
         print(f"[sink fallback] write to {name} failed ({exc}); rows were:")
         df.show(n_show, truncate=False)
         return False
+
+
+def list_batches(warehouse_dir: str, name: str) -> list[str]:
+    """Published batch dirs of an append table, in commit order (the
+    batch id's time_ns prefix sorts lexically)."""
+    table_dir = table_path(warehouse_dir, name)
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(d for d in os.listdir(table_dir) if d.startswith("batch-"))
+
+
+def read_table_as_of(
+    spark: SparkSession, warehouse_dir: str, name: str, as_of_ns: int
+) -> DataFrame:
+    """Time travel: the table as it looked at ``as_of_ns`` (epoch ns)
+    — exactly the batches whose atomic publish happened at or before
+    that instant. Because publishes are whole-batch renames, every
+    historical version is a plain prefix of the batch log; no
+    tombstone/compaction reasoning needed until compact_table rewrites
+    history (compaction keeps current-state reads correct but, as in
+    any table format, VACUUMs old versions away).
+
+    The same idea scales: Delta/Iceberg time travel is this prefix
+    read driven by a commit-log timestamp instead of dirnames.
+    """
+    cutoff = f"batch-{as_of_ns:020d}"
+    keep = [b for b in list_batches(warehouse_dir, name) if b[: len(cutoff)] <= cutoff]
+    table_dir = table_path(warehouse_dir, name)
+    if not keep:
+        return spark.createDataFrame([], WAREHOUSE_TABLES[name])
+    return (
+        spark.read.schema(WAREHOUSE_TABLES[name])
+        .option("recursiveFileLookup", "true")
+        .parquet(*[os.path.join(table_dir, b) for b in keep])
+    )
+
+
+def compact_table(spark: SparkSession, warehouse_dir: str, name: str) -> int:
+    """Small-file compaction: rewrite the whole batch log as ONE
+    batch. At 100 TB the small-files problem is the top operational
+    cost of an append table (every reader pays per-file open +
+    footer parse + task-schedule; metadata listings dominate) —
+    periodic compaction amortizes it. Returns batches removed.
+
+    Publish discipline mirrors append_rows: the compacted batch is
+    staged, then swapped in with the old batches' removal — readers
+    see old-batches or compacted-batch, never both/neither. (On
+    object stores the swap is a manifest commit; here it is rename +
+    cleanup of superseded dirs.)
+    """
+    old = list_batches(warehouse_dir, name)
+    if len(old) <= 1:
+        return 0
+    df = read_table(spark, warehouse_dir, name)
+    table_dir = table_path(warehouse_dir, name)
+    staging_root = os.path.join(warehouse_dir, ".staging")
+    os.makedirs(staging_root, exist_ok=True)
+    batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
+    staged = os.path.join(staging_root, f"{name}-compact-{batch_id}")
+    try:
+        df.write.mode("overwrite").parquet(staged)
+        os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+        for b in old:
+            shutil.rmtree(os.path.join(table_dir, b), ignore_errors=True)
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return len(old)

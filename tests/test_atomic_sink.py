@@ -152,3 +152,55 @@ def test_run_scheduled_backoff_and_retry():
     assert calls["n"] == 3
     assert ok == 2  # first tick failed, two retries succeeded
     assert sleeps == [60.0, 3600.0]  # backoff after failure, interval after success
+
+
+def test_time_travel_reads_batch_prefix(spark, warehouse):
+    """read_table_as_of returns exactly the batches published at or
+    before the cut — each append is a whole historical version."""
+    import time
+
+    sinks.setup_warehouse(spark, warehouse)
+    sinks.append_rows(_records_df(spark, GOOD_ROWS[:1]), warehouse, "cleaning_records")
+    t_after_first = time.time_ns()
+    sinks.append_rows(_records_df(spark, GOOD_ROWS[1:]), warehouse, "cleaning_records")
+
+    assert sinks.read_table_as_of(
+        spark, warehouse, "cleaning_records", 0
+    ).count() == 0
+    assert sinks.read_table_as_of(
+        spark, warehouse, "cleaning_records", t_after_first
+    ).count() == 1
+    assert sinks.read_table_as_of(
+        spark, warehouse, "cleaning_records", time.time_ns()
+    ).count() == 2
+    assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 2
+
+
+def test_compaction_preserves_rows_and_collapses_batches(spark, warehouse):
+    """compact_table folds N batch dirs into one with identical
+    content; appends keep working afterwards."""
+    sinks.setup_warehouse(spark, warehouse)
+    for i in range(4):
+        sinks.append_rows(
+            _records_df(spark, GOOD_ROWS[i % 2 : i % 2 + 1]),
+            warehouse, "cleaning_records",
+        )
+    before = {
+        tuple(r) for r in sinks.read_table(spark, warehouse, "cleaning_records").collect()
+    }
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 4
+
+    removed = sinks.compact_table(spark, warehouse, "cleaning_records")
+    assert removed == 4
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 1
+    after = {
+        tuple(r) for r in sinks.read_table(spark, warehouse, "cleaning_records").collect()
+    }
+    assert after == before
+
+    sinks.append_rows(_records_df(spark, GOOD_ROWS[:1]), warehouse, "cleaning_records")
+    assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 5
+    assert sinks.compact_table(spark, warehouse, "cleaning_records") == 2
+    # compacting an already-compacted (single-batch) table is a no-op
+    assert sinks.compact_table(spark, warehouse, "cleaning_records") == 0
+    assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 5
