@@ -88,6 +88,7 @@ HEADLINE = [
     "q_target_encode",
     "q_feature_hash",
     "q_autocorr",
+    "q_reconcile",
 ]
 
 

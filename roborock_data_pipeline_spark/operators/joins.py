@@ -278,3 +278,69 @@ def q_view_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "view_id", "user_id")
     )
+
+
+@query(
+    "q_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend_early,
+               COUNT(*) AS n_early
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend_late,
+               COUNT(*) AS n_late
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           a.spend_early, a.n_early, b.spend_late, b.n_late,
+           CASE WHEN a.o_custkey IS NULL THEN 'late_only'
+                WHEN b.o_custkey IS NULL THEN 'early_only'
+                ELSE 'both' END AS presence
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def q_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family completion: FULL OUTER reconciliation of two period
+    aggregates of the same fact — the audit join that surfaces keys
+    present on only one side (churned / newly-acquired customers,
+    or two pipelines' outputs that should agree).
+
+    Both sides pre-aggregate to key-sized relations BEFORE the full
+    outer join, so the join input is |customers|, not |orders| — a
+    full outer join of raw facts would shuffle everything to preserve
+    unmatched rows of both sides. Presence flags derive from the
+    join's null pattern, costing nothing extra.
+    """
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    a = (
+        o.where(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend_early"),
+            F.count("*").alias("n_early"),
+        )
+        .alias("a")
+    )
+    b = (
+        o.where(F.col("o_orderdate") >= cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("spend_late"),
+            F.count("*").alias("n_late"),
+        )
+        .alias("b")
+    )
+    joined = a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+    return joined.select(
+        F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey")).alias("custkey"),
+        "spend_early", "n_early", "spend_late", "n_late",
+        F.when(F.col("a.o_custkey").isNull(), "late_only")
+        .when(F.col("b.o_custkey").isNull(), "early_only")
+        .otherwise("both")
+        .alias("presence"),
+    )
