@@ -89,6 +89,18 @@ HEADLINE = [
     "q_feature_hash",
     "q_autocorr",
     "q_reconcile",
+    # round-2 batch 4: warehouse shapes, CRM/path analytics,
+    # time-series repair, VARIANT extraction, robust outliers
+    "q_tpch_q10_shape",
+    "q_tpch_q18_shape",
+    "q_rfm_scores",
+    "q_top_paths",
+    "q_pmi_cooccur",
+    "q_rolling_median",
+    "q_interpolate",
+    "q_variant_extract",
+    "q_mad_outliers",
+    "q_rolling_distinct",
 ]
 
 

@@ -454,3 +454,304 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src", "dst", "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wsrc), 6).alias("p"),
     )
+
+
+@query(
+    "q_tpch_q10_shape",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           SUM(ROUND(l.l_extendedprice * 100)::BIGINT
+               * (100 - ROUND(l.l_discount * 100)::BIGINT))::BIGINT
+               / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter.
+
+    Scale shape: the quarter predicate and the returnflag predicate
+    both push to their parquet scans, so the fact join sees ~1/24 of
+    orders and ~1/4 of lineitem; nation (25 rows, fixed size) is an
+    explicit broadcast while customer/orders/lineitem sizing is left
+    to Catalyst/AQE (they all scale with SF); the grouped top-20 is
+    TakeOrderedAndProject after partial aggregation, never a global
+    sort."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            # price/discount are 2-decimal quantities: summing exact
+            # integer cents (price_c * (100 - disc_c)) sidesteps fp
+            # round-half divergence between engines; /10000.0 of the
+            # same integer yields a bit-identical double everywhere
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+QTY_THRESHOLD = 250
+
+
+@query(
+    "q_tpch_q18_shape",
+    oracle=f"""
+    WITH hot AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > {QTY_THRESHOLD})
+    SELECT o.o_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           h.sum_qty
+    FROM orders o JOIN hot h ON o.o_orderkey = h.l_orderkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total line
+    quantity exceeds a threshold, largest first.
+
+    The classic formulation re-joins lineitem and re-aggregates after
+    the HAVING subquery; this plan aggregates lineitem ONCE (partial
+    agg before the exchange collapses 7 lines/order to 1 row) and
+    joins the surviving ~1% of orders against the already-computed
+    sums — no second pass over the fact table. At 100 TB the hot set
+    is small enough that AQE turns the orders join into a broadcast
+    of the aggregated side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > QTY_THRESHOLD)
+    )
+    return (
+        o.join(hot, o.o_orderkey == hot.l_orderkey)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+RFM_ANCHOR = "2024-01-31"
+
+
+@query(
+    "q_rfm_scores",
+    oracle=f"""
+    WITH stats AS (
+        SELECT user_id,
+               date_diff('day', MAX(ts)::DATE, DATE '{RFM_ANCHOR}')
+                   AS recency_days,
+               COUNT(*)::BIGINT AS frequency,
+               ROUND(SUM(value), 2) AS monetary
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT user_id, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_quartile,
+           NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+    FROM stats
+    """,
+)
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) of
+    purchasers — the standard CRM scoring query.
+
+    One shuffle aggregates events to user grain; the three NTILE
+    windows then run over the user-sized table (quartile assignment
+    is deterministic: metric order with user_id tie-break, so the
+    oracle and any re-run agree). At 100 TB the user table is the
+    small output of the first agg; a global NTILE needs a single-
+    partition sort of users only — if even that is too large, swap
+    NTILE for approx-percentile bucket thresholds (the sketch path
+    q_approx_percentiles demonstrates)."""
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    stats = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR).cast("date"), F.max("ts").cast("date")
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    return stats.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_quartile"),
+    )
+
+
+@query(
+    "q_top_paths",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM ranked WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, COUNT(*)::BIGINT AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top onboarding paths: the 20 most common sequences of each
+    user's first five events — the product-analytics 'what do users
+    actually do first' query.
+
+    One shuffle on user_id serves both the row_number prune and the
+    path assembly (same partitioning, Catalyst reuses the exchange);
+    sequences are built JVM-side with array_sort over (ts, event_id,
+    type) structs + transform — no Python, no collect. Path strings
+    are ≤5 short tokens, so the final count groups on a bounded key
+    domain and the top-20 is TakeOrderedAndProject."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "q_pmi_cooccur",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    totals AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    tc AS (SELECT event_type, COUNT(*)::BIGINT AS n_type FROM ut GROUP BY 1),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*)::BIGINT AS n_pair
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_pair,
+           ROUND(LN(p.n_pair * t.n_users * 1.0
+                    / (ta.n_type * tb.n_type)), 4) AS pmi
+    FROM pairs p
+    JOIN tc ta ON p.type_a = ta.event_type
+    JOIN tc tb ON p.type_b = tb.event_type
+    CROSS JOIN totals t
+    ORDER BY pmi DESC, type_a, type_b
+    """,
+)
+def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    in the same user's history — the association-mining signal behind
+    'users who do A also do B' features.
+
+    The distinct (user, type) projection is the only full-data
+    shuffle; the self-join joins two copies of that deduped table on
+    user_id (co-partitioned, and at most |types| rows per user), so
+    pair generation is |types|²-bounded per user, never quadratic in
+    events. Type marginals (|types| rows) and the user count (1 row)
+    are broadcast onto the pair table."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().persist()
+    n_users = ev.agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    tc = ut.groupBy("event_type").agg(F.count("*").alias("n_type"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ta = F.broadcast(tc.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("na")))
+    tb = F.broadcast(tc.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("nb")))
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair") * F.col("n_users") * 1.0
+                    / (F.col("na") * F.col("nb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "type_a", "type_b")
+    )

@@ -169,3 +169,71 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") != clip).alias("clipped"),
         )
     )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+    mad AS (
+        SELECT e.event_type,
+               quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type)
+    SELECT e.event_type,
+           COUNT(*)::BIGINT AS n,
+           ROUND(ANY_VALUE(m.med), 2) AS med,
+           ROUND(ANY_VALUE(d.mad), 2) AS mad,
+           SUM(CASE WHEN ABS(e.value - m.med) > 3 * 1.4826 * d.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit via median absolute deviation: per event
+    type, how many values sit beyond 3 robust standard deviations
+    (1.4826·MAD) of the median.
+
+    The z-score gate (q_outliers) breaks down when the outliers
+    themselves inflate the mean/stddev; MAD is the standard robust
+    replacement. Two exact-percentile aggregations collapse events to
+    |types| rows each; both tiny tables broadcast back onto the fact
+    scan, so the flagging pass is one map-side comparison — the fact
+    table shuffles only for the two groupBys (and at scale the exact
+    percentiles swap for approx_percentile sketches, same shape as
+    q_approx_percentiles)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med"), 2).alias("med"),
+            F.round(F.any_value("mad"), 2).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -55,6 +55,8 @@ _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.layout",
     "roborock_data_pipeline_spark.operators.analytics",
     "roborock_data_pipeline_spark.operators.dq",
+    "roborock_data_pipeline_spark.operators.timeseries",
+    "roborock_data_pipeline_spark.operators.semistructured",
 ]
 
 

@@ -138,3 +138,53 @@ def purchase_view_join_stream(events: DataFrame) -> DataFrame:
             """
         ),
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+
+
+def purchase_attribution_stream(events: DataFrame) -> DataFrame:
+    """T-EXT: watermarked stream-stream LEFT OUTER interval join —
+    every purchase attributed to a preceding-hour view when one
+    exists, or emitted with a NULL view_id (organic purchase) once
+    the watermark proves no matching view can still arrive.
+
+    The outer side is the part the inner join (purchase_view_join_
+    stream) cannot express: a purchase with no view must wait until
+    event time passes p_ts + 1 h before the engine may emit the
+    unmatched row — exactly the late-data contract `withWatermark`
+    encodes. State stays O(events per hour) per the time-range
+    condition; the NULL-emission check lives in
+    tests/test_streaming.py::test_stream_left_outer_attribution.
+    """
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return purchases.join(
+        views,
+        F.expr(
+            """
+            p_user = v_user AND
+            v_ts <= p_ts AND
+            v_ts > p_ts - INTERVAL 1 HOUR
+            """
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("purchase_ts"),
+    )

@@ -204,3 +204,40 @@ def test_compaction_preserves_rows_and_collapses_batches(spark, warehouse):
     # compacting an already-compacted (single-batch) table is a no-op
     assert sinks.compact_table(spark, warehouse, "cleaning_records") == 0
     assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 5
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions replaces only the dates present in the
+    new batch; untouched dates survive byte-for-byte, and a filtered
+    read partition-prunes."""
+    from roborock_data_pipeline_spark.sources import sinks
+
+    wh = str(tmp_path / "wh")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0), ("2024-01-03", 3, 30.0)],
+        "d string, n int, v double",
+    )
+    sinks.overwrite_partitions(base, wh, "daily", ["d"])
+
+    fix = spark.createDataFrame(
+        [("2024-01-02", 99, 99.0)], "d string, n int, v double"
+    )
+    sinks.overwrite_partitions(fix, wh, "daily", ["d"])
+
+    got = {
+        (str(r.d), r.n, r.v)  # partition col type-infers to DATE on read
+        for r in sinks.read_partitioned(spark, wh, "daily").collect()
+    }
+    assert got == {
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-02", 99, 99.0),  # replaced, old day-2 row gone
+        ("2024-01-03", 3, 30.0),
+    }
+
+    from roborock_data_pipeline_spark.plans.inspect import plan_string
+
+    pruned = sinks.read_partitioned(spark, wh, "daily").where(
+        "d = '2024-01-03'"
+    )
+    plan = plan_string(pruned)
+    assert "PartitionFilters" in plan and "2024-01-03" in plan

@@ -169,3 +169,64 @@ def test_cdc_apply_single_key_shuffle(spark, sf_dir):
     plan = plan_string(q_cdc_apply(spark, sf_dir))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    """Grouped top-k must never global-sort all customer groups."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q10_shape
+
+    plan = plan_string(q_tpch_q10_shape(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    pf = pushed_filters(q_tpch_q10_shape(spark, sf_dir))
+    assert "l_returnflag" in pf and "o_orderdate" in pf
+
+
+def test_q18_aggregates_lineitem_once(spark, sf_dir):
+    """Q18 shape reuses the HAVING aggregate — exactly one pass over
+    lineitem, not the classic re-join-and-reaggregate."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q18_shape
+
+    plan = plan_string(q_tpch_q18_shape(spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 2  # lineitem once + orders once
+
+
+def test_top_paths_reuses_user_exchange(spark, sf_dir):
+    """row_number prune and path assembly share the user_id
+    partitioning: one exchange on raw events, one on the tiny path
+    table, plus the top-20 TakeOrdered."""
+    from roborock_data_pipeline_spark.operators.analytics import q_top_paths
+
+    plan = plan_string(q_top_paths(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert _n_nodes(plan, "Exchange") <= 2
+
+
+def test_variant_extract_stays_jvm_side(spark, sf_dir):
+    """VARIANT path extraction is codegen, never a Python worker."""
+    from roborock_data_pipeline_spark.operators.semistructured import (
+        q_variant_extract,
+    )
+
+    plan = plan_string(q_variant_extract(spark, sf_dir))
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert _n_nodes(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir):
+    """The per-type median/MAD tables join back by broadcast — the
+    fact table never shuffles for the flagging pass."""
+    from roborock_data_pipeline_spark.operators.dq import q_mad_outliers
+
+    plan = plan_string(q_mad_outliers(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_interpolate_spine_join_is_broadcast(spark, sf_dir):
+    """The day-grain spine and observed-day tables are tiny: their
+    left join must broadcast, not shuffle."""
+    from roborock_data_pipeline_spark.operators.timeseries import q_interpolate
+
+    plan = plan_string(q_interpolate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

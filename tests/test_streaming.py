@@ -14,6 +14,14 @@ def _ts(day, h, m=0):
     return dt.datetime(2024, 1, day, h, m)
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def test_detect_sessions_stream(spark):
     """cleaning→idle transition emits one session with start/end
     battery (the reference's monitor semantics, pipeline.py:132-196)."""
@@ -329,6 +337,117 @@ def test_anomaly_detector_ewma_state(spark):
         assert len(alerts) >= 1
         spike = [a for a in alerts if a.value == 500.0]
         assert len(spike) == 1 and abs(spike[0].zscore) > 3
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas state protocol needs google.protobuf, "
+    "absent in this container — the applyInPandasWithState twins "
+    "(sessionize/anomaly) cover custom stateful semantics here",
+)
+def test_running_totals_stateful_v2(spark):
+    """Spark-4 transformWithStateInPandas: per-user ValueState totals
+    accumulate across micro-batches and only batch-active users emit."""
+    from roborock_data_pipeline_spark.streaming.stateful_v2 import (
+        running_totals_stream,
+    )
+
+    schema = "user_id long, ts timestamp, value double"
+    src_dir = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            [(1, _ts(1, 8), 10.0), (1, _ts(1, 9), 5.0), (2, _ts(1, 8), 7.0)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("totals_v2")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        first = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM totals_v2").collect()
+        }
+        assert first == {1: (2, 15.0), 2: (1, 7.0)}
+
+        spark.sql("TRUNCATE TABLE totals_v2") if False else None
+        spark.createDataFrame([(1, _ts(1, 10), 3.0)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM totals_v2").collect()
+        q.stop()
+        # batch 2 emits user 1 only, with state carried from batch 1
+        latest = [r for r in rows if r.n_events == 3]
+        assert len(latest) == 1
+        assert latest[0].user_id == 1 and latest[0].total_value == 18.0
+        assert not any(r.user_id == 2 and r.n_events > 1 for r in rows)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_left_outer_attribution(spark):
+    """Watermarked LEFT OUTER stream-stream join: matched purchases
+    emit immediately; an unmatched (organic) purchase emits with NULL
+    view_id only after the watermark passes its match window."""
+    from roborock_data_pipeline_spark.streaming.aggregations import (
+        purchase_attribution_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    src_dir = tempfile.mkdtemp()
+    ckpt = tempfile.mkdtemp()
+    try:
+        batch1 = [
+            (1, _ts(1, 8, 30), 7, "view"),
+            (2, _ts(1, 9), 7, "purchase"),      # matched: view 30 min before
+            (3, _ts(1, 9), 8, "purchase"),      # organic: no view for user 8
+        ]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = (
+            purchase_attribution_stream(stream)
+            .writeStream.format("memory")
+            .queryName("attrib_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        got = {
+            (r.purchase_id, r.view_id)
+            for r in spark.sql("SELECT * FROM attrib_out").collect()
+        }
+        assert (2, 1) in got          # matched pair emits immediately
+        assert (3, None) not in got   # organic row must WAIT for watermark
+
+        # advance event time far past purchase 3's match window on
+        # BOTH sides: the operator watermark is min(view wm, purchase
+        # wm), so each filtered branch needs a later event
+        spark.createDataFrame(
+            [(99, _ts(2, 12), 9, "view"), (100, _ts(2, 12), 9, "purchase")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+        q.processAllAvailable()
+        q.processAllAvailable()  # outer results flush a batch after the wm advance
+        got = {
+            (r.purchase_id, r.view_id)
+            for r in spark.sql("SELECT * FROM attrib_out").collect()
+        }
+        q.stop()
+        assert (2, 1) in got and (3, None) in got
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
