@@ -101,6 +101,9 @@ HEADLINE = [
     "q_variant_extract",
     "q_mad_outliers",
     "q_rolling_distinct",
+    "q_supplier_diversity",
+    "q_order_priority",
+    "q_ab_test",
 ]
 
 

@@ -755,3 +755,163 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pmi").desc(), "type_a", "type_b")
     )
+
+
+ACCTBAL_FLOOR = 1500
+
+
+@query(
+    "q_supplier_diversity",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type,
+           COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < {ACCTBAL_FLOOR})
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    LIMIT 30
+    """,
+)
+def q_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    qualified suppliers ship each brand+type, excluding a supplier
+    blocklist — the sourcing-risk query.
+
+    The blocklist subquery is a broadcast ANTI join (NOT IN is safe
+    as anti here: s_suppkey is non-null), so the fact scan drops
+    blocked suppliers map-side before the part join; part joins on
+    its key (left to AQE at SF scale), and COUNT(DISTINCT suppkey)
+    partial-aggregates per (brand, type, suppkey) before the final
+    distinct count — two-level, no row explosion. Top-30 is
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    blocked = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < ACCTBAL_FLOOR)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(blocked), "l_suppkey", "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+        .limit(30)
+    )
+
+
+@query(
+    "q_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in one
+    quarter with at least one line shipped after the order date,
+    counted per priority — the EXISTS-correlated-subquery pattern.
+
+    The quarter filter pushes into the orders scan (1/24 of rows
+    survive before any join); EXISTS plans as a LEFT SEMI join on
+    the order key with the ship-date comparison riding the join
+    condition, so lineitem never produces more than one match per
+    order and no duplicate-then-distinct pass exists. The final agg
+    groups on a 5-value key."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, value,
+               CAST('0x' || substr(md5(user_id::VARCHAR), 1, 15) AS UBIGINT)
+                   % 2 AS grp
+        FROM events),
+    s AS (
+        SELECT event_type, grp, COUNT(*)::BIGINT AS n,
+               AVG(value) AS mean, var_samp(value) AS var
+        FROM g GROUP BY 1, 2)
+    SELECT a.event_type,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean, 4) AS mean_a, ROUND(b.mean, 4) AS mean_b,
+           ROUND((a.mean - b.mean)
+                 / SQRT(a.var / a.n + b.var / b.n), 3) AS z_score
+    FROM s a JOIN s b
+      ON a.event_type = b.event_type AND a.grp = 0 AND b.grp = 1
+    ORDER BY a.event_type
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test per event type between deterministic
+    hash-split user groups — the experiment-analysis readout (here a
+    null A/A test: both groups draw from the same distribution, so
+    |z| should hover near 0, which the oracle confirms exactly).
+
+    Group assignment reuses the md5-prefix trick from q_train_split
+    (stable under corpus growth, no stored assignment table). One
+    partial-aggregated pass computes (n, mean, var) per (type, grp);
+    the z computation is a self-join of the 10-row stats table —
+    broadcast, trivially. At 100 TB the only fact-table cost is the
+    single groupBy; metric sums and squares partial-aggregate
+    map-side."""
+    ev = load(spark, sf_dir, "events")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 2
+    )
+    s = (
+        ev.select("event_type", "value", grp.alias("grp"))
+        .groupBy("event_type", "grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+    )
+    a = s.where(F.col("grp") == 0).alias("a")
+    b = s.where(F.col("grp") == 1).alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.event_type") == F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(F.col("a.mean"), 4).alias("mean_a"),
+            F.round(F.col("b.mean"), 4).alias("mean_b"),
+            F.round(
+                (F.col("a.mean") - F.col("b.mean"))
+                / F.sqrt(
+                    F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+                ),
+                3,
+            ).alias("z_score"),
+        )
+        .orderBy("event_type")
+    )

@@ -230,3 +230,36 @@ def test_interpolate_spine_join_is_broadcast(spark, sf_dir):
     plan = plan_string(q_interpolate(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_supplier_diversity_anti_join_is_broadcast(spark, sf_dir):
+    """The blocklist NOT-IN must plan as a broadcast anti join so
+    blocked suppliers drop before any shuffle."""
+    from roborock_data_pipeline_spark.operators.analytics import (
+        q_supplier_diversity,
+    )
+
+    plan = plan_string(q_supplier_diversity(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_order_priority_exists_is_semi_join(spark, sf_dir):
+    """EXISTS plans as LEFT SEMI — one probe per order, no
+    duplicate-producing inner join followed by distinct."""
+    from roborock_data_pipeline_spark.operators.analytics import q_order_priority
+
+    plan = plan_string(q_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    pf = pushed_filters(q_order_priority(spark, sf_dir))
+    assert "o_orderdate" in pf
+
+
+def test_ab_test_single_fact_pass(spark, sf_dir):
+    """The experiment readout scans events exactly once; the z-test
+    self-join runs on the tiny stats aggregate."""
+    from roborock_data_pipeline_spark.operators.analytics import q_ab_test
+
+    plan = plan_string(q_ab_test(spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") <= 2  # stats agg reused (≤2 if not)
+    assert "PythonUDF" not in plan
