@@ -104,6 +104,9 @@ HEADLINE = [
     "q_supplier_diversity",
     "q_order_priority",
     "q_ab_test",
+    "q_doc_chunks",
+    "q_trending",
+    "q_top_spenders_per_nation",
 ]
 
 

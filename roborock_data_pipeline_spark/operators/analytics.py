@@ -915,3 +915,97 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_trending",
+    oracle="""
+    WITH w AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win, event_type,
+               COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY win ORDER BY cnt DESC, event_type) AS rnk
+        FROM w)
+    SELECT strftime(win, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, cnt, rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-3 per tumbling hour — the 'what is
+    hot right now' leaderboard, batch form of a streaming sliding
+    rollup.
+
+    The count collapses events to |windows|×|types| rows in one
+    partial-aggregated shuffle; the ranking window then runs on that
+    tiny table partitioned by window (never on raw events). Rank is
+    ROW_NUMBER over (cnt DESC, type) so top-3 membership is
+    deterministic under count ties in both engines."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    rw = Window.partitionBy("win").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        w.select(
+            F.date_format("win", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            F.row_number().over(rw).alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "q_top_spenders_per_nation",
+    oracle="""
+    WITH spend AS (
+        SELECT n.n_name AS nation, c.c_custkey, c.c_name,
+               ROUND(SUM(o.o_totalprice), 2) AS total_spend
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3)
+    SELECT nation, c_custkey, c_name, total_spend,
+           RANK() OVER (
+               PARTITION BY nation ORDER BY total_spend DESC) AS spend_rank
+    FROM spend QUALIFY spend_rank <= 3
+    """,
+)
+def q_top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-aware grouped top-k: the 3 highest-spending customers per
+    nation, keeping ALL customers tied at the cut (RANK, not
+    ROW_NUMBER — the semantics q_latest_per_device's row_number form
+    deliberately does not have).
+
+    One shuffle aggregates orders to customer grain (partial sums
+    map-side); nation broadcasts onto the result; the RANK window
+    partitions by 25 nations over customer-count rows. Ranking runs
+    on the ROUNDED spend so both engines see identical tie sets. At
+    scale, rank-≤-k per group cannot use TakeOrderedAndProject (ties
+    unknown until sorted), but each partition sorts only its own
+    nation's customers — no global sort."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    rw = Window.partitionBy("nation").orderBy(F.col("total_spend").desc())
+    return spend.select(
+        "nation",
+        "c_custkey",
+        "c_name",
+        "total_spend",
+        F.rank().over(rw).alias("spend_rank"),
+    ).where(F.col("spend_rank") <= 3)

@@ -291,3 +291,59 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(F.col("sentence"), " ")).alias("n_words"),
         )
     )
+
+
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+@query(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+        SELECT doc_id, toks,
+               UNNEST(range(1, len(toks) + 1, {CHUNK_S})) AS start
+        FROM t WHERE len(toks) >= 1)
+    SELECT doc_id,
+           ((start - 1) // {CHUNK_S})::BIGINT AS chunk_ix,
+           start::BIGINT AS chunk_start,
+           len(toks[start : start + {CHUNK_W} - 1])::BIGINT AS n_chunk_tokens,
+           array_to_string(toks[start : start + {CHUNK_W} - 1], ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24) —
+    the context-length shaping step between curation and training:
+    every document becomes ≥1 chunks, and consecutive chunks share
+    W−S = 8 tokens of overlap so no span is ever split mid-context.
+
+    Pure codegen: split once, explode the stride-spaced start
+    offsets (sequence), slice per start — the token array is built
+    one time per document and shared by all its chunk slices, and
+    the explode is map-side (no shuffle at all: chunking is
+    embarrassingly parallel, output partitioning rides the input).
+    At 100 TB this runs as a map-only stage writing straight to the
+    training-shard sink; chunk_ix is (start−1)/stride so chunk
+    identity is deterministic without a window function."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 1)
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_S))).alias(
+            "start"
+        ),
+    )
+    chunk = F.slice("toks", F.col("start"), CHUNK_W)
+    return c.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / CHUNK_S).alias("chunk_ix"),
+        F.col("start").cast("long").alias("chunk_start"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -241,3 +241,49 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     )
     plan = plan_string(pruned)
     assert "PartitionFilters" in plan and "2024-01-03" in plan
+
+
+def test_export_jsonl_shards_roundtrip(spark, sf_dir, tmp_path):
+    """Deterministic JSONL shard export: stable shard assignment,
+    manifest totals match the data, atomic republish swaps cleanly."""
+    import json as _json
+
+    from roborock_data_pipeline_spark.sources.export import (
+        export_jsonl_shards,
+        read_export,
+        read_manifest,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    m1 = export_jsonl_shards(docs, out, key_col="doc_id", n_shards=4,
+                             token_col="n_chars")
+    assert m1["total_rows"] == docs.count()
+    assert set(m1["shards"]) <= {"0", "1", "2", "3"}
+    assert read_manifest(out) == m1
+
+    back = read_export(spark, out)
+    assert back.count() == m1["total_rows"]
+    # every line is a JSON object with the doc fields
+    assert {"doc_id", "text", "lang", "source", "n_chars", "shard"} <= set(
+        back.columns
+    )
+    # token totals add up
+    assert sum(s["n_tokens"] for s in m1["shards"].values()) == (
+        docs.agg({"n_chars": "sum"}).collect()[0][0]
+    )
+
+    # capture assignments BEFORE republish (the swap replaces files)
+    j1 = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+
+    # republish (e.g. after re-curation) atomically replaces the tree
+    half = docs.limit(100)
+    m2 = export_jsonl_shards(half, out, key_col="doc_id", n_shards=4)
+    assert m2["total_rows"] == 100
+    assert read_export(spark, out).count() == 100
+    j2 = {
+        r.doc_id: r.shard
+        for r in read_export(spark, out).select("doc_id", "shard").collect()
+    }
+    assert all(j1[d] == s for d, s in j2.items())

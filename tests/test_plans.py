@@ -263,3 +263,23 @@ def test_ab_test_single_fact_pass(spark, sf_dir):
     plan = plan_string(q_ab_test(spark, sf_dir))
     assert _n_nodes(plan, "Scan parquet") <= 2  # stats agg reused (≤2 if not)
     assert "PythonUDF" not in plan
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_dir):
+    """Chunking is embarrassingly parallel: split + explode + slice
+    with no Exchange anywhere in the plan."""
+    from roborock_data_pipeline_spark.operators.text import q_doc_chunks
+
+    plan = plan_string(q_doc_chunks(spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 0
+    assert "PythonUDF" not in plan
+
+
+def test_trending_ranks_aggregate_not_events(spark, sf_dir):
+    """The ranking window input is the (window × type) aggregate —
+    the plan shows the window above the final HashAggregate."""
+    from roborock_data_pipeline_spark.operators.analytics import q_trending
+
+    plan = plan_string(q_trending(spark, sf_dir))
+    assert _n_nodes(plan, "HashAggregate") == 2  # partial + final only
+    assert "Window" in plan
