@@ -24,6 +24,7 @@ becomes a table scan; everything downstream is identical semantics.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 from collections.abc import Callable
 
@@ -172,7 +173,12 @@ def mode_daily_summary(spark: SparkSession, warehouse: str) -> None:
     sinks.overwrite_rows(daily, warehouse, "daily_summary")
 
 
-def mode_curate(spark: SparkSession, corpus: str, out_dir: str) -> dict[str, int]:
+def mode_curate(
+    spark: SparkSession,
+    corpus: str,
+    out_dir: str,
+    export_shards: int = 0,
+) -> dict[str, int]:
     """EXT: the end-to-end training-data curation funnel over the
     documents table — the composition every operator in
     operators/quality.py + operators/dedup.py exists for:
@@ -182,7 +188,11 @@ def mode_curate(spark: SparkSession, corpus: str, out_dir: str) -> dict[str, int
     3. stratified language rebalance (deterministic content-hash),
     4. token-budget batch packing,
     5. atomic publish of the curated corpus (staged rename — a
-       half-written curated set is never visible).
+       half-written curated set is never visible),
+    6. (optional, ``export_shards > 0``) overlapping token-window
+       chunking of the curated text + deterministic JSONL shard
+       export with a manifest — the trainer-facing egress
+       (operators/text.py q_doc_chunks + sources/export.py).
 
     Returns the funnel counts per stage (the run report a scheduler
     logs). Each stage is a doc_id semi/anti-join against a
@@ -231,6 +241,48 @@ def mode_curate(spark: SparkSession, corpus: str, out_dir: str) -> dict[str, int
     )
     sinks.overwrite_rows(packed, out_dir, "curated_corpus")
     funnel["published"] = funnel["after_rebalance"]
+
+    if export_shards > 0:
+        from roborock_data_pipeline_spark.operators.text import (
+            CHUNK_S,
+            CHUNK_W,
+        )
+        from roborock_data_pipeline_spark.sources.export import (
+            export_jsonl_shards,
+        )
+
+        toks = F.split(F.col("text"), " ")
+        chunked = (
+            sampled.select("doc_id", "lang", toks.alias("toks"))
+            .where(F.size("toks") >= 1)
+            .select(
+                "doc_id",
+                "lang",
+                "toks",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_S))
+                ).alias("start"),
+            )
+            .select(
+                F.concat_ws("-", "doc_id", F.col("start")).alias("chunk_id"),
+                "doc_id",
+                "lang",
+                F.size(F.slice("toks", F.col("start"), CHUNK_W)).alias(
+                    "n_tokens"
+                ),
+                F.concat_ws(
+                    " ", F.slice("toks", F.col("start"), CHUNK_W)
+                ).alias("chunk_text"),
+            )
+        )
+        manifest = export_jsonl_shards(
+            chunked,
+            os.path.join(out_dir, "train_shards"),
+            key_col="chunk_id",
+            n_shards=export_shards,
+            token_col="n_tokens",
+        )
+        funnel["exported_chunks"] = manifest["total_rows"]
     return funnel
 
 

@@ -169,3 +169,27 @@ def test_mode_curate_funnel(spark, sf_dir, tmp_path):
     kept = {r.doc_id for r in cur.select("doc_id").collect()}
     assert not (losers & kept)
     assert cur.where("batch_id < 0 OR batch_id IS NULL").count() == 0
+
+
+def test_mode_curate_exports_chunk_shards(spark, sf_dir, tmp_path):
+    """The funnel's optional egress: curated docs are chunked with
+    overlap and land as deterministic JSONL shards with a manifest
+    whose totals match the published chunk count."""
+    from roborock_data_pipeline_spark.pipeline import mode_curate
+    from roborock_data_pipeline_spark.sources.export import (
+        read_export,
+        read_manifest,
+    )
+
+    out = str(tmp_path / "curated")
+    funnel = mode_curate(spark, sf_dir, out, export_shards=4)
+    assert funnel["exported_chunks"] >= funnel["published"]  # ≥1 chunk/doc
+
+    shards_dir = f"{out}/train_shards"
+    m = read_manifest(shards_dir)
+    assert m["total_rows"] == funnel["exported_chunks"]
+    back = read_export(spark, shards_dir)
+    assert back.count() == m["total_rows"]
+    # overlap invariant: every chunk carries ≤ window tokens and the
+    # per-doc first chunk always starts the text
+    assert back.agg({"n_tokens": "max"}).collect()[0][0] <= 32
