@@ -107,6 +107,8 @@ HEADLINE = [
     "q_doc_chunks",
     "q_trending",
     "q_top_spenders_per_nation",
+    "q_lang_drift",
+    "q_source_overlap",
 ]
 
 

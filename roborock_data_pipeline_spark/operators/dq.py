@@ -237,3 +237,56 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@query(
+    "q_lang_drift",
+    oracle="""
+    WITH corpus AS (
+        SELECT lang,
+               COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM documents) AS q
+        FROM documents GROUP BY lang),
+    per_src AS (
+        SELECT source, lang, COUNT(*)::BIGINT AS n
+        FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(n)::BIGINT AS tn FROM per_src GROUP BY 1)
+    SELECT s.source,
+           ROUND(SUM((s.n::DOUBLE / t.tn)
+                     * LN((s.n::DOUBLE / t.tn) / c.q)), 6) AS kl
+    FROM per_src s
+    JOIN tot t USING (source)
+    JOIN corpus c USING (lang)
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: KL divergence of each source's
+    language mix against the whole-corpus mix — the monitoring
+    signal that catches one ingest feed silently going monolingual
+    before it skews training data.
+
+    Everything after the one corpus groupBy runs on |sources|×|langs|
+    rows: the corpus marginal (|langs| rows) and per-source totals
+    broadcast onto the contingency table, and the KL sum collapses
+    ≤|langs| terms per source. A zero-count (source, lang) cell
+    contributes nothing (inner join semantics = 0·log0 := 0, the
+    standard KL convention)."""
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    total = docs.agg(F.count("*").alias("total"))
+    corpus = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("nl"))
+        .crossJoin(F.broadcast(total))
+        .select("lang", (F.col("nl").cast("double") / F.col("total")).alias("q"))
+    )
+    tot = per_src.groupBy("source").agg(F.sum("n").alias("tn"))
+    p = F.col("n").cast("double") / F.col("tn")
+    return (
+        per_src.join(F.broadcast(tot), "source")
+        .join(F.broadcast(corpus), "lang")
+        .groupBy("source")
+        .agg(F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl"))
+        .orderBy("source")
+    )

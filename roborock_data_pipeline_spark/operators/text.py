@@ -305,14 +305,19 @@ CHUNK_S = 24
     c AS (
         SELECT doc_id, toks,
                UNNEST(range(1, len(toks) + 1, {CHUNK_S})) AS start
-        FROM t WHERE len(toks) >= 1)
+        FROM t WHERE len(toks) >= 1),
+    u AS (
+        -- a later chunk must extend coverage past the shared overlap;
+        -- otherwise the previous chunk already contains it entirely
+        SELECT * FROM c
+        WHERE start = 1 OR start + {CHUNK_W - CHUNK_S} <= len(toks))
     SELECT doc_id,
            ((start - 1) // {CHUNK_S})::BIGINT AS chunk_ix,
            start::BIGINT AS chunk_start,
            len(toks[start : start + {CHUNK_W} - 1])::BIGINT AS n_chunk_tokens,
            array_to_string(toks[start : start + {CHUNK_W} - 1], ' ')
                AS chunk_text
-    FROM c
+    FROM u
     """,
 )
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +343,11 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_S))).alias(
             "start"
         ),
+    ).where(
+        # drop a tail start the previous chunk fully contains: a
+        # later chunk must add ≥1 token beyond the shared overlap
+        (F.col("start") == 1)
+        | (F.col("start") + (CHUNK_W - CHUNK_S) <= F.size("toks"))
     )
     chunk = F.slice("toks", F.col("start"), CHUNK_W)
     return c.select(
@@ -346,4 +356,77 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").cast("long").alias("chunk_start"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@query(
+    "q_source_overlap",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT source, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents),
+    sizes AS (SELECT source, COUNT(*)::BIGINT AS vsize
+              FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*)::BIGINT AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.n_common,
+           i.n_common / (sa.vsize + sb.vsize - i.n_common)::DOUBLE
+               AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between ingest sources — the
+    corpus-composition signal behind 'are these two feeds scraping
+    the same sites' (high overlap → dedup harder, diversity lower).
+
+    The DISTINCT (source, token) projection is the only pass over
+    text; the pair join is an inverted-index join on token (each
+    token matches ≤|sources| rows — bounded fan-out, the same
+    postings shape as q_near_dup_jaccard, never documents²).
+    Intersections and vocabulary sizes stay exact integers until the
+    final division, so the Jaccard is bit-identical across engines
+    with no rounding at all."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(F.count("*").alias("vsize"))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("vsize").alias("va")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("vsize").alias("vb")))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("va") + F.col("vb") - F.col("n_common")).cast("double")
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
     )

@@ -263,6 +263,10 @@ def mode_curate(
                     F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_S))
                 ).alias("start"),
             )
+            .where(
+                (F.col("start") == 1)
+                | (F.col("start") + (CHUNK_W - CHUNK_S) <= F.size("toks"))
+            )
             .select(
                 F.concat_ws("-", "doc_id", F.col("start")).alias("chunk_id"),
                 "doc_id",

@@ -1,0 +1,109 @@
+"""Structural invariants for chunking and interpolation — properties
+the oracle diff can't see (it only proves equality with the SQL
+twin, not that the semantics are the *right* ones)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_chunks_reconstruct_documents(spark, sf_dir):
+    """Lossless-coverage invariant: first chunk + the non-overlapping
+    suffix of every later chunk concatenates back to the original
+    document, for every document."""
+    from roborock_data_pipeline_spark.operators.text import (
+        CHUNK_S,
+        CHUNK_W,
+        q_doc_chunks,
+    )
+
+    chunks = q_doc_chunks(spark, sf_dir)
+    # suffix = tokens past the (W - S)-token overlap with the
+    # previous chunk; chunk 0 contributes all its tokens
+    overlap = CHUNK_W - CHUNK_S
+    suffix = F.when(
+        F.col("chunk_ix") == 0, F.col("chunk_text")
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split("chunk_text", " "),
+                overlap + 1,
+                CHUNK_W,
+            ),
+        )
+    )
+    rebuilt = (
+        chunks.select("doc_id", "chunk_ix", suffix.alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_ix", "part"))
+                    ),
+                    lambda s: s["part"],
+                ),
+            ).alias("rebuilt")
+        )
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bad = (
+        rebuilt.join(docs, "doc_id")
+        .where(F.col("rebuilt") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+    # chunk-size bounds: every chunk ≤ W tokens; every non-final
+    # chunk of a document is exactly W tokens
+    assert chunks.where(F.col("n_chunk_tokens") > CHUNK_W).count() == 0
+    w = chunks.groupBy("doc_id").agg(F.max("chunk_ix").alias("last_ix"))
+    nonfinal_short = (
+        chunks.join(w, "doc_id")
+        .where(
+            (F.col("chunk_ix") < F.col("last_ix"))
+            & (F.col("n_chunk_tokens") != CHUNK_W)
+        )
+        .count()
+    )
+    assert nonfinal_short == 0
+
+
+def test_interpolate_respects_observations(spark, sf_dir):
+    """Interpolation invariants: observed days pass through
+    unchanged; filled days lie within [min, max] of their bracketing
+    observations; nothing is ever null."""
+    from roborock_data_pipeline_spark.operators.timeseries import (
+        SPARSE_MOD,
+        q_interpolate,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    out = q_interpolate(spark, sf_dir)
+    assert out.where(F.col("v_filled").isNull()).count() == 0
+
+    obs = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % SPARSE_MOD == 0)
+        .groupBy(F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    mismatched = (
+        out.join(obs, "d")
+        .where(
+            (F.col("interpolated"))  # observed day must not be flagged
+            | (F.col("v_filled") != F.col("v"))
+        )
+        .count()
+    )
+    assert mismatched == 0
+
+    lo_hi = obs.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    out_of_range = out.where(
+        (F.col("v_filled") < lo_hi.lo) | (F.col("v_filled") > lo_hi.hi)
+    ).count()
+    assert out_of_range == 0  # lerp never extrapolates beyond the data
