@@ -109,6 +109,8 @@ HEADLINE = [
     "q_top_spenders_per_nation",
     "q_lang_drift",
     "q_source_overlap",
+    "q_numeric_drift",
+    "q_growth_accounting",
 ]
 
 

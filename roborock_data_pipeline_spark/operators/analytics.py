@@ -1009,3 +1009,82 @@ def q_top_spenders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spend",
         F.rank().over(rw).alias("spend_rank"),
     ).where(F.col("spend_rank") <= 3)
+
+
+@query(
+    "q_growth_accounting",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+        FROM events),
+    lagged AS (
+        SELECT user_id, week,
+               LAG(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week
+        FROM wk),
+    classed AS (
+        SELECT week,
+               SUM(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_new,
+               SUM(CASE WHEN prev_week = week - 7 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_retained,
+               SUM(CASE WHEN prev_week IS NOT NULL AND prev_week < week - 7
+                        THEN 1 ELSE 0 END)::BIGINT AS n_resurrected,
+               COUNT(*)::BIGINT AS n_active
+        FROM lagged GROUP BY week)
+    SELECT strftime(week, '%Y-%m-%d') AS week,
+           n_new, n_retained, n_resurrected, n_active,
+           COALESCE(LAG(n_active) OVER (ORDER BY week), 0) - n_retained
+               AS n_churned
+    FROM classed
+    ORDER BY week
+    """,
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting — every active user classified as
+    new / retained / resurrected, plus the churn complement
+    (last week's actives who didn't return): the decomposition
+    behind 'is growth new users or resurrection'.
+
+    The distinct (user, week) projection is the only full-data
+    shuffle; the per-user lag window runs on that user-week table
+    (≤1 row per user-week), and the final classification collapses
+    to |weeks| rows — the churn lag window is over that tiny table.
+    All counts are integers end-to-end: parity is exact, no
+    rounding anywhere."""
+    ev = load(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    lagged = wk.select(
+        "user_id", "week", F.lag("week").over(w).alias("prev_week")
+    )
+    classed = lagged.groupBy("week").agg(
+        F.sum(F.when(F.col("prev_week").isNull(), 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(
+            F.when(F.col("prev_week") == F.date_sub("week", 7), 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (F.col("prev_week") < F.date_sub("week", 7)),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+        F.count("*").alias("n_active"),
+    )
+    cw = Window.orderBy("week")
+    return classed.select(
+        F.date_format("week", "yyyy-MM-dd").alias("week"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_active",
+        (
+            F.coalesce(F.lag("n_active").over(cw), F.lit(0))
+            - F.col("n_retained")
+        ).alias("n_churned"),
+    ).orderBy("week")

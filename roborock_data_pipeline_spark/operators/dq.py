@@ -290,3 +290,71 @@ def q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl"))
         .orderBy("source")
     )
+
+
+PSI_EDGES = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+PSI_EPS = 1e-6
+
+
+@query(
+    "q_numeric_drift",
+    oracle=f"""
+    WITH binned AS (
+        SELECT event_type,
+               len(list_filter({PSI_EDGES!r}::DOUBLE[],
+                               x -> value > x)) AS bin
+        FROM events),
+    per_type AS (
+        SELECT event_type, bin, COUNT(*)::DOUBLE AS n
+        FROM binned GROUP BY 1, 2),
+    tt AS (SELECT event_type, SUM(n) AS tn FROM per_type GROUP BY 1),
+    corpus AS (
+        SELECT bin, SUM(n) AS cn FROM per_type GROUP BY bin),
+    ct AS (SELECT SUM(cn) AS ctot FROM corpus)
+    SELECT p.event_type,
+           ROUND(SUM((GREATEST(p.n / t.tn, {PSI_EPS})
+                      - GREATEST(c.cn / x.ctot, {PSI_EPS}))
+                     * LN(GREATEST(p.n / t.tn, {PSI_EPS})
+                          / GREATEST(c.cn / x.ctot, {PSI_EPS}))), 6) AS psi
+    FROM per_type p
+    JOIN tt t USING (event_type)
+    JOIN corpus c USING (bin)
+    CROSS JOIN ct x
+    GROUP BY p.event_type
+    ORDER BY p.event_type
+    """,
+)
+def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each event type's value
+    distribution against the pooled corpus — the numeric twin of
+    q_lang_drift (categorical KL): the alert that one event family's
+    metric quietly shifted regime.
+
+    Binning is a pure-codegen filter-count against a literal edge
+    array (in production the edges come from last month's
+    approx-percentiles — a 9-row broadcast); everything after the
+    one groupBy runs on |types|×|bins| rows with broadcast marginals.
+    The ε-floor is the standard PSI guard for empty cells, applied
+    identically in both engines so parity is exact."""
+    ev = load(spark, sf_dir, "events")
+    edges = F.array(*[F.lit(e) for e in PSI_EDGES])
+    binned = ev.select(
+        "event_type",
+        F.size(F.filter(edges, lambda x: F.col("value") > x)).alias("bin"),
+    )
+    per_type = binned.groupBy("event_type", "bin").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    tt = per_type.groupBy("event_type").agg(F.sum("n").alias("tn"))
+    corpus = per_type.groupBy("bin").agg(F.sum("n").alias("cn"))
+    ct = corpus.agg(F.sum("cn").alias("ctot"))
+    p = F.greatest(F.col("n") / F.col("tn"), F.lit(PSI_EPS))
+    q = F.greatest(F.col("cn") / F.col("ctot"), F.lit(PSI_EPS))
+    return (
+        per_type.join(F.broadcast(tt), "event_type")
+        .join(F.broadcast(corpus), "bin")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("event_type")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+        .orderBy("event_type")
+    )
