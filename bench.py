@@ -111,6 +111,7 @@ HEADLINE = [
     "q_source_overlap",
     "q_numeric_drift",
     "q_growth_accounting",
+    "q_containment_pairs",
 ]
 
 

@@ -424,3 +424,94 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hamming"),
         )
     )
+
+
+CONTAIN_T = 0.8
+CONTAIN_MIN_SH = 5
+
+
+@query(
+    "q_containment_pairs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), t AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM d
+    ), s AS (SELECT * FROM t WHERE len(sh) >= {CONTAIN_MIN_SH})
+    SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+           len(a.sh)::BIGINT AS n_inner,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh), 4) AS containment
+    FROM s a JOIN s b ON a.doc_id != b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(a.sh) >= {CONTAIN_T}
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+: directional shingle containment — |A∩B| / |A| ≥ 0.8
+    flags document A as (near-)contained in B: quotes, excerpts, and
+    boilerplate supersets that symmetric jaccard structurally misses
+    (a 50-shingle doc inside a 500-shingle doc has jaccard ≤ 0.1 but
+    containment 1.0).
+
+    Same inverted-index physical strategy as q_near_dup_jaccard
+    (posting self-join on hashed shingles; the co-occurrence count IS
+    the intersection) but WITHOUT the length-ratio block — asymmetric
+    pairs are the point. The posting join bounds work by posting-list
+    sizes (Σ|posting|², max posting ~25 here), never |docs|²; tiny
+    docs (<5 shingles) are dropped — every 3-shingle of a 4-shingle
+    doc appearing anywhere would flag it. At 100 TB the same guard +
+    a df(shingle) ceiling (drop stop-shingles, as q_boilerplate_
+    segments does) keeps posting lists bounded."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", hashed_shingles(F.col("text"), 3).alias("sh")
+    ).withColumn("n", F.size("sh")).where(F.col("n") >= CONTAIN_MIN_SH)
+    posting = t.select("doc_id", "n", F.explode("sh").alias("s")).persist()
+    a, b = posting.alias("a"), posting.alias("b")
+    # intersection once per UNORDERED pair (halves the posting-join
+    # output vs a != join); both directions unfold from the tiny
+    # aggregated pair table below
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").cast("double").alias("inter"))
+    )
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("inner_doc"),
+                    F.col("doc_b").alias("outer_doc"),
+                    F.col("n_a").alias("n_inner"),
+                    F.col("inter"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("inner_doc"),
+                    F.col("doc_a").alias("outer_doc"),
+                    F.col("n_b").alias("n_inner"),
+                    F.col("inter"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    cont = F.col("inter") / F.col("n_inner")
+    return both.where(cont >= CONTAIN_T).select(
+        "inner_doc",
+        "outer_doc",
+        F.col("n_inner").cast("long").alias("n_inner"),
+        F.round(cont, 4).alias("containment"),
+    )
