@@ -55,6 +55,20 @@ WAREHOUSE_TABLES: dict[str, T.StructType] = {
         T.StructField("event_id", T.LongType(), False),
         T.StructField("is_delete", T.BooleanType(), False),
     ]),
+    # streaming trending leaderboard (streaming/trending.py):
+    # per-batch delta counts + the ranked snapshot derived from them
+    "trending_deltas": T.StructType([
+        T.StructField("win", T.TimestampType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("batch_id", T.LongType(), False),
+    ]),
+    "trending_board": T.StructType([
+        T.StructField("window_start", T.StringType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+        T.StructField("rnk", T.IntegerType(), False),
+    ]),
 }
 
 

@@ -451,3 +451,66 @@ def test_stream_left_outer_attribution(spark):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_trending_stream_accumulates_across_batches(spark, tmp_path):
+    """foreachBatch leaderboard: delta counts merge additively across
+    micro-batches (an hour window split over two batches ranks on the
+    COMBINED count), and the published board equals the one-shot
+    leaderboard over all events."""
+    from roborock_data_pipeline_spark.streaming.trending import (
+        leaderboard,
+        read_board,
+        trending_stream,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string"
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    batch1 = [
+        (1, _ts(1, 8, 5), "view"),
+        (2, _ts(1, 8, 10), "view"),
+        (3, _ts(1, 8, 15), "click"),
+        (4, _ts(1, 8, 20), "click"),
+        (5, _ts(1, 8, 25), "purchase"),
+    ]
+    # batch 2 adds 3 purchases INTO THE SAME 08:00 window: purchase
+    # must overtake view/click only if deltas accumulated
+    batch2 = [
+        (6, _ts(1, 8, 40), "purchase"),
+        (7, _ts(1, 8, 45), "purchase"),
+        (8, _ts(1, 8, 50), "purchase"),
+        (9, _ts(1, 9, 5), "signup"),
+    ]
+    import time as _t
+
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    _t.sleep(1.1)  # distinct mtimes → deterministic two-batch split
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    q = trending_stream(stream, ckpt, wh)
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.event_type, r.cnt, r.rnk)
+        for r in read_board(spark, wh).collect()
+    }
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    expected_totals = all_events.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("win"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    expected = {
+        (r.window_start, r.event_type, r.cnt, r.rnk)
+        for r in leaderboard(expected_totals).collect()
+    }
+    assert got == expected
+    # the cross-batch accumulation specifically: purchase leads 08:00
+    assert ("2024-01-01 08:00:00", "purchase", 4, 1) in got
