@@ -1,9 +1,11 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
-"sec", "queries": {name: sec}, "sf": ...}. Each query is forced to
-full execution with the noop sink (no driver collect, no sink I/O —
-pure engine time).
+The FINAL stdout line is the compact headline {"metric", "value",
+"unit", "sf", "n_queries"} (the driver's tail capture keeps only the
+last line, so it must stay small); the full per-query dict prints on
+the preceding line and lands in BENCH_DETAIL.json. Each query is
+forced to full execution with the noop sink (no driver collect, no
+sink I/O — pure engine time).
 """
 
 from __future__ import annotations
@@ -160,17 +162,26 @@ def main() -> None:
         times[name] = round(min(samples), 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    # Per-query detail goes to a side file + a NON-final stdout line;
+    # the driver's tail capture keeps only the last line, so the
+    # compact headline must be last and small (VERDICT r2 #3: the
+    # r2 headline embedded the 87-entry dict, grew >2 KB, and was
+    # truncated to `parsed: null`).
+    detail = {"metric": "headline_queries_total_sec", "value": total,
+              "unit": "sec", "queries": times, "sf": sf}
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    print(json.dumps({"metric": "headline_queries_total_sec",
+                      "value": total, "unit": "sec", "sf": sf,
+                      "n_queries": len(times),
+                      "detail": "BENCH_DETAIL.json"}))
     spark.stop()
 
 

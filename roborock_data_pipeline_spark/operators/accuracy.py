@@ -1,0 +1,278 @@
+"""Accuracy-bound checks for the sketch/ANN/iterative queries
+(VERDICT r2 next-#6).
+
+The eight rows-only queries (`q_approx_distinct`, `q_hll_daily_users`,
+`q_approx_percentiles`, `q_dedup_minhash`, `q_dedup_simhash`,
+`q_similarity_lsh`, `q_similarity_ivf`, `q_kmeans_clusters`) can never
+hash-match an ANSI oracle — their raw outputs are engine-specific by
+construction. What IS oracle-expressible is the *accuracy contract*
+each one carries: estimate-within-bound of an exact twin, recall
+against ground truth, or a partition invariant. Each check below runs
+the sketch AND its exact twin in one Spark job, reduces to
+(exact-valued columns + within-bound booleans), and pairs with a
+DuckDB oracle that computes the same exact values and expects the
+booleans true — so the driver's hash compare becomes a first-class
+accuracy gate instead of a weak rows-only count.
+
+Bounds mirror the pytest suite (test_dedup.py, test_functions.py,
+test_similarity.py) with slack for scale-factor variation; each is
+also verified empirically at sf0.001 / sf0.01 / sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark import registry
+from roborock_data_pipeline_spark.operators import dedup as _dedup  # registers
+from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources.tables import load
+
+# Wrap the exact-jaccard oracle (the ground-truth pair set) for the
+# minhash recall check — shared text, so the definitions cannot drift.
+_JACCARD_ORACLE = registry._REGISTRY["q_near_dup_jaccard"].oracle
+
+
+@query(
+    "q_approx_distinct_check",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_devices_exact,
+           COUNT(DISTINCT event_type) AS n_states_exact,
+           TRUE AS devices_within_2pct,
+           TRUE AS states_within_2pct
+    FROM events
+    """,
+)
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ estimate vs exact distinct, one pass over events: the
+    driver-visible form of test_dedup.py's <=max(2, 2%) bound."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("n_devices_exact"),
+        F.countDistinct("event_type").alias("n_states_exact"),
+        F.approx_count_distinct("user_id", 0.01).alias("ad"),
+        F.approx_count_distinct("event_type", 0.01).alias("ast"),
+    )
+    return agg.select(
+        "n_devices_exact",
+        "n_states_exact",
+        (
+            F.abs(F.col("ad") - F.col("n_devices_exact"))
+            <= F.greatest(F.lit(2.0), 0.02 * F.col("n_devices_exact"))
+        ).alias("devices_within_2pct"),
+        (
+            F.abs(F.col("ast") - F.col("n_states_exact"))
+            <= F.greatest(F.lit(1.0), 0.02 * F.col("n_states_exact"))
+        ).alias("states_within_2pct"),
+    )
+
+
+@query(
+    "q_approx_percentiles_check",
+    oracle="""
+    SELECT COUNT(DISTINCT event_type) AS n_types,
+           TRUE AS all_within_5pct
+    FROM events
+    """,
+)
+def q_approx_percentiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx percentiles vs exact interpolated
+    percentiles per event_type, all groups within max(1.0, 5%)
+    (test_functions.py's bound)."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+        F.percentile_approx("value", 0.5, 10000).alias("a50"),
+        F.percentile_approx("value", 0.9, 10000).alias("a90"),
+    )
+    within = (
+        F.abs(F.col("a50") - F.col("e50"))
+        <= F.greatest(F.lit(1.0), 0.05 * F.abs(F.col("e50")))
+    ) & (
+        F.abs(F.col("a90") - F.col("e90"))
+        <= F.greatest(F.lit(1.0), 0.05 * F.abs(F.col("e90")))
+    )
+    return per.agg(
+        F.count("*").alias("n_types"),
+        F.min(within).alias("all_within_5pct"),
+    )
+
+
+@query(
+    "q_hll_daily_users_check",
+    oracle="""
+    SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+           TRUE AS all_days_within_5pct
+    FROM events
+    """,
+)
+def q_hll_daily_users_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches HLL per-day user estimates vs exact per-day
+    distincts, every day within max(2, 5%)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    within = F.abs(F.col("est") - F.col("exact")) <= F.greatest(
+        F.lit(2.0), 0.05 * F.col("exact")
+    )
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.min(within).alias("all_days_within_5pct"),
+    )
+
+
+@query(
+    "q_dedup_minhash_check",
+    oracle=f"""
+    SELECT COUNT(*) AS n_true_pairs, TRUE AS recall_ok
+    FROM ({_JACCARD_ORACLE})
+    """,
+)
+def q_dedup_minhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH recall against the exact blocked-jaccard pair set:
+    >= 95% of true near-dup pairs must surface as verified candidates
+    (test_dedup.py pins 100% at sf0.001; 32 perms / 16 bands puts the
+    collision floor at ~99% for jaccard 0.5)."""
+    truth = _dedup.q_near_dup_jaccard(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2"
+    )
+    found = _dedup.q_dedup_minhash(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2", F.lit(1).alias("hit")
+    )
+    joined = truth.join(found, ["doc_id_1", "doc_id_2"], "left")
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        (F.count("hit") >= 0.95 * F.count("*")).alias("recall_ok"),
+    )
+
+
+@query(
+    "q_dedup_simhash_check",
+    oracle="""
+    SELECT COUNT(*) AS n_exact_dup_pairs, TRUE AS all_found
+    FROM (SELECT md5(text) AS h, doc_id FROM documents) a
+    JOIN (SELECT md5(text) AS h, doc_id FROM documents) b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completeness on the deterministic core: identical
+    documents have identical simhashes (same block, hamming 0), so
+    every exact-duplicate pair MUST appear in the hamming<=8 output —
+    recall 1.0 by construction, and a regression tripwire for the
+    signature/blocking code."""
+    docs = load(spark, sf_dir, "documents")
+    h = docs.select(F.md5("text").alias("h"), "doc_id")
+    exact_pairs = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+    )
+    found = _dedup.q_dedup_simhash(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2", F.lit(1).alias("hit")
+    )
+    joined = exact_pairs.join(found, ["doc_id_1", "doc_id_2"], "left")
+    return joined.agg(
+        F.count("*").alias("n_exact_dup_pairs"),
+        (F.count("hit") == F.count("*")).alias("all_found"),
+    )
+
+
+def _ann_ratio_check(
+    truth: DataFrame, approx: DataFrame, bound: float
+) -> DataFrame:
+    """(k, ratio_ok): ANN approximation ratio — mean cosine of the ANN
+    top-k vs mean cosine of the exact top-k.
+
+    Exact-id recall is the wrong metric on this corpus: the synthetic
+    embeddings are near-uniform (exact top-10 mean cosine ~0.3), so
+    the true top-k is an essentially arbitrary subset of a large
+    near-tied shell and any partition-based ANN recovers ~the probed
+    fraction of it (measured 0.1-0.6 across SFs — geometry, not
+    implementation). The approximation ratio measures what ANN
+    actually promises — neighbors nearly as close as the exact ones —
+    and sits at 0.78-0.94 across SFs here; bound 0.7."""
+    t = truth.agg(
+        F.count("*").alias("k"), F.avg("cosine").alias("exact_mean")
+    )
+    a = approx.agg(F.avg("cosine").alias("ann_mean"))
+    return t.crossJoin(a).select(
+        "k",
+        (F.col("ann_mean") >= bound * F.col("exact_mean")).alias("ratio_ok"),
+    )
+
+
+@query(
+    "q_similarity_lsh_check",
+    oracle="SELECT CAST(10 AS BIGINT) AS k, TRUE AS ratio_ok",
+)
+def q_similarity_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10 vs brute-force exact top-10: the mean
+    cosine of the returned neighbors must reach 70% of the exact
+    optimum (see _ann_ratio_check for why ratio, not id-recall)."""
+    from roborock_data_pipeline_spark.operators.similarity import (
+        q_similarity_lsh,
+        q_similarity_search,
+    )
+
+    return _ann_ratio_check(
+        q_similarity_search(spark, sf_dir),
+        q_similarity_lsh(spark, sf_dir),
+        bound=0.7,
+    )
+
+
+@query(
+    "q_similarity_ivf_check",
+    oracle="SELECT CAST(10 AS BIGINT) AS k, TRUE AS ratio_ok",
+)
+def q_similarity_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (nprobe=2) top-10 vs brute force, approximation ratio >=
+    0.7 (see _ann_ratio_check)."""
+    from roborock_data_pipeline_spark.operators.similarity import (
+        q_similarity_ivf,
+        q_similarity_search,
+    )
+
+    return _ann_ratio_check(
+        q_similarity_search(spark, sf_dir),
+        q_similarity_ivf(spark, sf_dir),
+        bound=0.7,
+    )
+
+
+@query(
+    "q_kmeans_clusters_check",
+    oracle="""
+    SELECT COUNT(*) AS n_vectors,
+           TRUE AS k_bounded,
+           TRUE AS dists_nonneg
+    FROM embeddings
+    """,
+)
+def q_kmeans_clusters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means partition invariants, driver-checkable: every vector is
+    assigned to exactly one cluster (populations sum to the corpus
+    size — an exact-valued oracle column), at most k clusters emerge,
+    and mean squared distances are non-negative."""
+    from roborock_data_pipeline_spark.operators.clustering import (
+        q_kmeans_clusters,
+    )
+
+    res = q_kmeans_clusters(spark, sf_dir)
+    return res.agg(
+        F.sum("n_points").alias("n_vectors"),
+        (F.count("*") <= 8).alias("k_bounded"),
+        F.min(F.col("avg_sq_dist") >= 0).alias("dists_nonneg"),
+    )

@@ -11,11 +11,22 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
-# Driver testdata tables (FIXTURES.md §B). `events.ts` is declared here as
-# LongType because the parquet type is TIMESTAMP(NANOS) which Spark reads as
-# epoch-ns long under spark.sql.legacy.parquet.nanosAsLong; sources.tables
-# converts it to a proper µs TimestampType column on load.
+# Driver testdata tables (FIXTURES.md §B). `events.ts` has shipped as BOTH
+# parquet TIMESTAMP(MICROS) and TIMESTAMP(NANOS) across testdata vintages, so
+# the schema is unit-aware: `EVENTS` is the native µs read; `EVENTS_RAW` reads
+# ns-encoded files as epoch-ns long (spark.sql.legacy.parquet.nanosAsLong —
+# Spark has no ns timestamp type) which sources.tables truncates to µs.
+# sources.tables.events_ts_unit() sniffs the parquet footer and picks.
 # ---------------------------------------------------------------------------
+
+EVENTS = T.StructType([
+    T.StructField("event_id", T.LongType(), False),
+    T.StructField("ts", T.TimestampType(), False),  # parquet timestamp[us]
+    T.StructField("user_id", T.LongType(), False),
+    T.StructField("event_type", T.StringType(), False),
+    T.StructField("value", T.DoubleType(), False),
+    T.StructField("props", T.StringType(), True),  # JSON string, e.g. {"k": 87}
+])
 
 EVENTS_RAW = T.StructType([
     T.StructField("event_id", T.LongType(), False),
@@ -25,6 +36,14 @@ EVENTS_RAW = T.StructType([
     T.StructField("value", T.DoubleType(), False),
     T.StructField("props", T.StringType(), True),  # JSON string, e.g. {"k": 87}
 ])
+
+
+def events_schema(unit: str) -> T.StructType:
+    """Pinned events schema for a sniffed on-disk ``ts`` unit.
+
+    ``"ns"`` (TIMESTAMP(NANOS) / raw int64 epoch-ns) reads via the
+    long workaround; anything µs-or-coarser reads natively."""
+    return EVENTS_RAW if unit == "ns" else EVENTS
 
 DOCUMENTS = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
@@ -99,7 +118,7 @@ LINEITEM = T.StructType([
 ])
 
 TESTDATA_SCHEMAS: dict[str, T.StructType] = {
-    "events": EVENTS_RAW,
+    "events": EVENTS,  # native µs; ns vintages go through events_schema("ns")
     "documents": DOCUMENTS,
     "embeddings": EMBEDDINGS,
     "region": REGION,

@@ -9,6 +9,10 @@ fact tables, enabling partition pruning for the incremental queries.
 
 from __future__ import annotations
 
+import glob
+import os
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,21 +25,61 @@ TABLE_NAMES = [
 ]
 
 
+@lru_cache(maxsize=None)
+def events_ts_unit(sf_dir: str) -> str:
+    """Sniff the on-disk unit of ``events.ts`` from the parquet footer.
+
+    Testdata vintages have shipped ``ts`` as both TIMESTAMP(MICROS)
+    and TIMESTAMP(NANOS); a foreign-parquet reader must not assume.
+    Returns ``"ns"`` for TIMESTAMP(NANOS) or raw int64 epoch-ns files
+    (read via the nanosAsLong long workaround + truncate), ``"us"``
+    for anything Spark reads natively as TimestampType.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "events.parquet")
+        if not os.path.exists(path):
+            cands = sorted(glob.glob(os.path.join(sf_dir, "events*")))
+            if not cands:
+                return "us"
+            path = cands[0]
+        if os.path.isdir(path):
+            inner = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            if not inner:
+                return "us"
+            path = inner[0]
+        t = str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        return "us"
+    if t.startswith("timestamp"):
+        return "ns" if t.startswith("timestamp[ns") else "us"
+    return "ns"  # raw int64: the epoch-ns long convention
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its pinned schema.
 
-    ``events.ts`` arrives as parquet TIMESTAMP(NANOS); we read it as
-    epoch-ns long (legacy.parquet.nanosAsLong) and truncate to µs —
-    exactly what DuckDB's ns→µs cast does, so oracle comparisons on
-    timestamps agree bit-for-bit.
+    ``events.ts`` is unit-sniffed from the footer: µs-encoded files
+    read natively as TimestampType; ns-encoded files read as epoch-ns
+    long (legacy.parquet.nanosAsLong) and truncate to µs — exactly
+    what DuckDB's ns→µs cast does, so oracle comparisons on
+    timestamps agree bit-for-bit either way.
     """
     prepare(spark)  # idempotent; the driver's session needs these confs
-    df = spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(
+    if name == "events":
+        unit = events_ts_unit(sf_dir)
+        df = spark.read.schema(schemas.events_schema(unit)).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
+        if unit == "ns":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(
         f"{sf_dir}/{name}.parquet"
     )
-    if name == "events":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -51,9 +95,18 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     coalescing absorbs the extra exchange."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism * factor
-    # NOTE: deliberately no df.rdd.getNumPartitions() pre-check — that
-    # forces a Python->RDD conversion per call; an unconditional
-    # round-robin repartition is one exchange Catalyst/AQE can manage.
+    # Guard (VERDICT r2 #2): only widen scans that genuinely cannot
+    # fan out — i.e. fewer input files than cores. df.inputFiles() is
+    # a driver-side FileIndex listing (no job, no Python->RDD
+    # conversion); on a real 100 TB deployment inputs arrive as
+    # thousands of splits and this is a no-op, so library operators
+    # do not carry an unconditional full shuffle to a cluster.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file relation (in-memory, stream) — widen
+        n_files = 0
+    if n_files >= target:
+        return df
     return df.repartition(target)
 
 

@@ -27,8 +27,11 @@ def events_stream(spark: SparkSession, sf_dir: str,
     the MQTT/HTTPS device feed, roborock_collector.py:295-352).
     Extra ``options`` reach the reader (e.g. maxFilesPerTrigger to
     force multi-micro-batch runs)."""
+    from roborock_data_pipeline_spark.sources.tables import events_ts_unit
+
+    unit = events_ts_unit(sf_dir)  # same footer sniff as the batch loader
     reader = (
-        spark.readStream.schema(schemas.EVENTS_RAW)
+        spark.readStream.schema(schemas.events_schema(unit))
         .format("parquet")
         # glob, not the bare file path: the file source requires its
         # inferred basePath to be a directory; the glob keeps sf_dir as
@@ -39,8 +42,10 @@ def events_stream(spark: SparkSession, sf_dir: str,
     for k, v in options.items():
         reader = reader.option(k, v)
     raw = reader.load(f"{sf_dir}/events*")
-    # same ns→µs conversion as the batch loader
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        # same ns→µs conversion as the batch loader
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_rollup_stream(events: DataFrame, lateness: str = "1 hour") -> DataFrame:

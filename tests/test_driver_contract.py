@@ -10,6 +10,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+def test_events_ts_vintage(spark, sf_dir):
+    """Testdata-vintage regression gate (VERDICT r2 #1/#2): the driver
+    has shipped events.ts as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS);
+    whichever vintage is on disk, the loaded column must land in the
+    synthetic-data epoch (2024, 30 distinct days at every SF). Round 2
+    lost 35 queries to a silent unit mismatch that this catches."""
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.sources import tables
+
+    events = tables.load(spark, sf_dir, "events")
+    assert str(events.schema["ts"].dataType) == "TimestampType()"
+    r = events.agg(
+        F.year(F.min("ts")).alias("y_min"),
+        F.year(F.max("ts")).alias("y_max"),
+        F.countDistinct(F.to_date("ts")).alias("days"),
+    ).collect()[0]
+    assert r.y_min == 2024 and r.y_max == 2024, (
+        f"events.ts out of epoch ({r.y_min}-{r.y_max}): ts unit misread "
+        f"(sniffed {tables.events_ts_unit(sf_dir)!r})"
+    )
+    assert r.days == 30
+
+
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -19,7 +43,7 @@ def test_entry_returns_rows(spark):
 def test_queries_and_oracles_align(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 88
+    assert len(qs) >= 144
     assert set(oracles) <= set(qs)
     # every callable takes (spark, sf_dir); every oracle is non-empty SQL
     assert all(callable(fn) for fn in qs.values())

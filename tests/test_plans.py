@@ -78,7 +78,7 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
         # vectorized-kernel pattern (heavy_hitters' exact-recount
         # phase stays JVM-side).
         if name in ("q_multimodal_features", "q_heavy_hitters",
-                    "q_kmeans_clusters"):
+                    "q_kmeans_clusters", "q_kmeans_clusters_check"):
             continue
         plan = plan_string(spec.fn(spark, sf_dir))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
@@ -283,3 +283,32 @@ def test_trending_ranks_aggregate_not_events(spark, sf_dir):
     plan = plan_string(q_trending(spark, sf_dir))
     assert _n_nodes(plan, "HashAggregate") == 2  # partial + final only
     assert "Window" in plan
+
+
+def test_spread_is_noop_on_multisplit_input(spark, sf_dir, tmp_path):
+    """VERDICT r2 #2: spread() must not carry an unconditional full
+    shuffle to a real cluster. When the scan already has >= cores
+    input files, q_embedding_near_dup / q_multimodal_features plans
+    contain no round-robin exchange; on the single-file local
+    testdata, spread still widens."""
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        q_multimodal_features,
+    )
+    from roborock_data_pipeline_spark.operators.similarity import (
+        q_embedding_near_dup,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    par = spark.sparkContext.defaultParallelism
+    multi = str(tmp_path / "multisplit")
+    for name in ("documents", "embeddings"):
+        load(spark, sf_dir, name).repartition(par).write.parquet(
+            f"{multi}/{name}.parquet"
+        )
+
+    for q in (q_embedding_near_dup, q_multimodal_features):
+        assert "RoundRobinPartitioning" not in plan_string(q(spark, multi)), (
+            f"{q.__name__}: spread() shuffled a {par}-split input"
+        )
+        # single-file local read: spread must still fan the work out
+        assert "RoundRobinPartitioning" in plan_string(q(spark, sf_dir))
