@@ -114,6 +114,19 @@ HEADLINE = [
     "q_numeric_drift",
     "q_growth_accounting",
     "q_containment_pairs",
+    # round-3 additions: warehouse shapes IV, Q2-essence argmin,
+    # winnowing fingerprints, sketch accuracy gates
+    "q_tpch_q7_shape",
+    "q_tpch_q12_shape",
+    "q_tpch_q14_shape",
+    "q_tpch_q17_shape",
+    "q_tpch_q19_shape",
+    "q_tpch_q22_shape",
+    "q_cheapest_supplier",
+    "q_winnow_fingerprint",
+    "q_approx_distinct_check",
+    "q_hll_daily_users_check",
+    "q_similarity_ivf_check",
 ]
 
 

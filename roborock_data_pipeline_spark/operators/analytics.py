@@ -1088,3 +1088,365 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("n_retained")
         ).alias("n_churned"),
     ).orderBy("week")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 warehouse shapes: Q7 (two dim paths onto one fact + disjunctive
+# pair predicate), Q12 (conditional-count buckets), Q14 (conditional share),
+# Q17 (correlated per-group average join-back), Q19 (disjunctive bracket
+# pushdown), Q22 (scalar-subquery gate + anti join), Q2-ish argmin.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q7_shape",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate <= TIMESTAMP '1996-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bidirectional trade volume
+    between two nations by ship year.
+
+    Two independent dimension paths (supplier-nation, customer-nation)
+    land on one fact pass; the disjunctive pair predicate can only be
+    applied after both paths join, so the plan quality question is
+    whether the fact is scanned once and both nation joins broadcast —
+    nation is 25 rows, both sides broadcast; the date filter pushes to
+    the lineitem scan."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n1 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q12_shape",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN '0-30'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN '31-90'
+                ELSE '90+' END AS latency_bucket,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping latency vs priority): order-to-ship
+    latency buckets × priority class counts — the conditional-count
+    aggregation pattern (SUM(CASE ...)) over one fact-fact join.
+
+    The join carries only (orderkey, orderpriority, orderdate); the
+    bucket expression is computed map-side post-join, so the single
+    shuffle key is the join key and the aggregate is partial-agg
+    friendly (3 groups)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(lat <= 30, "0-30")
+            .when(lat <= 90, "31-90")
+            .otherwise("90+")
+            .alias("latency_bucket")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14_shape",
+    oracle="""
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): promo revenue share per
+    ship month — conditional-sum ratio over a broadcast part join.
+
+    part is the small side (broadcast); the ratio is computed from two
+    partial-agg-friendly sums in ONE pass — never two scans or a
+    self-join of the aggregate."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q17_shape",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey, AVG(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand AS brand,
+           COUNT(*) AS n_small,
+           ROUND(SUM(l.l_extendedprice), 2) AS small_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+      AND l.l_quantity < 0.5 * pq.avg_qty
+    GROUP BY 1
+    """,
+)
+def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems below
+    half their part's average quantity, for two brands.
+
+    The correlated per-part average becomes a part-keyed aggregate
+    joined back onto the fact (broadcast at this cardinality — the
+    aggregate has |parts| rows, tiny next to the fact); the brand
+    filter rides the broadcast part join. One fact scan feeds both the
+    average build and the probe at warehouse scale via exchange reuse
+    or a cheap double scan — never a per-row subquery."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pq), li.l_partkey == F.col("pq_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q19_shape",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q_tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive brackets):
+    three OR'd (brand, size-range, quantity-range) brackets across the
+    part join.
+
+    The pure-part conjuncts (brand+size per bracket, OR'd) are
+    derivable and push to the part scan; the mixed part×lineitem
+    disjunction evaluates post-join. Single fact pass, broadcast
+    part."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    bracket = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22_shape",
+    oracle="""
+    WITH ab AS (
+        SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-customer identification): customers
+    with above-average balance and no recent orders, summarized per
+    nation.
+
+    The global average is a one-row aggregate broadcast as a cross
+    join (never a collect); the NOT EXISTS is a broadcast-able LEFT
+    ANTI against the date-filtered orders projection — the date filter
+    pushes into the orders scan so the anti build side is small."""
+    c = load(spark, sf_dir, "customer")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q_cheapest_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS unit_cost_cents
+        FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+        SELECT l_partkey, l_suppkey, unit_cost_cents,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost_cents, l_suppkey) AS rk
+        FROM cost
+    )
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey, unit_cost_cents
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 essence (min-cost supplier per part) on the available
+    tables: per (part, supplier) average unit price, argmin per part
+    with deterministic supplier tie-break.
+
+    The unit cost is integer-exact (total cents div total units):
+    float AVG partial-aggregation order differs between engines and
+    flips the 4th decimal on ~1/200 parts — integer arithmetic is
+    associative, so the argmin is reproducible everywhere.
+
+    Two-level aggregate then ONE window over the (part × supplier)
+    aggregate — cardinality |parts|×|suppliers-per-part|, thousands of
+    times smaller than the fact — never a window over raw lineitem.
+    The groupBy and the window share the part key, so the window
+    reuses the aggregate's partitioning (no second exchange of note)."""
+    li = load(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr(
+            "sum(cast(round(l_extendedprice * 100) as bigint))"
+            " div sum(cast(l_quantity as bigint))"
+        ).alias("unit_cost_cents")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost_cents", "l_suppkey")
+    return (
+        cost.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "unit_cost_cents",
+        )
+    )

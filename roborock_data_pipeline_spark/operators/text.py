@@ -430,3 +430,69 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> md5(array_to_string(w[i:i+2], ' '))) AS hs
+        FROM s
+    ), mins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(hs) - 3, 1) + 1),
+                   i -> list_min(hs[i:i+3]))) AS fps
+        FROM sh
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           md5(array_to_string(list_sort(fps), '|')) AS fp_digest
+    FROM mins
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1++/L4: winnowing document fingerprints (Schleimer et al.,
+    MOSS) — the rolling local-minimum fingerprint scheme: hash every
+    3-word shingle (md5 — portable across engines, unlike xxhash64),
+    slide a window of 4 consecutive shingle hashes, keep each
+    window's minimum; the distinct minima are the document's
+    fingerprint set (guaranteed match coverage for any shared run
+    >= w+k-1 words, ~1/w the storage of full shingling).
+
+    Spark shape for 100 TB: shingle hashing is map-only (transform
+    over the token array); the rolling minimum is ONE window over
+    (doc_id, pos) and the fingerprint collapse is a groupBy on the
+    same doc_id key, so the sort-shuffle is paid once and reused —
+    never a per-window self-join. The digest column makes the whole
+    set hash-comparable; the count feeds dedup-pair budgets."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
+            " i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+        ).alias("hs"),
+    )
+    posed = sh.select(
+        "doc_id", F.size("hs").alias("n"),
+        F.posexplode("hs").alias("pos", "h"),
+    )
+    wmin = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    )
+    full_windows = F.col("pos") <= F.greatest(F.col("n") - 4, F.lit(0))
+    mins = (
+        posed.withColumn("mh", F.min("h").over(wmin))
+        .where(full_windows)
+    )
+    return mins.groupBy("doc_id").agg(
+        F.size(F.collect_set("mh")).cast("long").alias("n_fingerprints"),
+        F.md5(
+            F.concat_ws("|", F.array_sort(F.collect_set("mh")))
+        ).alias("fp_digest"),
+    )

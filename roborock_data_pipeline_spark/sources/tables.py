@@ -15,6 +15,7 @@ from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from roborock_data_pipeline_spark import schemas
 from roborock_data_pipeline_spark.session import prepare
@@ -25,61 +26,95 @@ TABLE_NAMES = [
 ]
 
 
-@lru_cache(maxsize=None)
-def events_ts_unit(sf_dir: str) -> str:
-    """Sniff the on-disk unit of ``events.ts`` from the parquet footer.
+def _first_parquet_file(sf_dir: str, name: str) -> str | None:
+    """One physical parquet file for the table — file, directory, or
+    glob layout."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        cands = sorted(glob.glob(os.path.join(sf_dir, f"{name}*")))
+        if not cands:
+            return None
+        path = cands[0]
+    if os.path.isdir(path):
+        inner = sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        return inner[0] if inner else None
+    return path
 
-    Testdata vintages have shipped ``ts`` as both TIMESTAMP(MICROS)
-    and TIMESTAMP(NANOS); a foreign-parquet reader must not assume.
-    Returns ``"ns"`` for TIMESTAMP(NANOS) or raw int64 epoch-ns files
-    (read via the nanosAsLong long workaround + truncate), ``"us"``
-    for anything Spark reads natively as TimestampType.
+
+@lru_cache(maxsize=None)
+def ns_timestamp_cols(sf_dir: str, name: str) -> tuple[str, ...]:
+    """Pinned-TimestampType columns stored ns-encoded on disk.
+
+    Testdata vintages have shipped ``events.ts`` as both
+    TIMESTAMP(MICROS) and TIMESTAMP(NANOS); a foreign-parquet reader
+    must sniff the footer, never assume (round 2 lost 35 queries to
+    exactly that). Checked for EVERY pinned timestamp column —
+    ``orders.o_orderdate`` / ``lineitem.l_shipdate`` could drift
+    vintage the same way. A column counts as ns when the footer says
+    TIMESTAMP(NANOS) (Spark refuses it without the nanosAsLong long
+    workaround) or raw int64 (the epoch-ns long convention of the
+    streaming fixtures); µs/ms columns read natively.
     """
+    pinned = schemas.TESTDATA_SCHEMAS.get(name)
+    if pinned is None:
+        return ()
+    ts_cols = [
+        f.name for f in pinned.fields if isinstance(f.dataType, T.TimestampType)
+    ]
+    if not ts_cols:
+        return ()
     try:
         import pyarrow.parquet as pq
 
-        path = os.path.join(sf_dir, "events.parquet")
-        if not os.path.exists(path):
-            cands = sorted(glob.glob(os.path.join(sf_dir, "events*")))
-            if not cands:
-                return "us"
-            path = cands[0]
-        if os.path.isdir(path):
-            inner = sorted(
-                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-            )
-            if not inner:
-                return "us"
-            path = inner[0]
-        t = str(pq.read_schema(path).field("ts").type)
+        path = _first_parquet_file(sf_dir, name)
+        if path is None:
+            return ()
+        footer = pq.read_schema(path)
+        out = []
+        for c in ts_cols:
+            t = str(footer.field(c).type)
+            if t.startswith("timestamp[ns") or not t.startswith("timestamp"):
+                out.append(c)
+        return tuple(out)
     except Exception:
-        return "us"
-    if t.startswith("timestamp"):
-        return "ns" if t.startswith("timestamp[ns") else "us"
-    return "ns"  # raw int64: the epoch-ns long convention
+        return ()
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Unit of ``events.ts`` on disk: ``"ns"`` or ``"us"`` (see
+    ns_timestamp_cols)."""
+    return "ns" if "ts" in ns_timestamp_cols(sf_dir, "events") else "us"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with its pinned schema.
 
-    ``events.ts`` is unit-sniffed from the footer: µs-encoded files
-    read natively as TimestampType; ns-encoded files read as epoch-ns
-    long (legacy.parquet.nanosAsLong) and truncate to µs — exactly
-    what DuckDB's ns→µs cast does, so oracle comparisons on
+    Timestamp columns are unit-sniffed from the footer: µs-encoded
+    files read natively as TimestampType; ns-encoded files read as
+    epoch-ns long (legacy.parquet.nanosAsLong) and truncate to µs —
+    exactly what DuckDB's ns→µs cast does, so oracle comparisons on
     timestamps agree bit-for-bit either way.
     """
     prepare(spark)  # idempotent; the driver's session needs these confs
-    if name == "events":
-        unit = events_ts_unit(sf_dir)
-        df = spark.read.schema(schemas.events_schema(unit)).parquet(
-            f"{sf_dir}/{name}.parquet"
-        )
-        if unit == "ns":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.schema(schemas.TESTDATA_SCHEMAS[name]).parquet(
-        f"{sf_dir}/{name}.parquet"
-    )
+    base = schemas.TESTDATA_SCHEMAS[name]
+    ns_cols = ns_timestamp_cols(sf_dir, name)
+    if ns_cols:
+        read_schema = T.StructType([
+            T.StructField(
+                f.name,
+                T.LongType() if f.name in ns_cols else f.dataType,
+                f.nullable,
+            )
+            for f in base.fields
+        ])
+    else:
+        read_schema = base
+    df = spark.read.schema(read_schema).parquet(f"{sf_dir}/{name}.parquet")
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -34,6 +34,37 @@ def test_events_ts_vintage(spark, sf_dir):
     assert r.days == 30
 
 
+def test_events_ns_vintage_roundtrip(spark, sf_dir, tmp_path):
+    """The ns branch keeps working even though current testdata is µs:
+    a TIMESTAMP(NANOS) copy of the events table must load to the same
+    µs timestamps as the native file (DuckDB-truncation semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.sources import tables
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = t.schema.get_field_index("ts")
+    t_ns = t.set_column(
+        idx, "ts", t.column("ts").cast(pa.timestamp("ns"))
+    )
+    ns_dir = str(tmp_path / "nsvintage")
+    import os
+
+    os.makedirs(ns_dir)
+    pq.write_table(t_ns, f"{ns_dir}/events.parquet", store_schema=False)
+    assert tables.events_ts_unit(ns_dir) == "ns"
+
+    native = tables.load(spark, sf_dir, "events").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).collect()[0]
+    vintage = tables.load(spark, ns_dir, "events").agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).collect()[0]
+    assert (native.mn, native.mx) == (vintage.mn, vintage.mx)
+
+
 def test_entry_returns_rows(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
@@ -43,7 +74,7 @@ def test_entry_returns_rows(spark):
 def test_queries_and_oracles_align(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 144
+    assert len(qs) >= 152
     assert set(oracles) <= set(qs)
     # every callable takes (spark, sf_dir); every oracle is non-empty SQL
     assert all(callable(fn) for fn in qs.values())

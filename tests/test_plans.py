@@ -312,3 +312,81 @@ def test_spread_is_noop_on_multisplit_input(spark, sf_dir, tmp_path):
         )
         # single-file local read: spread must still fan the work out
         assert "RoundRobinPartitioning" in plan_string(q(spark, sf_dir))
+
+
+def test_q7_broadcasts_both_nation_paths(spark, sf_dir):
+    """Q7: one lineitem pass, every join broadcast at this scale, both
+    nation dims broadcast, ship-date filter pushed to the fact scan."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q7_shape
+
+    df = q_tpch_q7_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert "SortMergeJoin" not in plan
+    assert _n_nodes(plan, "BroadcastHashJoin") == 5
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_q12_single_join_key_shuffle(spark, sf_dir):
+    """Q12: the conditional-count agg is partial+final over ONE
+    broadcast join; the latency bucket never becomes a shuffle key of
+    the raw fact."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q12_shape
+
+    plan = plan_string(q_tpch_q12_shape(spark, sf_dir))
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q14_ratio_is_one_pass(spark, sf_dir):
+    """Q14: promo share = two conditional sums in ONE aggregate pair —
+    no self-join of the aggregate, part broadcast."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q14_shape
+
+    plan = plan_string(q_tpch_q14_shape(spark, sf_dir))
+    assert _n_nodes(plan, "HashAggregate") == 2  # partial + final
+    assert _n_nodes(plan, "BroadcastHashJoin") == 1
+
+
+def test_q17_average_joins_back_broadcast(spark, sf_dir):
+    """Q17: the per-part average is an aggregate joined back broadcast
+    — never a correlated per-row subquery or an SMJ of the fact."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q17_shape
+
+    plan = plan_string(q_tpch_q17_shape(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert _n_nodes(plan, "BroadcastHashJoin") == 2
+
+
+def test_q22_anti_join_is_broadcast(spark, sf_dir):
+    """Q22: NOT EXISTS on recent orders plans as a broadcast anti
+    join; the order-date filter pushes into the build-side scan."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q22_shape
+
+    df = q_tpch_q22_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin LeftAnti".lower().replace(" ", "") in plan.lower().replace(" ", "") or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+    assert "o_orderdate" in pushed_filters(df)
+
+
+def test_cheapest_supplier_windows_aggregate_not_fact(spark, sf_dir):
+    """Q2 essence: the argmin window runs over the (part, supplier)
+    aggregate — the plan has the agg pair BELOW the window and only
+    the agg + window exchanges, never a window sort of raw lineitem."""
+    from roborock_data_pipeline_spark.operators.analytics import q_cheapest_supplier
+
+    plan = plan_string(q_cheapest_supplier(spark, sf_dir))
+    assert _n_nodes(plan, "Window") == 1
+    assert plan.index("Window") < plan.index("Scan parquet")  # tree prints top-down
+    assert _n_nodes(plan, "Exchange") <= 2
+
+
+def test_winnow_reuses_doc_partitioning(spark, sf_dir):
+    """Winnowing: the rolling-min window and the fingerprint collapse
+    share the doc_id key — exactly ONE exchange in the whole plan."""
+    from roborock_data_pipeline_spark.operators.text import q_winnow_fingerprint
+
+    plan = plan_string(q_winnow_fingerprint(spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "Window") == 1
