@@ -127,6 +127,7 @@ HEADLINE = [
     "q_approx_distinct_check",
     "q_hll_daily_users_check",
     "q_similarity_ivf_check",
+    "q_media_frames",
 ]
 
 

@@ -184,3 +184,151 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.max("meta.n_bytes").alias("max_bytes"),
     )
+
+
+RESIZE_W, RESIZE_H = 8, 8  # fake-resize target (w*h output bytes)
+FRAME_CHUNK = 64  # bytes per synthetic "frame"
+FRAME_EVERY_N = 3  # keep every Nth frame
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 *, fake: bool = True) -> DataFrame:
+    """L5 image-op plumbing, real end to end: Arrow batches of
+    (doc_id, media, fmt) in → (doc_id, media, width, height) out,
+    with `media` resized to exactly width*height bytes.
+
+    The fake path (codec-free container) is a deterministic strided
+    byte resample — index i reads source byte (i*len)//(w*h), the
+    nearest-neighbor downsample a real resizer performs per channel —
+    so the batch shape, schema, and vectorization are exactly what a
+    PIL-backed implementation drops into (see resize_image for the
+    gated real path)."""
+    import numpy as np
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ])
+    n_out = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for m in pdf["media"]:
+                if fake:
+                    src = np.frombuffer(m, dtype=np.uint8)
+                    if len(src) == 0:
+                        out.append(bytes(n_out))
+                        continue
+                    idx = (np.arange(n_out, dtype=np.int64) * len(src)) // n_out
+                    out.append(src[idx].tobytes())
+                else:  # pragma: no cover - codec not in this container
+                    out.append(resize_image(bytes(m), width, height))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": out,
+                "width": np.full(len(pdf), width, dtype="int32"),
+                "height": np.full(len(pdf), height, dtype="int32"),
+            })
+
+    return df.select("doc_id", "media").mapInPandas(_resize, schema=out_schema)
+
+
+def sample_media_frames(df: DataFrame, chunk: int = FRAME_CHUNK,
+                        every_n: int = FRAME_EVERY_N,
+                        *, fake: bool = True) -> DataFrame:
+    """L5 video-op plumbing, real end to end: one input blob explodes
+    into multiple frame rows — (doc_id, frame_idx, frame) — keeping
+    every Nth fixed-size chunk. This is the row-expanding mapInPandas
+    shape a real av-backed frame sampler uses (decode → keep every
+    Nth frame); the fake treats the byte stream as the frame sequence
+    (frame k = bytes [k*chunk, (k+1)*chunk))."""
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ])
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                if not fake:  # pragma: no cover - codec not in container
+                    for k, fr in enumerate(sample_frames(bytes(m), every_n)):
+                        ids.append(doc_id); idxs.append(k); frames.append(fr)
+                    continue
+                b = bytes(m)
+                n_chunks = max((len(b) + chunk - 1) // chunk, 1)
+                for k in range(0, n_chunks, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(b[k * chunk:(k + 1) * chunk])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select("doc_id", "media").mapInPandas(_frames, schema=out_schema)
+
+
+@query(
+    "q_media_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({RESIZE_W * RESIZE_H} AS BIGINT) AS n_bytes,
+           md5(array_to_string(list_transform(
+               range(0, {RESIZE_W * RESIZE_H}),
+               i -> array_extract(text,
+                    CAST((i * length(text)) // {RESIZE_W * RESIZE_H} AS INT) + 1)
+           ), '')) AS resized_md5
+    FROM documents
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: resize through the real mapInPandas plumbing; the
+    deterministic nearest-neighbor fake makes it oracle-checkable
+    (strided byte selection == strided char selection on ascii
+    payloads). Digest + size computed JVM-side on the binary
+    output."""
+    resized = resize_media(
+        media_table(spark, sf_dir), RESIZE_W, RESIZE_H
+    )
+    return resized.select(
+        "doc_id",
+        F.octet_length("media").cast("long").alias("n_bytes"),
+        F.md5("media").alias("resized_md5"),
+    )
+
+
+@query(
+    "q_media_frames",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id, text,
+               unnest(list_filter(
+                   range(0, CAST(ceil(length(text) / {FRAME_CHUNK}.0) AS INT)),
+                   k -> k % {FRAME_EVERY_N} = 0)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(length(substring(text, frame_idx * {FRAME_CHUNK} + 1,
+                                 {FRAME_CHUNK})) AS BIGINT) AS frame_len,
+           md5(substring(text, frame_idx * {FRAME_CHUNK} + 1, {FRAME_CHUNK}))
+               AS frame_md5
+    FROM k
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: frame sampling through the real row-expanding mapInPandas
+    plumbing (every 3rd 64-byte chunk); digests JVM-side. At 100 TB
+    the frame explosion is map-only — no shuffle until a downstream
+    aggregate — and the blob column never leaves the stage."""
+    frames = sample_media_frames(media_table(spark, sf_dir))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").cast("long").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )

@@ -121,6 +121,43 @@ def test_multimodal_stub_raises_without_fake():
         sample_frames(b"abc")
 
 
+def test_resize_media_plumbing(spark):
+    """The resize mapInPandas emits exactly w*h bytes per row,
+    deterministically (nearest-neighbor strided resample)."""
+    from roborock_data_pipeline_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh"), (2, b"xy"), (3, b"q")],
+        "doc_id long, media binary",
+    )
+    rows = {r.doc_id: bytes(r.media) for r in resize_media(df, 2, 2).collect()}
+    assert all(len(m) == 4 for m in rows.values())
+    assert rows[1] == b"aceg"  # stride 2 over 8 source bytes
+    assert rows[2] == b"xxyy"  # upsample repeats
+    assert rows[3] == b"qqqq"
+    again = {r.doc_id: bytes(r.media) for r in resize_media(df, 2, 2).collect()}
+    assert rows == again
+
+
+def test_sample_media_frames_plumbing(spark):
+    """Frame sampling explodes one blob row into every-Nth fixed-size
+    chunk rows with correct indices and a short tail frame."""
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        sample_media_frames,
+    )
+
+    blob = bytes(range(200))
+    df = spark.createDataFrame([(7, blob)], "doc_id long, media binary")
+    rows = sorted(
+        (r.frame_idx, bytes(r.frame))
+        for r in sample_media_frames(df, chunk=64, every_n=3).collect()
+    )
+    # chunks: 0..3 (ceil(200/64)=4); kept k = 0, 3
+    assert [idx for idx, _ in rows] == [0, 3]
+    assert rows[0][1] == blob[0:64]
+    assert rows[1][1] == blob[192:200]  # 8-byte tail frame
+
+
 def test_hll_sketch_union_near_exact(spark, sf_dir):
     """Sketch-union rollup ≈ exact distinct (≤2% error), and the ALL
     row equals estimating over the union of all days' sketches."""

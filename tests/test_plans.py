@@ -77,8 +77,11 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
         # BLAS matmul — both the sanctioned Arrow-batch
         # vectorized-kernel pattern (heavy_hitters' exact-recount
         # phase stays JVM-side).
+        # q_media_resize / q_media_frames are the sanctioned multimodal
+        # codec slot (Arrow-batched mapInPandas), same as features.
         if name in ("q_multimodal_features", "q_heavy_hitters",
-                    "q_kmeans_clusters", "q_kmeans_clusters_check"):
+                    "q_kmeans_clusters", "q_kmeans_clusters_check",
+                    "q_media_resize", "q_media_frames"):
             continue
         plan = plan_string(spec.fn(spark, sf_dir))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):

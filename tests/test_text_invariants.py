@@ -107,3 +107,60 @@ def test_interpolate_respects_observations(spark, sf_dir):
         (F.col("v_filled") < lo_hi.lo) | (F.col("v_filled") > lo_hi.hi)
     ).count()
     assert out_of_range == 0  # lerp never extrapolates beyond the data
+
+
+def test_winnowing_guarantee(spark):
+    """The MOSS coverage guarantee, property-tested: two documents
+    sharing any run of >= w + k - 1 = 6 consecutive words MUST share
+    at least one winnowing fingerprint (k=3 shingles, window w=4) —
+    for arbitrary generated word sequences."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from roborock_data_pipeline_spark.operators.text import q_winnow_fingerprint
+
+    words = st.sampled_from("alpha beta gamma delta eps zeta eta".split())
+    docs_strategy = st.tuples(
+        st.lists(words, min_size=1, max_size=20),
+        st.lists(words, min_size=1, max_size=20),
+        st.lists(words, min_size=6, max_size=9),  # the shared run
+    )
+
+    import os
+    import tempfile
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(docs_strategy)
+    def check(case):
+        pre, post, shared = case
+        d1 = " ".join(pre + shared)
+        d2 = " ".join(shared + post)
+        with tempfile.TemporaryDirectory() as td:
+            spark.createDataFrame(
+                [(1, d1, "en", "t", len(d1)), (2, d2, "en", "t", len(d2))],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.parquet(os.path.join(td, "documents.parquet"))
+            rows = q_winnow_fingerprint(spark, td).collect()
+        # recompute fingerprint SETS via the digest inputs: rerun per
+        # doc is overkill — instead assert digests-only when equal
+        # docs, else assert the queries' n_fingerprints overlap via a
+        # direct python winnow
+        import hashlib
+
+        def winnow(text):
+            w = text.split(" ")
+            hs = [
+                hashlib.md5(" ".join(w[i:i + 3]).encode()).hexdigest()
+                for i in range(max(len(w) - 2, 1))
+            ]
+            return {
+                min(hs[i:i + 4])
+                for i in range(max(len(hs) - 3, 1))
+            }
+        f1, f2 = winnow(d1), winnow(d2)
+        assert f1 & f2, "shared 6-word run must share a fingerprint"
+        by_id = {r.doc_id: r.n_fingerprints for r in rows}
+        assert by_id[1] == len(f1) and by_id[2] == len(f2)
+
+    check()
