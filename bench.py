@@ -128,6 +128,8 @@ HEADLINE = [
     "q_hll_daily_users_check",
     "q_similarity_ivf_check",
     "q_media_frames",
+    "q_knn_join",
+    "q_semantic_dedup",
 ]
 
 

@@ -417,3 +417,144 @@ def brute_topk_pandas(
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)
     )
+
+
+KNN_K = 3
+
+
+@query(
+    "q_knn_join",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, v,
+               SQRT(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+        FROM e
+    ), p AS (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               ROUND(list_aggregate(list_transform(list_zip(a.v, b.v),
+                         q -> q[1] * q[2]), 'sum') / (a.nrm * b.nrm), 6) AS cos
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), r AS (
+        SELECT src, nbr, cos,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cos DESC, nbr) AS rk
+        FROM p
+    )
+    SELECT src AS vec_id, nbr AS nbr_id, CAST(rk AS BIGINT) AS rk,
+           cos AS cosine
+    FROM r WHERE rk <= {KNN_K}
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ (EXT): blocked k-NN join — every vector's top-3 cosine
+    neighbors within its label block: the neighbor-graph build behind
+    SemDeDup-style semantic dedup (cluster → per-cluster NN → drop
+    near-neighbors) and graph-based curation.
+
+    Scale shape mirrors q_embedding_near_dup: SALTED block self-join
+    (few distinct labels would cap parallelism and straggle), each
+    unordered pair's dot product computed ONCE and exploded into both
+    directions, then one per-src window over the pair list (|block|·k
+    rows, never the corpus²). Cosine is rounded to 6dp BEFORE ranking
+    so the (cos, nbr_id) order is bit-stable across engines."""
+    from roborock_data_pipeline_spark.sources.tables import spread
+
+    N_SALTS = 8
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    e = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("nrm", norm(F.col("embedding")))
+        .persist()
+    )
+    a = e.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(N_SALTS)).cast("int")
+    ).alias("a")
+    b = e.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    ).alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cos.alias("cos"),
+        )
+    )
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id1").alias("src"), F.col("id2").alias("nbr"),
+                    F.col("cos"),
+                ),
+                F.struct(
+                    F.col("id2").alias("src"), F.col("id1").alias("nbr"),
+                    F.col("cos"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.*")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("src").orderBy(F.col("cos").desc(), "nbr")
+    return (
+        both.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("nbr").alias("nbr_id"),
+            F.col("rk").cast("long").alias("rk"),
+            F.col("cos").alias("cosine"),
+        )
+    )
+
+
+# Wrap the exact near-dup oracle so the dedup-apply definition cannot
+# drift from the pair definition (same pattern as accuracy.py).
+from roborock_data_pipeline_spark import registry as _registry  # noqa: E402
+
+_NEAR_DUP_ORACLE = _registry._REGISTRY["q_embedding_near_dup"].oracle
+
+
+@query(
+    "q_semantic_dedup",
+    oracle=f"""
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (
+        SELECT vec_id_2 FROM ({_NEAR_DUP_ORACLE})
+    )
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-embedding apply (SemDeDup): the deduplicated embedding
+    corpus — drop the higher-id member of every cosine>=0.9
+    within-block pair (keep-lowest canonical rule), the
+    cluster-then-dedup-within-cluster step of semantic dedup.
+
+    The loser set is |pairs|-sized (tiny next to the corpus), so the
+    apply is a broadcast anti join — dedup becomes a scan-level
+    filter, exactly like q_dedup_apply on the text side."""
+    losers = (
+        q_embedding_near_dup(spark, sf_dir)
+        .select(F.col("vec_id_2").alias("vec_id"))
+        .distinct()
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.join(F.broadcast(losers), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )

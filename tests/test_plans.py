@@ -393,3 +393,23 @@ def test_winnow_reuses_doc_partitioning(spark, sf_dir):
     plan = plan_string(q_winnow_fingerprint(spark, sf_dir))
     assert _n_nodes(plan, "Exchange") == 1
     assert _n_nodes(plan, "Window") == 1
+
+
+def test_knn_join_windows_pairs_not_corpus(spark, sf_dir):
+    """KNN graph: one window over the exploded pair list (per-src
+    rank), pairwise dot computed once per unordered pair; no SMJ at
+    local scale."""
+    from roborock_data_pipeline_spark.operators.similarity import q_knn_join
+
+    plan = plan_string(q_knn_join(spark, sf_dir))
+    assert _n_nodes(plan, "Window") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_apply_is_broadcast_anti(spark, sf_dir):
+    """SemDeDup apply: the loser set joins back as a broadcast LEFT
+    ANTI — the corpus never shuffles for the filter."""
+    from roborock_data_pipeline_spark.operators.similarity import q_semantic_dedup
+
+    plan = plan_string(q_semantic_dedup(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
