@@ -131,6 +131,7 @@ HEADLINE = [
     "q_knn_join",
     "q_semantic_dedup",
     "q_tpch_q8_shape",
+    "q_user_streaks",
 ]
 
 

@@ -265,3 +265,59 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "q_user_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grp AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INT)
+                   AS island
+        FROM d
+    ), streaks AS (
+        SELECT user_id, island, COUNT(*) AS streak_len,
+               strftime(MIN(day), '%Y-%m-%d') AS streak_start
+        FROM grp GROUP BY user_id, island
+    ), best AS (
+        SELECT user_id, streak_len, streak_start,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY streak_len DESC,
+                                           streak_start) AS rk
+        FROM streaks
+    )
+    SELECT user_id, streak_len, streak_start FROM best WHERE rk = 1
+    """,
+)
+def q_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G (EXT): gaps-and-islands — each user's longest run of
+    consecutive active days (earliest on ties): the classic streak
+    query (DAU retention, habit metrics).
+
+    Island id = day − row_number (consecutive days share it); both
+    windows and both aggregates key on user_id, so after the initial
+    (user, day) dedupe the whole query rides ONE user-keyed exchange.
+    Cardinality collapses immediately: events → |user × day| rows →
+    |islands| rows → |users| rows — at 100 TB the heavy step is the
+    first distinct, a partial-agg-friendly dedupe."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    wd = W.partitionBy("user_id").orderBy("day")
+    grp = d.withColumn(
+        "island", F.date_sub("day", F.row_number().over(wd))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("streak_len"),
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    wb = W.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(wb))
+        .where(F.col("rk") == 1)
+        .select("user_id", "streak_len", "streak_start")
+    )

@@ -74,7 +74,7 @@ def test_entry_returns_rows(spark):
 def test_queries_and_oracles_align(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 157
+    assert len(qs) >= 158
     assert set(oracles) <= set(qs)
     # every callable takes (spark, sf_dir); every oracle is non-empty SQL
     assert all(callable(fn) for fn in qs.values())
