@@ -21,6 +21,88 @@ from roborock_data_pipeline_spark.sources.tables import load
 QUERY_VEC_ID = 0  # the probe vector for top-k queries
 TOP_K = 10
 
+# Block-population cap for the within-block all-pairs operators.
+# Chosen > the largest label block at every test SF (max 218 at
+# sf0.1) so the capped plan is EXACTLY the all-pairs semantics on
+# the oracle-checked data; on a 100 TB corpus it is the guard that
+# keeps one hot/under-clustered block from going quadratic.
+BLOCK_CAP = 1024
+N_SALTS = 8
+
+
+def blocked_pairs(
+    emb: DataFrame, cap: int = BLOCK_CAP, n_salts: int = N_SALTS
+) -> DataFrame:
+    """All within-block unordered vector pairs (id1 < id2) with their
+    raw cosine — the shared engine behind q_embedding_near_dup and
+    q_knn_join. Input needs (vec_id, label, embedding).
+
+    Scale shape (the two guards a 100 TB corpus needs):
+
+    1. SALTED block self-join — few distinct labels would cap join
+       parallelism and straggle; probe side hashed to one of
+       ``n_salts`` salts, build side replicated across all salts, so
+       each qualifying pair meets exactly once while every block
+       spreads over ``n_salts`` tasks.
+    2. BLOCK-POPULATION CAP — salting fixes parallelism but not pair
+       *count*, which is O(|block|²). Any block larger than ``cap``
+       is deterministically hash-split into ceil(n/cap) sub-blocks
+       (pmod(xxhash64(vec_id), g)) and pairs form only within a
+       sub-block, bounding total pair count at ≤ cap·|block| (each of
+       the ~n/g·g sub-block members pairs with < cap others) instead
+       of |block|². This is the SemDeDup re-cluster-split pattern: an
+       oversized cluster means the clustering was too coarse, so
+       split it and dedup within the splits; cross-sub-block pairs
+       are forfeited by design (documented approximation — a
+       geometry-aware k-means re-split would keep more true dups, but
+       the hash split is deterministic and engine-independent). For
+       blocks ≤ cap, g == 1 and the output is EXACTLY the all-pairs
+       semantics — which is why the oracle checks stay green at every
+       test SF with the default cap.
+
+    The per-label size lookup is one tiny aggregate (rows = distinct
+    labels, i.e. cluster count — index metadata) broadcast back onto
+    the scan."""
+    e = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("nrm", norm(F.col("embedding")))
+        .persist()
+    )
+    sizes = e.groupBy("label").agg(F.count("*").alias("_blk_n"))
+    keyed = (
+        e.join(F.broadcast(sizes), "label")
+        .withColumn(
+            "subblk",
+            F.pmod(
+                F.xxhash64("vec_id"),
+                F.greatest(
+                    F.ceil(F.col("_blk_n") / F.lit(cap)).cast("long"), F.lit(1)
+                ),
+            ).cast("int"),
+        )
+        .drop("_blk_n")
+    )
+    a = keyed.withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salts)).cast("int")
+    ).alias("a")
+    b = keyed.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.subblk") == F.col("b.subblk"))
+        & (F.col("a.salt") == F.col("b.salt"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id1"),
+        F.col("b.vec_id").alias("id2"),
+        cos.alias("cos"),
+    )
+
 
 @query(
     "q_similarity_search",
@@ -101,47 +183,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `label` (the cluster id) so the self-join is per-block quadratic.
     The unblocked scale path is q_similarity_lsh.
 
-    Scale shape: a SALTED shuffle join on the block key (see
-    functions/skew.py) — never a broadcast of the corpus, which cannot
-    fit executor memory at 100 TB. The label key has few distinct
-    values (10 here), which would cap join parallelism at 10 tasks and
-    make every block a skew straggler; salting spreads each block over
-    N_SALTS partitions (probe side hashed to one salt, build side
-    replicated across all salts — each qualifying pair meets exactly
-    once). Shuffle volume is |corpus| + N_SALTS·|corpus| of slim
-    normed rows, and AQE skew-join splitting remains as the runtime
-    backstop for residual imbalance."""
+    Pair generation (salted block self-join + block-population cap —
+    the two 100 TB guards) lives in :func:`blocked_pairs`; this query
+    is just its cos >= 0.9 threshold view. Shuffle volume is
+    |corpus| + N_SALTS·|corpus| of slim normed rows, and AQE
+    skew-join splitting remains as the runtime backstop."""
     from roborock_data_pipeline_spark.sources.tables import spread
 
-    N_SALTS = 8
-    emb = spread(load(spark, sf_dir, "embeddings"))
-    # materialize the normed vectors once (scanned by both join sides)
-    e = (
-        emb.select("vec_id", "label", "embedding")
-        .withColumn("nrm", norm(F.col("embedding")))
-        .persist()
-    )
-    a = e.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(N_SALTS)).cast("int")
-    ).alias("a")
-    b = e.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
-    ).alias("b")
-    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
-    )
+    pairs = blocked_pairs(spread(load(spark, sf_dir, "embeddings")))
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= 0.9)
+        pairs.where(F.col("cos") >= 0.9)
         .select(
-            F.col("a.vec_id").alias("vec_id_1"),
-            F.col("b.vec_id").alias("vec_id_2"),
-            F.round(cos, 4).alias("cosine"),
+            F.col("id1").alias("vec_id_1"),
+            F.col("id2").alias("vec_id_2"),
+            F.round(F.col("cos"), 4).alias("cosine"),
         )
     )
 
@@ -455,44 +510,17 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup-style semantic dedup (cluster → per-cluster NN → drop
     near-neighbors) and graph-based curation.
 
-    Scale shape mirrors q_embedding_near_dup: SALTED block self-join
-    (few distinct labels would cap parallelism and straggle), each
-    unordered pair's dot product computed ONCE and exploded into both
-    directions, then one per-src window over the pair list (|block|·k
-    rows, never the corpus²). Cosine is rounded to 6dp BEFORE ranking
-    so the (cos, nbr_id) order is bit-stable across engines."""
+    Pair generation (salted block self-join + block-population cap —
+    the two 100 TB guards) lives in :func:`blocked_pairs`; each
+    unordered pair's dot product is computed ONCE and exploded into
+    both directions, then one per-src window over the pair list
+    (|block|·k rows, never the corpus²). Cosine is rounded to 6dp
+    BEFORE ranking so the (cos, nbr_id) order is bit-stable across
+    engines."""
     from roborock_data_pipeline_spark.sources.tables import spread
 
-    N_SALTS = 8
-    emb = spread(load(spark, sf_dir, "embeddings"))
-    e = (
-        emb.select("vec_id", "label", "embedding")
-        .withColumn("nrm", norm(F.col("embedding")))
-        .persist()
-    )
-    a = e.withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.lit(N_SALTS)).cast("int")
-    ).alias("a")
-    b = e.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
-    ).alias("b")
-    cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            cos.alias("cos"),
-        )
+    pairs = blocked_pairs(spread(load(spark, sf_dir, "embeddings"))).select(
+        "id1", "id2", F.round(F.col("cos"), 6).alias("cos")
     )
     both = pairs.select(
         F.explode(

@@ -406,6 +406,21 @@ def test_knn_join_windows_pairs_not_corpus(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_near_dup_join_carries_subblock_key(spark, sf_dir):
+    """Block-population cap: the pair self-join's condition carries
+    the subblk hash-split key (alongside label + salt), so an
+    oversized block is sub-split at the join and can never go
+    quadratic — the bounded-explode pin for blocked_pairs."""
+    from roborock_data_pipeline_spark.operators.similarity import (
+        q_embedding_near_dup,
+        q_knn_join,
+    )
+
+    for q in (q_embedding_near_dup, q_knn_join):
+        plan = plan_string(q(spark, sf_dir))
+        assert "subblk" in plan, q.__name__
+
+
 def test_semantic_dedup_apply_is_broadcast_anti(spark, sf_dir):
     """SemDeDup apply: the loser set joins back as a broadcast LEFT
     ANTI — the corpus never shuffles for the filter."""

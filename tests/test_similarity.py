@@ -111,6 +111,44 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert [(r.vec_id, r.cosine) for r in got.collect()] == expect
 
 
+def test_blocked_pairs_hot_block_bounded(spark):
+    """Block-population cap property: one hot label holding 50% of the
+    corpus generates ≤ cap·|block| pairs (hash sub-split), nowhere
+    near the |block|² of uncapped all-pairs; with cap ≥ |block| the
+    output is exactly the complete pair set (each unordered pair
+    exactly once — pair-complete salting)."""
+    import random
+
+    from roborock_data_pipeline_spark.operators.similarity import blocked_pairs
+
+    rng = random.Random(11)
+    hot, total, dims = 200, 400, 8
+    rows = [
+        (
+            i,
+            [rng.uniform(-1.0, 1.0) for _ in range(dims)],
+            0 if i < hot else 1 + (i % 8),  # label 0 = hot block (50%)
+        )
+        for i in range(total)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    cap = 16
+    capped = blocked_pairs(df, cap=cap)
+    hot_pairs = capped.where(
+        (F.col("id1") < hot) & (F.col("id2") < hot)
+    ).count()
+    assert hot_pairs <= cap * hot  # the scale bound
+    assert hot_pairs < hot * (hot - 1) // 2  # strictly sub-quadratic
+    assert hot_pairs > 0  # sub-blocks still pair internally
+
+    # completeness below the cap: every unordered pair exactly once
+    exact = hot * (hot - 1) // 2 + 8 * (25 * 24 // 2)
+    assert blocked_pairs(df, cap=10**6).count() == exact
+
+
 def test_pandas_brute_topk_equals_codegen(spark, sf_dir):
     """The Arrow-batched numpy rerank returns exactly the codegen HOF
     brute-force top-k (same scores, same order)."""
