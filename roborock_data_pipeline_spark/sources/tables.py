@@ -26,21 +26,26 @@ TABLE_NAMES = [
 ]
 
 
-def _first_parquet_file(sf_dir: str, name: str) -> str | None:
-    """One physical parquet file for the table — file, directory, or
-    glob layout."""
+def _physical_parquet_files(sf_dir: str, name: str) -> list[str]:
+    """The physical parquet file(s) behind the EXACT path load() reads
+    (``{sf_dir}/{name}.parquet`` — plain file or directory layout).
+    Resolution is deliberately identical to load()'s read path so the
+    sniffer can never inspect a file the scan does not."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if not os.path.exists(path):
-        cands = sorted(glob.glob(os.path.join(sf_dir, f"{name}*")))
-        if not cands:
-            return None
-        path = cands[0]
     if os.path.isdir(path):
-        inner = sorted(
+        return sorted(
             glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
-        return inner[0] if inner else None
-    return path
+    if os.path.exists(path):
+        return [path]
+    return []
+
+
+# Footers sniffed per table: first/last plus an even spread. At 100 TB
+# a table is thousands of files; reading every footer would serialize
+# a large driver-side listing for a property that is uniform per
+# vintage — the spread catches a mixed-vintage directory without it.
+_SNIFF_MAX_FILES = 16
 
 
 @lru_cache(maxsize=None)
@@ -52,10 +57,15 @@ def ns_timestamp_cols(sf_dir: str, name: str) -> tuple[str, ...]:
     must sniff the footer, never assume (round 2 lost 35 queries to
     exactly that). Checked for EVERY pinned timestamp column —
     ``orders.o_orderdate`` / ``lineitem.l_shipdate`` could drift
-    vintage the same way. A column counts as ns when the footer says
-    TIMESTAMP(NANOS) (Spark refuses it without the nanosAsLong long
-    workaround) or raw int64 (the epoch-ns long convention of the
-    streaming fixtures); µs/ms columns read natively.
+    vintage the same way.
+
+    Classification is strict (ADVICE r3): TIMESTAMP(NANOS) and raw
+    int64 (the epoch-ns long convention of the streaming fixtures)
+    are ns-encoded; TIMESTAMP(MICROS/MILLIS) read natively; any OTHER
+    physical type (DATE/int32/...) raises instead of being silently
+    misread as epoch-ns 1970-era values. Multi-file tables are
+    sniffed across a spread of files and must agree — a mixed-unit
+    directory raises rather than letting one file speak for the rest.
     """
     pinned = schemas.TESTDATA_SCHEMAS.get(name)
     if pinned is None:
@@ -65,21 +75,41 @@ def ns_timestamp_cols(sf_dir: str, name: str) -> tuple[str, ...]:
     ]
     if not ts_cols:
         return ()
-    try:
-        import pyarrow.parquet as pq
-
-        path = _first_parquet_file(sf_dir, name)
-        if path is None:
-            return ()
-        footer = pq.read_schema(path)
-        out = []
-        for c in ts_cols:
-            t = str(footer.field(c).type)
-            if t.startswith("timestamp[ns") or not t.startswith("timestamp"):
-                out.append(c)
-        return tuple(out)
-    except Exception:
+    files = _physical_parquet_files(sf_dir, name)
+    if not files:
         return ()
+    if len(files) > _SNIFF_MAX_FILES:
+        step = (len(files) - 1) / (_SNIFF_MAX_FILES - 1)
+        files = [files[round(i * step)] for i in range(_SNIFF_MAX_FILES)]
+    import pyarrow.parquet as pq
+
+    seen: dict[str, set[str]] = {c: set() for c in ts_cols}
+    for path in files:
+        footer = pq.read_schema(path)
+        for c in ts_cols:
+            if c in footer.names:
+                seen[c].add(str(footer.field(c).type))
+    out = []
+    for c in ts_cols:
+        kinds = seen[c]
+        if not kinds:
+            continue  # column absent on disk; scan fills nulls
+        if len(kinds) > 1:
+            raise ValueError(
+                f"{name}.{c}: mixed physical types across files {sorted(kinds)} "
+                f"in {sf_dir} — refusing to guess a timestamp unit"
+            )
+        t = kinds.pop()
+        if t.startswith("timestamp[ns") or t == "int64":
+            out.append(c)
+        elif t.startswith("timestamp"):
+            pass  # µs/ms — Spark reads natively
+        else:
+            raise ValueError(
+                f"{name}.{c}: pinned TimestampType but stored as {t!r} in "
+                f"{sf_dir} — unsupported vintage, not silently epoch-ns"
+            )
+    return tuple(out)
 
 
 def events_ts_unit(sf_dir: str) -> str:
