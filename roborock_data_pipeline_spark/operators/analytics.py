@@ -1277,11 +1277,14 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     half their part's average quantity, for two brands.
 
     The correlated per-part average becomes a part-keyed aggregate
-    joined back onto the fact (broadcast at this cardinality — the
-    aggregate has |parts| rows, tiny next to the fact); the brand
-    filter rides the broadcast part join. One fact scan feeds both the
-    average build and the probe at warehouse scale via exchange reuse
-    or a cheap double scan — never a per-row subquery."""
+    joined back onto the fact; the brand filter rides the broadcast
+    part join. The aggregate side carries NO broadcast hint (ADVICE
+    r3): broadcast viability is absolute, not relative — a
+    |parts|-cardinality build side does not fit executor memory at
+    100 TB, so AQE decides at runtime (broadcast at small SF,
+    shuffle join at scale). One fact scan feeds both the average
+    build and the probe at warehouse scale via exchange reuse or a
+    cheap double scan — never a per-row subquery."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(
         F.col("p_brand").isin("Brand#1", "Brand#2")
@@ -1291,7 +1294,7 @@ def q_tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(pq), li.l_partkey == F.col("pq_partkey"))
+        .join(pq, li.l_partkey == F.col("pq_partkey"))
         .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(

@@ -139,10 +139,13 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     SELECT doc_id,
            'text/plain' AS format,
            CAST(strlen(text) AS BIGINT) AS n_bytes,
-           list_aggregate(list_transform(range(1, strlen(text) + 1),
-                     i -> CAST(ascii(array_extract(text, i)) AS DOUBLE)), 'sum')
-                 / strlen(text) AS feat_mean,
-           CAST(ascii(array_extract(text, 1)) AS DOUBLE) AS feat_head
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE list_aggregate(list_transform(range(1, strlen(text) + 1),
+                          i -> CAST(ascii(array_extract(text, i)) AS DOUBLE)), 'sum')
+                     / strlen(text) END AS feat_mean,
+           CASE WHEN strlen(text) = 0 THEN 0.0
+                ELSE CAST(ascii(array_extract(text, 1)) AS DOUBLE)
+           END AS feat_head
     FROM documents
     """,
 )
@@ -220,7 +223,10 @@ def resize_media(df: DataFrame, width: int, height: int,
                 if fake:
                     src = np.frombuffer(m, dtype=np.uint8)
                     if len(src) == 0:
-                        out.append(bytes(n_out))
+                        # nothing to resample from — empty out (ADVICE
+                        # r3: zero-filled padding diverged from the
+                        # oracle's md5 over an empty selection)
+                        out.append(b"")
                         continue
                     idx = (np.arange(n_out, dtype=np.int64) * len(src)) // n_out
                     out.append(src[idx].tobytes())
@@ -260,7 +266,10 @@ def sample_media_frames(df: DataFrame, chunk: int = FRAME_CHUNK,
                         ids.append(doc_id); idxs.append(k); frames.append(fr)
                     continue
                 b = bytes(m)
-                n_chunks = max((len(b) + chunk - 1) // chunk, 1)
+                # empty media → zero frames (a real demuxer yields no
+                # frames from an empty stream; ADVICE r3 — the oracle's
+                # range(0, ceil(len/chunk)) agrees)
+                n_chunks = (len(b) + chunk - 1) // chunk
                 for k in range(0, n_chunks, every_n):
                     ids.append(doc_id)
                     idxs.append(k)
@@ -276,12 +285,14 @@ def sample_media_frames(df: DataFrame, chunk: int = FRAME_CHUNK,
     "q_media_resize",
     oracle=f"""
     SELECT doc_id,
-           CAST({RESIZE_W * RESIZE_H} AS BIGINT) AS n_bytes,
-           md5(array_to_string(list_transform(
-               range(0, {RESIZE_W * RESIZE_H}),
-               i -> array_extract(text,
-                    CAST((i * length(text)) // {RESIZE_W * RESIZE_H} AS INT) + 1)
-           ), '')) AS resized_md5
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE {RESIZE_W * RESIZE_H} END AS BIGINT) AS n_bytes,
+           md5(CASE WHEN length(text) = 0 THEN ''
+               ELSE array_to_string(list_transform(
+                   range(0, {RESIZE_W * RESIZE_H}),
+                   i -> array_extract(text,
+                        CAST((i * length(text)) // {RESIZE_W * RESIZE_H} AS INT) + 1)
+               ), '') END) AS resized_md5
     FROM documents
     """,
 )

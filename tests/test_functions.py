@@ -121,6 +121,43 @@ def test_multimodal_stub_raises_without_fake():
         sample_frames(b"abc")
 
 
+def test_multimodal_empty_media_matches_oracle(spark, sf_dir, tmp_path):
+    """ADVICE r3: empty media must behave identically in Spark and the
+    oracle — zero frames, empty resize digest, zero features. Runs the
+    real oracle comparison on a copied vintage with one empty-text
+    document appended (current testdata ships none, so the divergence
+    was latent)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.oracle_harness import TABLE_NAMES, compare
+
+    d = str(tmp_path / "emptyvintage")
+    os.makedirs(d)
+    for t in TABLE_NAMES:
+        if t != "documents":
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{d}/{t}.parquet")
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    extra = pa.table(
+        {
+            "doc_id": [10**9],
+            "text": [""],
+            "lang": ["en"],
+            "source": ["synthetic"],
+            "n_chars": [0],
+        },
+        schema=docs.schema,
+    )
+    pq.write_table(
+        pa.concat_tables([docs, extra]), f"{d}/documents.parquet"
+    )
+    for q in ("q_media_frames", "q_media_resize", "q_multimodal_features"):
+        problems = compare(q, spark, d)
+        assert not problems, f"{q}: " + "; ".join(problems)
+
+
 def test_resize_media_plumbing(spark):
     """The resize mapInPandas emits exactly w*h bytes per row,
     deterministically (nearest-neighbor strided resample)."""

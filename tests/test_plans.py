@@ -350,14 +350,19 @@ def test_q14_ratio_is_one_pass(spark, sf_dir):
     assert _n_nodes(plan, "BroadcastHashJoin") == 1
 
 
-def test_q17_average_joins_back_broadcast(spark, sf_dir):
-    """Q17: the per-part average is an aggregate joined back broadcast
-    — never a correlated per-row subquery or an SMJ of the fact."""
+def test_q17_average_joins_back_unhinted(spark, sf_dir):
+    """Q17: the filtered part dim rides a broadcast join, but the
+    per-part aggregate join-back carries NO broadcast hint — a
+    |parts|-cardinality build side is not broadcastable at 100 TB, so
+    that choice belongs to AQE at runtime (ADVICE r3)."""
     from roborock_data_pipeline_spark.operators.analytics import q_tpch_q17_shape
 
-    plan = plan_string(q_tpch_q17_shape(spark, sf_dir))
-    assert "SortMergeJoin" not in plan
-    assert _n_nodes(plan, "BroadcastHashJoin") == 2
+    df = q_tpch_q17_shape(spark, sf_dir)
+    analyzed = str(df._jdf.queryExecution().analyzed())
+    assert analyzed.count("ResolvedHint") == 1  # part dim only, not pq
+    plan = plan_string(df)
+    assert _n_nodes(plan, "BroadcastHashJoin") >= 1  # part dim
+    assert "SortMergeJoin" not in plan  # AQE still picks BHJ at this SF
 
 
 def test_q22_anti_join_is_broadcast(spark, sf_dir):
