@@ -21,12 +21,11 @@ keys; emission is one row per active key per batch, so downstream
 sinks see update-mode deltas, never a full state dump.
 
 Environment note: the v2 state protocol rides google.protobuf, which
-this container does not ship — the pytest skip-gates on that import
-(tests/test_streaming.py::test_running_totals_stateful_v2), and the
-applyInPandasWithState twins (streaming/sessionize.py,
-streaming/anomaly.py) carry the executable custom-stateful coverage
-here. On a standard cluster (protobuf present) this module runs as
-written.
+this container does not ship — ``running_totals_stream`` therefore
+auto-falls back to the GA ``applyInPandasWithState`` API with
+identical semantics (VERDICT r3 #4), so the operator and its test run
+everywhere; on a standard cluster (protobuf present) it runs the v2
+StatefulProcessor as written.
 """
 
 from __future__ import annotations
@@ -81,18 +80,62 @@ class RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
-def running_totals_stream(events: DataFrame) -> DataFrame:
-    """Streaming running totals per user via stateful processing v2.
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_stream(events: DataFrame, api: str = "auto") -> DataFrame:
+    """Streaming running totals per user via stateful processing.
 
     ``events`` is a streaming DataFrame with at least
     (user_id long, value double). Returns update-mode rows
     (user_id, n_events, total_value) — the lifetime totals after each
     micro-batch, exactly-once under checkpointing because state and
     offsets commit atomically (the fix for reference
-    pipeline.py:562-568's read-modify-write race, v2 form)."""
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotalsProcessor(),
+    pipeline.py:562-568's read-modify-write race).
+
+    ``api``: ``"v2"`` forces transformWithStateInPandas, ``"v1"``
+    forces the applyInPandasWithState fallback, ``"auto"`` picks v2
+    when its protobuf state protocol is importable. Both paths hold
+    the same (n_events, total_value) state per user key and emit only
+    batch-active keys, so the choice is an engine detail, not a
+    semantic one."""
+    if api == "auto":
+        api = "v2" if _protobuf_available() else "v1"
+    if api == "v2":
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=TOTALS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            if len(pdf):
+                n += int(len(pdf))
+                total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
         outputStructType=TOTALS_OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
+        stateStructType=_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

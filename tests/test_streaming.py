@@ -6,20 +6,11 @@ import datetime as dt
 import shutil
 import tempfile
 
-import pytest
 from pyspark.sql import functions as F
 
 
 def _ts(day, h, m=0):
     return dt.datetime(2024, 1, day, h, m)
-
-
-def _has_protobuf() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
 
 
 def test_detect_sessions_stream(spark):
@@ -342,15 +333,12 @@ def test_anomaly_detector_ewma_state(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas state protocol needs google.protobuf, "
-    "absent in this container — the applyInPandasWithState twins "
-    "(sessionize/anomaly) cover custom stateful semantics here",
-)
 def test_running_totals_stateful_v2(spark):
-    """Spark-4 transformWithStateInPandas: per-user ValueState totals
-    accumulate across micro-batches and only batch-active users emit."""
+    """Stateful running totals: per-user state accumulates across
+    micro-batches and only batch-active users emit. Runs the Spark-4
+    transformWithStateInPandas processor where protobuf is available
+    and the semantically-identical applyInPandasWithState fallback
+    otherwise (VERDICT r3 #4) — same assertions either way."""
     from roborock_data_pipeline_spark.streaming.stateful_v2 import (
         running_totals_stream,
     )
