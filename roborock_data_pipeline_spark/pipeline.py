@@ -1,4 +1,4 @@
-"""The reference pipeline's seven modes, Spark-first.
+"""The reference pipeline's modes, Spark-first — full CLI parity.
 
 Mirror of /root/reference/pipeline.py:795-833 (argparse dispatch) —
 same modes a reference user runs today, re-expressed over a parquet
@@ -7,8 +7,12 @@ where the reference is buggy (T5 at-most-once → exactly-once by
 deriving state from what the sink actually holds).
 
   mode setup         S9  provision the warehouse tables
+  mode status        read-only formatted snapshot per device
+                         (quick_status, pipeline.py:393-438)
   mode log           S1  one-shot: append current device status
   mode smart         §3.1 counter-dedup'd incremental sync
+  mode schedule      T4  smart sync on a 12 h cadence
+                         (schedule_sync, pipeline.py:575-594)
   mode record_sync   §3.2 watermark incremental sync of records
   mode monitor       §3.3 continuous session detection (streaming)
   mode history       O1  print the k most recent records
@@ -55,6 +59,51 @@ def mode_log(spark: SparkSession, cloud: str, warehouse: str) -> None:
     w = W.partitionBy("device_name").orderBy(F.col("timestamp").desc())
     latest = st.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
     sinks.append_with_console_fallback(latest, warehouse, "device_status")
+
+
+def mode_status(spark: SparkSession, cloud: str) -> DataFrame:
+    """'status' mode (reference pipeline.py:393-438 quick_status +
+    :801 mode choice): READ-ONLY formatted snapshot — the latest
+    status tick per device plus device-side lifetime totals, printed
+    in the reference's per-device block. Mutates nothing (unlike
+    mode_log, which appends the same data); returns the snapshot
+    DataFrame for programmatic use.
+
+    The collect is |devices|-bounded — a terminal display is
+    driver-side by definition; both views derive from one status
+    scan."""
+    st = _cloud(spark, cloud, "device_status")
+    w = W.partitionBy("device_name").orderBy(F.col("timestamp").desc())
+    latest = (
+        st.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    totals = st.groupBy("device_name").agg(
+        F.sum("clean_time").alias("total_clean_time"),
+        F.round(F.sum("clean_area"), 2).alias("total_clean_area"),
+        F.count("*").alias("total_clean_count"),
+    )
+    snap = latest.join(totals, "device_name").orderBy("device_name")
+    print("\n" + "=" * 50)
+    for r in snap.collect():
+        print(f"\nDevice: {r.device_name}")
+        print("-" * 40)
+        print(f"  State: {r.state}")
+        print(f"  Battery: {r.battery}%")
+        print(f"  Clean Area: {r.clean_area} m2")
+        print(f"  Clean Time: {r.clean_time} min")
+        print(f"  Fan Power: {r.fan_power}")
+        print(f"  Water Box Status: {r.water_box_status}")
+        print(f"  Water Box Mode: {r.water_box_mode}")
+        print(f"  Mop Mode: {r.mop_mode}")
+        if r.error_code:
+            print(f"  Error Code: {r.error_code}")
+        print("\n  [Clean Summary - Lifetime Stats]")
+        print(f"    Total Cleanings: {r.total_clean_count}")
+        print(f"    Total Area: {r.total_clean_area} m2")
+        print(f"    Total Time: {r.total_clean_time} min")
+    return snap
 
 
 def mode_smart(spark: SparkSession, cloud: str, warehouse: str) -> None:
@@ -325,10 +374,36 @@ def run_scheduled(
     return ok
 
 
+def mode_schedule(
+    spark: SparkSession,
+    cloud: str,
+    warehouse: str,
+    interval_s: float = 43200.0,
+    *,
+    max_runs: int | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """'schedule' mode (reference pipeline.py:575-594 schedule_sync +
+    :801 mode choice): smart_sync on a fixed cadence — default 12 h,
+    with run_scheduled's 60 s error backoff. A thin named wrapper so
+    the reference CLI's mode list round-trips; ``--interval`` on any
+    other mode remains the general looping form. Returns the number
+    of successful ticks (``max_runs``/``sleep`` injectable for
+    tests)."""
+    return run_scheduled(
+        lambda: mode_smart(spark, cloud, warehouse),
+        interval_s,
+        max_runs=max_runs,
+        sleep=sleep,
+    )
+
+
 def run_mode(spark: SparkSession, args: argparse.Namespace) -> None:
     """One tick of the selected mode (shared by one-shot and looped runs)."""
     if args.mode == "setup":
         mode_setup(spark, args.warehouse)
+    elif args.mode == "status":
+        mode_status(spark, args.cloud)
     elif args.mode == "log":
         mode_log(spark, args.cloud, args.warehouse)
     elif args.mode == "smart":
@@ -351,7 +426,7 @@ def main(argv: list[str] | None = None) -> None:
         "--mode",
         required=True,
         choices=[
-            "setup", "log", "smart", "record_sync",
+            "setup", "status", "log", "smart", "schedule", "record_sync",
             "monitor", "history", "daily_summary", "curate",
         ],
     )
@@ -372,7 +447,15 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
 
     spark = prepare(get_spark("rdp-pipeline"))
-    if args.interval is None:
+    if args.mode == "schedule":
+        mode_schedule(
+            spark,
+            args.cloud,
+            args.warehouse,
+            args.interval if args.interval is not None else 43200.0,
+            max_runs=args.max_runs,
+        )
+    elif args.interval is None:
         run_mode(spark, args)
     else:
         run_scheduled(

@@ -52,6 +52,49 @@ def test_setup_provisions_all_tables(spark, cloud_and_warehouse):
     pipeline.mode_setup(spark, warehouse)  # idempotent (S8 'exists' path)
 
 
+def test_status_prints_and_mutates_nothing(spark, cloud_and_warehouse, capsys):
+    """'status' mode (VERDICT r3 #5): the reference's quick_status —
+    latest tick + lifetime totals per device, printed read-only; every
+    warehouse table holds exactly as many rows after as before."""
+    cloud, warehouse = cloud_and_warehouse
+    pipeline.mode_setup(spark, warehouse)
+    before = {
+        t: sinks.read_table(spark, warehouse, t).count()
+        for t in sinks.WAREHOUSE_TABLES
+    }
+    snap = {r.device_name: r for r in pipeline.mode_status(spark, cloud).collect()}
+    out = capsys.readouterr().out
+    assert "Device: bot1" in out and "Device: bot2" in out
+    assert "Battery: 70%" in out  # bot1's LATEST tick, not its first
+    assert "[Clean Summary - Lifetime Stats]" in out
+    assert snap["bot1"].state == "charging" and snap["bot1"].battery == 70
+    assert snap["bot1"].total_clean_count == 3
+    assert snap["bot2"].total_clean_count == 1
+    after = {
+        t: sinks.read_table(spark, warehouse, t).count()
+        for t in sinks.WAREHOUSE_TABLES
+    }
+    assert after == before  # read-only: no table gained a row
+
+
+def test_schedule_loops_smart_sync_fake_clock(spark, cloud_and_warehouse):
+    """'schedule' mode (VERDICT r3 #5): N ticks of smart sync on an
+    injected clock — no wall-time sleeps, interval passed through, and
+    repeated ticks stay exactly-once (the counter gate holds)."""
+    cloud, warehouse = cloud_and_warehouse
+    pipeline.mode_setup(spark, warehouse)
+    sleeps: list[float] = []
+    ok = pipeline.mode_schedule(
+        spark, cloud, warehouse, 120.0, max_runs=3, sleep=sleeps.append
+    )
+    assert ok == 3
+    assert sleeps == [120.0, 120.0]  # sleeps BETWEEN ticks only
+    cs = sinks.read_table(spark, warehouse, "clean_summary")
+    # tick 1 appends one snapshot per device; ticks 2-3 see no counter
+    # advance and append nothing
+    assert cs.count() == 2
+
+
 def test_log_appends_latest_status_per_device(spark, cloud_and_warehouse):
     cloud, warehouse = cloud_and_warehouse
     pipeline.mode_setup(spark, warehouse)
