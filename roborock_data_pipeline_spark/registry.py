@@ -57,6 +57,7 @@ _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.dq",
     "roborock_data_pipeline_spark.operators.timeseries",
     "roborock_data_pipeline_spark.operators.semistructured",
+    "roborock_data_pipeline_spark.operators.udtf_suite",
     "roborock_data_pipeline_spark.operators.accuracy",
 ]
 

@@ -79,9 +79,13 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
         # phase stays JVM-side).
         # q_media_resize / q_media_frames are the sanctioned multimodal
         # codec slot (Arrow-batched mapInPandas), same as features.
+        # q_udtf_sentence_spans is the deliberate §2.J UDTF surface —
+        # Arrow-batched by construction, oracle-checked, and pinned
+        # map-only by test_udtf_is_maponly_python_surface.
         if name in ("q_multimodal_features", "q_heavy_hitters",
                     "q_kmeans_clusters", "q_kmeans_clusters_check",
-                    "q_media_resize", "q_media_frames"):
+                    "q_media_resize", "q_media_frames",
+                    "q_udtf_sentence_spans"):
             continue
         plan = plan_string(spec.fn(spark, sf_dir))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
@@ -409,6 +413,20 @@ def test_knn_join_windows_pairs_not_corpus(spark, sf_dir):
     plan = plan_string(q_knn_join(spark, sf_dir))
     assert _n_nodes(plan, "Window") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_udtf_is_maponly_python_surface(spark, sf_dir):
+    """§2.J UDTF: the lateral sentence-spans expansion runs as a
+    Python-UDTF eval node fused over the scan — a map-side flat-map
+    with NO exchange (output partitioning follows the input), the
+    only plan shape a 100 TB UDTF is allowed to have."""
+    from roborock_data_pipeline_spark.operators.udtf_suite import (
+        q_udtf_sentence_spans,
+    )
+
+    plan = plan_string(q_udtf_sentence_spans(spark, sf_dir))
+    assert "PythonUDTF" in plan  # Batch/ArrowEvalPythonUDTF node
+    assert _n_nodes(plan, "Exchange") == 0
 
 
 def test_near_dup_join_carries_subblock_key(spark, sf_dir):
