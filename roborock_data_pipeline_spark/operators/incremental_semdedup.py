@@ -1,0 +1,189 @@
+"""Incremental semantic dedup (SURVEY §2.K — SemDeDup at steady
+state; VERDICT r3 #7).
+
+The batch operators (operators/similarity.py: blocked_pairs →
+q_semantic_dedup) dedup a corpus in one pass; a 100 TB ingest
+pipeline instead maintains a persisted IVF index and processes each
+new embedding batch against it:
+
+1. TRAIN once — ``create_semantic_index`` fits cell centroids and
+   publishes them atomically; they are frozen metadata from then on
+   (the standard IVF regime: retraining is an offline rebuild, not an
+   ingest-path concern), so every batch assigns into a stable cell
+   space and incremental results are reproducible.
+2. ASSIGN the new batch to its nearest cells (broadcast of the k×d
+   centroid table — index metadata, never the corpus).
+3. PAIR new vectors against (old ∪ new) vectors of the same cell —
+   candidate work is |new| × cell-occupancy, independent of corpus
+   age. The join carries the same two 100 TB guards as
+   ``blocked_pairs``: per-cell salting for parallelism and a
+   cell-population cap (hash sub-split) bounding pair count at
+   cap·|cell|.
+4. EMIT each qualifying pair exactly once across all updates: the
+   update that ingests a pair's later member returns it (new-new
+   pairs ordered by vec_id; new-old pairs exist in one join direction
+   only). Losers (the keep-lowest rule's higher ids) derive from the
+   returned pairs.
+5. PUBLISH the batch's (vec_id, embedding, cell, nrm) rows with one
+   atomic directory rename — same staged-rename contract as
+   incremental_dedup. Replays are idempotent: a deterministic
+   ``batch_id`` that is already published recomputes the same pair
+   set against the index state that preceded it and does NOT
+   re-publish.
+
+Mirrors operators/incremental_dedup.py (MinHash side) so the two
+incremental paths compose into one streaming curation funnel.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.functions.arrays import dot, norm
+from roborock_data_pipeline_spark.operators.similarity import (
+    BLOCK_CAP,
+    N_SALTS,
+    _nearest,
+    build_ivf_index,
+)
+
+VEC_SCHEMA = "vec_id bigint, embedding array<float>, cell int, nrm double"
+
+
+def create_semantic_index(
+    spark: SparkSession, train_emb: DataFrame, index_dir: str
+) -> None:
+    """Train cell centroids on ``train_emb`` and publish them as the
+    index's frozen metadata (atomic staged rename — an index is never
+    visible without its centroids)."""
+    centroids, _ = build_ivf_index(train_emb)
+    staged = os.path.join(index_dir, ".staging", "centroids")
+    try:
+        centroids.write.mode("overwrite").parquet(staged)
+        os.makedirs(index_dir, exist_ok=True)
+        os.replace(staged, os.path.join(index_dir, "centroids"))
+    finally:
+        shutil.rmtree(os.path.join(index_dir, ".staging"), ignore_errors=True)
+
+
+def _vector_batches(index_dir: str, exclude: str | None = None) -> list[str]:
+    if not os.path.isdir(index_dir):
+        return []
+    return sorted(
+        os.path.join(index_dir, d)
+        for d in os.listdir(index_dir)
+        if d.startswith("batch-") and d != f"batch-{exclude}"
+    )
+
+
+def _assign(spark: SparkSession, emb: DataFrame, index_dir: str) -> DataFrame:
+    """(vec_id, embedding, cell, nrm) for a batch: nearest frozen
+    centroid per vector via a broadcast of the k×d metadata table."""
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cells = _nearest(
+        emb.crossJoin(F.broadcast(cent)), "embedding", "cell", 1
+    )
+    return (
+        emb.select("vec_id", "embedding")
+        .join(cells, "vec_id")
+        .withColumn("nrm", norm(F.col("embedding")))
+    )
+
+
+def update_semantic_index(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    threshold: float = 0.9,
+    cap: int = BLOCK_CAP,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Ingest an embedding batch and return the cosine>=threshold
+    near-dup pairs (vec_id_1 < vec_id_2, cosine) involving at least
+    one new vector — each pair returned by exactly one update. See
+    module docstring for the protocol."""
+    batch_id = batch_id or uuid.uuid4().hex
+    replay = os.path.isdir(os.path.join(index_dir, f"batch-{batch_id}"))
+
+    new_vec = _assign(spark, new_emb, index_dir).persist()
+    batches = _vector_batches(index_dir, exclude=batch_id if replay else None)
+    if batches:
+        old_vec = spark.read.schema(VEC_SCHEMA).parquet(*batches)
+        all_vec = old_vec.withColumn("is_new", F.lit(False)).unionByName(
+            new_vec.withColumn("is_new", F.lit(True))
+        )
+    else:
+        all_vec = new_vec.withColumn("is_new", F.lit(True))
+
+    # cell-population cap over the CURRENT index state (old ∪ new):
+    # identical sub-split for both join sides within this update
+    sizes = all_vec.groupBy("cell").agg(F.count("*").alias("_n"))
+    keyed = (
+        all_vec.join(F.broadcast(sizes), "cell")
+        .withColumn(
+            "subblk",
+            F.pmod(
+                F.xxhash64("vec_id"),
+                F.greatest(
+                    F.ceil(F.col("_n") / F.lit(cap)).cast("long"), F.lit(1)
+                ),
+            ).cast("int"),
+        )
+        .drop("_n")
+    )
+    a = (
+        keyed.where("is_new")
+        .withColumn(
+            "salt", F.pmod(F.xxhash64("vec_id"), F.lit(N_SALTS)).cast("int")
+        )
+        .alias("a")
+    )
+    b = keyed.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    ).alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.subblk") == F.col("b.subblk"))
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            # new-new pairs: one direction; new-old: only a=new exists
+            & (~F.col("b.is_new") | (F.col("a.vec_id") < F.col("b.vec_id"))),
+        )
+        .where(cos >= threshold)
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_id_1"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_id_2"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+    # materialize BEFORE publishing so a failure never advances the
+    # index past an unemitted pair set
+    pairs = pairs.persist()
+    pairs.count()
+
+    if not replay:
+        staged = os.path.join(index_dir, ".staging", f"batch-{batch_id}")
+        try:
+            new_vec.write.mode("overwrite").parquet(staged)
+            os.replace(staged, os.path.join(index_dir, f"batch-{batch_id}"))
+        finally:
+            if os.path.exists(staged):
+                shutil.rmtree(staged, ignore_errors=True)
+    return pairs
+
+
+def semantic_losers(pairs: DataFrame) -> DataFrame:
+    """Keep-lowest canonical rule: the loser set is the distinct
+    higher-id member of every qualifying pair (the apply side is a
+    broadcast anti join, as in q_semantic_dedup)."""
+    return pairs.select(F.col("vec_id_2").alias("vec_id")).distinct()

@@ -102,3 +102,90 @@ def test_incremental_minhash_matches_full_batch(spark, sf_dir, tmp_path):
     got = got1 + got2
     assert len(got) == len(set(got)), "a pair was emitted twice"
     assert set(got) == truth
+
+
+def test_incremental_semdedup_matches_full_batch(spark, sf_dir, tmp_path):
+    """VERDICT r3 #7: two incremental embedding ingests (even vec_ids,
+    then odd) against a frozen-centroid IVF index emit exactly the
+    single-call pair set, each pair exactly once, and the cumulative
+    loser set matches the batch loser set."""
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        semantic_losers,
+        update_semantic_index,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    full_idx = str(tmp_path / "sem_full")
+    incr_idx = str(tmp_path / "sem_incr")
+    # identical training corpus → identical frozen cell space
+    create_semantic_index(spark, emb, full_idx)
+    create_semantic_index(spark, emb, incr_idx)
+
+    full = update_semantic_index(spark, emb, full_idx, threshold=0.25)
+    truth = {(r.vec_id_1, r.vec_id_2, r.cosine) for r in full.collect()}
+    assert truth, "test needs a non-empty pair set to be meaningful"
+
+    p1 = update_semantic_index(
+        spark, emb.where(F.col("vec_id") % 2 == 0), incr_idx, threshold=0.25
+    )
+    p2 = update_semantic_index(
+        spark, emb.where(F.col("vec_id") % 2 == 1), incr_idx, threshold=0.25
+    )
+    got1 = [(r.vec_id_1, r.vec_id_2, r.cosine) for r in p1.collect()]
+    got2 = [(r.vec_id_1, r.vec_id_2, r.cosine) for r in p2.collect()]
+    got = got1 + got2
+    assert len(got) == len(set(got)), "a pair was emitted twice"
+    assert set(got) == truth
+
+    losers_full = {r.vec_id for r in semantic_losers(full).collect()}
+    losers_incr = {
+        r.vec_id
+        for df in (p1, p2)
+        for r in semantic_losers(df).collect()
+    }
+    assert losers_incr == losers_full
+
+
+def test_incremental_semdedup_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed batch_id recomputes the SAME pair set against the
+    pre-batch index state and does not re-publish — exactly-once
+    under crash-retry, mirroring the minhash index contract."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        update_semantic_index,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "sem_replay")
+    create_semantic_index(spark, emb, idx)
+    evens = emb.where(F.col("vec_id") % 2 == 0)
+    odds = emb.where(F.col("vec_id") % 2 == 1)
+
+    update_semantic_index(spark, evens, idx, threshold=0.25, batch_id="b1")
+    first = {
+        (r.vec_id_1, r.vec_id_2, r.cosine)
+        for r in update_semantic_index(
+            spark, odds, idx, threshold=0.25, batch_id="b2"
+        ).collect()
+    }
+    n_batches = len([d for d in os.listdir(idx) if d.startswith("batch-")])
+    replay = {
+        (r.vec_id_1, r.vec_id_2, r.cosine)
+        for r in update_semantic_index(
+            spark, odds, idx, threshold=0.25, batch_id="b2"
+        ).collect()
+    }
+    assert replay == first
+    assert (
+        len([d for d in os.listdir(idx) if d.startswith("batch-")])
+        == n_batches == 2
+    )
