@@ -1528,3 +1528,440 @@ def q_tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q_tpch_q4_shape",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    with at least one line shipped >60 days after the order date,
+    counted by priority. (The reference testdata carries no
+    commit/receipt dates, so "late" is ship-vs-order latency — the
+    EXISTS shape is what Q4 exercises.)
+
+    The correlated EXISTS compiles to a LEFT SEMI join on orderkey
+    with the latency predicate as a join condition — each order is
+    counted at most once regardless of how many lines are late, with
+    no post-join dedup. The date filter pushes to the orders scan;
+    the semi join's build side is the filtered orders (6 months),
+    shuffle keyed on orderkey only."""
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q6_shape",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-aggregate —
+    discount revenue left on the table for small, mid-discount lines
+    in one year.
+
+    The canonical pushdown showcase: all three predicates reach the
+    parquet scan as PushedFilters (row-group stats skip whole chunks
+    at 100 TB), only 4 columns are read, and the single global
+    aggregate is partial-per-partition + one 1-row exchange. No join,
+    no wide shuffle — I/O-bound by design (plan-pinned in
+    test_plans.py)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q_tpch_q9_shape",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit on widget parts by
+    supplier nation and order year. (No partsupp table in the
+    testdata, so supply cost is proxied at 60% of retail price — the
+    join/aggregate shape is Q9's.)
+
+    Four dims land on one lineitem pass: part (name-filtered,
+    broadcast — the filter prunes before the join), supplier + nation
+    (broadcast chain), and the orders join for the year, which is the
+    only fact-fact shuffle (both sides keyed on orderkey). Profit is
+    computed map-side post-join; the group-by is tiny (nations ×
+    years) so partial aggregation collapses nearly everything before
+    the final exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@query(
+    "q_tpch_q11_shape",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(l.l_extendedprice) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_1', 'NATION_2')
+        GROUP BY 1)
+    SELECT partkey, ROUND(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > 0.005 * (SELECT SUM(part_value) FROM pv)
+    """,
+)
+def q_tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose traded value
+    through two nations' suppliers exceeds a fraction of the total —
+    the scalar-subquery-threshold pattern. (partsupp doesn't exist in
+    the testdata; lineitem extendedprice through nation-filtered
+    suppliers is the value proxy.)
+
+    The per-part aggregate is built ONCE and feeds both the threshold
+    scalar (a second, 1-row aggregate) and the probe: the scalar rides
+    a broadcast cross-join (1 row — metadata-sized at any scale, same
+    pattern as dq.py's contract gates), never a per-row subquery.
+    Threshold comparison happens on the UNROUNDED sum; rounding is
+    display-only, so engine-order float drift can't flip a boundary
+    row differently in the two places the value appears."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    pv = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    total = pv.agg(F.sum("raw_value").alias("total_value"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("raw_value") > 0.005 * F.col("total_value"))
+        .select("partkey", F.round("raw_value", 2).alias("part_value"))
+    )
+
+
+@query(
+    "q_tpch_q13_shape",
+    oracle="""
+    WITH co AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY 1
+    """,
+)
+def q_tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed 0, 1, 2... non-urgent orders — the left-outer
+    join + double aggregation pattern, including the customers with NO
+    orders (the rows an inner join silently drops).
+
+    The priority predicate is a JOIN condition, not a WHERE filter —
+    on a left join those are different queries (a WHERE would drop the
+    zero-order customers). COUNT(o_orderkey) counts matched rows only,
+    so the null-extended rows land in the c_count=0 bucket. First
+    aggregation shuffles on custkey (same key as the join — one
+    exchange reused); the second is over at most max-orders-per-
+    customer distinct values, broadcast-sized."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    co = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q15_shape",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.total_rev, 2) AS total_revenue
+    FROM supplier s
+    JOIN rev r ON r.suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q_tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): supplier(s) with the maximum
+    quarterly revenue — the view-reused-against-its-own-max pattern.
+
+    The revenue aggregate is computed once; the max is a second 1-row
+    aggregate over it, attached by broadcast cross-join (the Q11
+    scalar pattern), and the equality filter runs on the UNROUNDED
+    doubles so both sides of the comparison come from the same
+    computation. Supplier attaches by broadcast after the filter has
+    reduced the left side to the argmax row(s) — joining the dim
+    last, against one row, not against every supplier's aggregate."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_revenue"))
+    )
+
+
+@query(
+    "q_tpch_q16_shape",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (part/supplier relationship): distinct supplier
+    count per (brand, type, size) for a filtered part family.
+    (lineitem is the part-supplier bridge — the testdata has no
+    partsupp.)
+
+    All three predicates prune the broadcast part side BEFORE the
+    join. COUNT(DISTINCT) over a join output expands to Spark's
+    two-phase distinct aggregate: partial dedup of (group, suppkey)
+    map-side, then the count — the shuffle carries deduped pairs, not
+    raw lineitems, which is the difference between |lineitem| and
+    |parts×suppliers| exchange volume at 100 TB."""
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20_shape",
+    oracle="""
+    WITH heavy AS (
+        SELECT l.l_suppkey AS suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 50)
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT suppkey FROM heavy)
+    """,
+)
+def q_tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who moved
+    >50 units of some PROMO part in a year — the nested-semi-join
+    pattern (supplier IN (agg over part-filtered fact)). (availqty
+    doesn't exist; shipped quantity per (supplier, part) is the
+    stock-movement proxy.)
+
+    Inner layer: part filter broadcast-prunes the fact, aggregate on
+    the composite (suppkey, partkey) key, HAVING filter — all before
+    anything touches supplier. Outer layer: LEFT SEMI join on the
+    tiny distinct-supplier set; supplier and nation stay dims. The
+    expensive fact pass happens exactly once, inside the innermost
+    derived table."""
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select(F.col("l_suppkey").alias("suppkey"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == F.col("suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@query(
+    "q_tpch_q21_shape",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM late l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM late l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+    """,
+)
+def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in
+    finished multi-supplier orders, the supplier whose line shipped
+    >90 days late while every OTHER supplier's lines were on time —
+    the semi-join + anti-join double probe of the same derived fact.
+    (Ship-vs-order latency stands in for receipt-vs-commit; the
+    testdata has no commit/receipt dates.)
+
+    `late` is derived once (orders join keyed on orderkey) and probed
+    three times — as the driving side, the EXISTS (LEFT SEMI), and
+    the NOT EXISTS (LEFT ANTI) — all three keyed on the SAME
+    orderkey, so the exchange is planned once and reused (Spark
+    ReusedExchange; at warehouse scale this is one fact shuffle, not
+    three). The supplier name attaches by broadcast after the probes
+    have cut the row count."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    late = li.join(o, li.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("is_late"),
+    )
+    l1 = late.where(F.col("is_late"))
+    l2 = late.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.where(F.col("is_late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        l1.join(
+            l2,
+            (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("k3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

@@ -462,3 +462,91 @@ def test_q8_deepest_dim_fan_stays_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert _n_nodes(plan, "BroadcastHashJoin") == 7
     assert _n_nodes(plan, "HashAggregate") == 2
+
+
+def test_q6_pure_scan_aggregate(spark, sf_dir):
+    """Q6: every predicate reaches the parquet scan as a pushed
+    filter, only the needed columns are read, and the plan is
+    scan → partial agg → 1-row exchange → final agg. No join, one
+    exchange — the I/O-bound ideal at 100 TB."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q6_shape
+
+    df = q_tpch_q6_shape(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    rs = read_schemas(df)
+    assert "l_extendedprice" in rs and "l_partkey" not in rs
+    plan = plan_string(df)
+    assert _n_nodes(plan, "Exchange") == 1
+    assert "partial_" in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """Q4: the EXISTS compiles to ONE left-semi join — orders are
+    never duplicated by multi-line matches, so no post-join dedup
+    aggregate appears; the quarter filter pushes to the orders
+    scan."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q4_shape
+
+    df = q_tpch_q4_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan
+    assert _n_nodes(plan, "HashAggregate") == 2  # ONLY the priority count pair
+    assert "o_orderdate" in pushed_filters(df)
+
+
+def test_q13_predicate_stays_in_join_not_where(spark, sf_dir):
+    """Q13: the priority predicate is part of the LEFT OUTER join
+    condition — zero-order customers survive into the c_count=0
+    bucket. A Filter node above the join would be a different (wrong)
+    query; the predicate must sit below/inside the join."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q13_shape
+
+    df = q_tpch_q13_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftOuter" in plan
+    # the priority predicate prunes the orders build side pre-join
+    assert "o_orderpriority" in pushed_filters(df)
+
+
+def test_q21_reuses_one_fact_exchange(spark, sf_dir):
+    """Q21: the late-lines derived fact is probed three times (drive,
+    semi, anti) — all keyed on orderkey, so Spark plans the scan
+    subtree once and reuses it (ReusedExchange / ReusedSubquery at
+    scale; locally all three probes are broadcast or reuse one
+    exchange). The pin: no more than 2 shuffle exchanges in the whole
+    plan and the supplier join is broadcast."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q21_shape
+
+    df = q_tpch_q21_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "o_orderstatus" in pushed_filters(df)
+
+
+def test_q11_threshold_is_broadcast_scalar(spark, sf_dir):
+    """Q11: the total-value threshold attaches as a broadcast of a
+    1-row aggregate (BroadcastNestedLoopJoin over one row) — never a
+    per-row subquery or a shuffled join of the aggregate against
+    itself."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q11_shape
+
+    plan = plan_string(q_tpch_q11_shape(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_distinct_count_is_two_phase(spark, sf_dir):
+    """Q16: COUNT(DISTINCT suppkey) expands to the two-phase distinct
+    aggregate (dedup pass + count pass) over a broadcast part join —
+    the exchange carries deduped (group, suppkey) pairs, not raw
+    lineitems."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q16_shape
+
+    df = q_tpch_q16_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert _n_nodes(plan, "BroadcastHashJoin") == 1
+    assert _n_nodes(plan, "HashAggregate") >= 3  # distinct expand + count phases
+    rs = read_schemas(df)
+    assert "l_extendedprice" not in rs  # bridge read is 2 columns
