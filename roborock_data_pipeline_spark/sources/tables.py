@@ -27,10 +27,17 @@ TABLE_NAMES = [
 
 
 def _physical_parquet_files(sf_dir: str, name: str) -> list[str]:
-    """The physical parquet file(s) behind the EXACT path load() reads
-    (``{sf_dir}/{name}.parquet`` — plain file or directory layout).
-    Resolution is deliberately identical to load()'s read path so the
-    sniffer can never inspect a file the scan does not."""
+    """The physical parquet file(s) behind the paths the engine reads.
+
+    Batch load() reads exactly ``{sf_dir}/{name}.parquet`` (plain file
+    or directory layout) — when that exists, the sniffer inspects it
+    and nothing else, so it can never classify from a file the scan
+    does not read. The STREAMING file source reads the glob
+    ``{sf_dir}/{name}*`` (change-batch layouts ship ``events-0.
+    parquet``, ``events-1.parquet``, ... with no bare ``events.
+    parquet``); when the exact path is absent the sniffer falls back
+    to that glob so the stream's unit sniff sees the same files the
+    stream reads."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
         return sorted(
@@ -38,7 +45,7 @@ def _physical_parquet_files(sf_dir: str, name: str) -> list[str]:
         )
     if os.path.exists(path):
         return [path]
-    return []
+    return sorted(glob.glob(os.path.join(sf_dir, f"{name}*.parquet")))
 
 
 # Footers sniffed per table: first/last plus an even spread. At 100 TB

@@ -167,3 +167,31 @@ def test_queries_and_oracles_align(spark):
         "q_dedup_simhash", "q_similarity_lsh", "q_similarity_ivf",
         "q_hll_daily_users", "q_kmeans_clusters",
     }
+
+
+def test_sniffer_covers_streaming_glob_layout(tmp_path, spark):
+    """The streaming file source reads {dir}/events* — change-batch
+    fixtures named events-0.parquet etc. carry NO bare events.parquet.
+    The unit sniffer must classify from the same glob the stream
+    reads (regression: the strict exact-path sniffer returned "us"
+    for raw-int64 change batches and the stream read them as
+    TimestampType, failing with PARQUET_COLUMN_DATA_TYPE_MISMATCH)."""
+    from roborock_data_pipeline_spark.sources import tables
+
+    d = str(tmp_path)
+    df = spark.createDataFrame(
+        [(1, 1_704_067_200 * 1_000_000_000, 1, "signup", 1.0, None)],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/stage")
+    import glob as g
+    import shutil
+
+    part = g.glob(d + "/stage/part-*.parquet")[0]
+    shutil.copy(part, d + "/events-0.parquet")
+    shutil.rmtree(d + "/stage")
+    assert tables.events_ts_unit(d) == "ns"
+    # and an empty dir still sniffs to the native-µs default
+    (tmp_path / "empty").mkdir()
+    assert tables.events_ts_unit(str(tmp_path / "empty")) == "us"
