@@ -143,6 +143,7 @@ HEADLINE = [
     "q_tpch_q16_shape",
     "q_tpch_q20_shape",
     "q_tpch_q21_shape",
+    "q_boilerplate_strip",
 ]
 
 

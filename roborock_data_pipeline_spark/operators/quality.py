@@ -425,6 +425,118 @@ def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_boilerplate_strip",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    b AS (
+        SELECT doc_id, toks,
+               CAST(FLOOR(len(toks) / 5) AS INTEGER) AS nseg
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(0, nseg - 1),
+                   i -> {'pos': i,
+                         'seg': array_to_string(toks[i * 5 + 1 : i * 5 + 5], ' ')}
+               )) AS u
+        FROM b
+    ),
+    e2 AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM e),
+    f AS (
+        SELECT seg FROM e2 GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+        SELECT e2.doc_id, e2.pos, e2.seg
+        FROM e2 LEFT JOIN f ON f.seg = e2.seg
+        WHERE f.seg IS NULL
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(seg, ' ' ORDER BY pos) AS kept_txt,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           concat_ws(' ', agg.kept_txt,
+                     NULLIF(array_to_string(toks[nseg * 5 + 1 : len(toks)], ' '),
+                            '')) AS clean_text,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           CAST(b.nseg - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the rewrite step after
+    q_boilerplate_segments's detection: drop every 5-token segment
+    that recurs in >= 3 distinct documents and reassemble each
+    document's remaining segments IN ORDER (plus the <5-token tail
+    the segmenter can't cover). This is the C4/RefinedWeb "remove
+    repeated lines across the corpus" pass, order-preserving.
+
+    Same inverted-index skeleton as the detector — posting explode,
+    document-frequency count, tiny frequent set — but the join-back
+    is a LEFT ANTI (drop hits) and the reassembly is a sort-free
+    collect: segments carry their position, array_sort on the
+    (pos, seg) struct restores order INSIDE each group without a
+    window or a second exchange (collect_list + array_sort is
+    partial-agg friendly; a Window.orderBy here would add a sort
+    exchange per doc). One doc_id shuffle for the regroup, one seg
+    shuffle for the frequency count; the frequent set broadcasts.
+    At 100 TB the anti-join key becomes xxhash64(seg), same as the
+    detector."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.floor(F.size(toks) / F.lit(5)).cast("int").alias("nseg"),
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), F.col("nseg") - 1),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * 5 + 1, 5), " "),
+    )
+    e = base.where(F.col("nseg") >= 1).select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    )
+    frequent = (
+        e.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 3)
+        .select("seg")
+    )
+    kept = e.join(F.broadcast(frequent), "seg", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("kept_txt"),
+        F.count("*").alias("n_kept"),
+    )
+    tail_len = F.size(F.col("toks")) - F.col("nseg") * 5
+    tail = F.when(
+        tail_len > 0,
+        F.array_join(F.slice(F.col("toks"), F.col("nseg") * 5 + 1, 1_000_000), " "),
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept_txt"), tail).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (F.col("nseg").cast("long") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 # Stopword probe list for the Gopher-style gate (kept tiny: the
 # corpus is synthetic word soup; real deployments swap in the usual
 # ~50-word list).

@@ -550,3 +550,16 @@ def test_q16_distinct_count_is_two_phase(spark, sf_dir):
     assert _n_nodes(plan, "HashAggregate") >= 3  # distinct expand + count phases
     rs = read_schemas(df)
     assert "l_extendedprice" not in rs  # bridge read is 2 columns
+
+
+def test_boilerplate_strip_sortfree_reassembly(spark, sf_dir):
+    """Boilerplate strip: the frequent set joins back as a broadcast
+    LEFT ANTI, and reassembly restores segment order with array_sort
+    inside the aggregate — NO Window node (a Window.orderBy would add
+    a per-doc sort exchange the collect_list+array_sort shape
+    avoids)."""
+    from roborock_data_pipeline_spark.operators.quality import q_boilerplate_strip
+
+    plan = plan_string(q_boilerplate_strip(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert _n_nodes(plan, "Window") == 0
