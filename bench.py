@@ -144,6 +144,7 @@ HEADLINE = [
     "q_tpch_q20_shape",
     "q_tpch_q21_shape",
     "q_boilerplate_strip",
+    "q_similarity_pq",
 ]
 
 

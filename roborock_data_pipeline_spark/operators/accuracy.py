@@ -276,3 +276,23 @@ def q_kmeans_clusters_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") <= 8).alias("k_bounded"),
         F.min(F.col("avg_sq_dist") >= 0).alias("dists_nonneg"),
     )
+
+
+@query(
+    "q_similarity_pq_check",
+    oracle="SELECT CAST(10 AS BIGINT) AS k, TRUE AS ratio_ok",
+)
+def q_similarity_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (16x4-bit codes, ADC scan) top-10 vs brute force,
+    approximation ratio >= 0.7 (see _ann_ratio_check; measured
+    0.82-0.86 across SFs at the m=16 default)."""
+    from roborock_data_pipeline_spark.operators.similarity import (
+        q_similarity_pq,
+        q_similarity_search,
+    )
+
+    return _ann_ratio_check(
+        q_similarity_search(spark, sf_dir),
+        q_similarity_pq(spark, sf_dir),
+        bound=0.7,
+    )

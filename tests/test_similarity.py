@@ -172,3 +172,50 @@ def test_pandas_brute_topk_equals_codegen(spark, sf_dir):
         for r in q_similarity_search(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+def test_pq_codes_and_codebook_shape(spark, sf_dir):
+    """PQ: codebook is m x ksub x d/m; every vector encodes to m codes
+    in [0, ksub); empty codes keep their seed centroid."""
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators import similarity as S
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cb = S.pq_fit(emb, m=S.PQ_M, ksub=S.PQ_KSUB, iters=2)
+    assert len(cb) == S.PQ_M
+    assert all(len(cents) == S.PQ_KSUB for cents in cb)
+    d = len(emb.select("embedding").first()["embedding"])
+    assert all(len(c) == d // S.PQ_M for cents in cb for c in cents)
+    codes = emb.select(
+        F.explode(S._pq_assign_expr(cb, F.col("embedding"))).alias("c")
+    )
+    r = codes.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
+    assert 0 <= r.lo and r.hi < S.PQ_KSUB
+
+
+def test_pq_recovers_clustered_neighbors(spark):
+    """On well-separated clusters PQ's ADC ranking must put same-
+    cluster vectors on top — the geometry where ANN is meaningful."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators import similarity as S
+
+    rnd = random.Random(7)
+    rows = []
+    for vid in range(120):
+        cl = vid % 3
+        base = [0.0] * 64
+        base[cl * 20] = 10.0  # far-apart cluster anchors
+        rows.append(
+            (vid, [base[j] + rnd.gauss(0, 0.2) for j in range(64)], cl)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    top = S.pq_topk(emb, query_vec_id=0, k=10).collect()
+    same = sum(1 for r in top if r["label"] == 0)
+    assert same >= 9, [r["label"] for r in top]
