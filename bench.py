@@ -214,9 +214,13 @@ def main() -> None:
         bq = best.get("queries", {})
         for name, t in times.items():
             b = bq.get(name)
-            # sub-100ms queries are timer noise at this box's jitter
-            # floor; don't flag them.
-            if b is not None and b >= 0.1 and t > 1.5 * b:
+            # Two noise guards, both measured on this box (r4): the
+            # per-session variance of an unchanged query is up to
+            # ~1.5x (JVM/codegen/GC luck), and the all-time-min
+            # ratchet collects lucky outliers — so a flag needs BOTH
+            # a 1.5x ratio AND >=0.3 s of absolute damage. Small
+            # queries below that delta are watch-list noise.
+            if b is not None and t > 1.5 * b and t - b >= 0.3:
                 regressions.append(f"{name}:{round(t / b, 2)}x")
             bq[name] = min(t, b) if b is not None else t
         best["queries"] = bq
