@@ -145,6 +145,7 @@ HEADLINE = [
     "q_tpch_q21_shape",
     "q_boilerplate_strip",
     "q_similarity_pq",
+    "q_token_entropy",
 ]
 
 

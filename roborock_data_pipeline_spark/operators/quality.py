@@ -903,3 +903,74 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "lang", "rk")
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM cnt GROUP BY 1
+    )
+    SELECT cnt.doc_id,
+           tot.n AS n_tokens,
+           tot.n_distinct,
+           ROUND(-SUM((c / CAST(n AS DOUBLE))
+                      * LOG2(c / CAST(n AS DOUBLE))), 6) AS entropy_bits,
+           ROUND(-SUM((c / CAST(n AS DOUBLE))
+                      * LOG2(c / CAST(n AS DOUBLE)))
+                 / LOG2(GREATEST(n_distinct, 2)), 6) AS entropy_norm
+    FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id
+    GROUP BY cnt.doc_id, tot.n, tot.n_distinct
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document — the information-density
+    quality signal between Gopher's ratio gates and the bigram-LM
+    fluency score: near-zero entropy flags degenerate repetition
+    (the same tokens over and over), entropy_norm ~1 flags
+    every-token-unique word salad; natural text sits between.
+
+    One explode + two keyed aggregates, both on doc_id (token counts
+    key on (doc_id, token) — a superset of doc_id, so the second
+    aggregate reuses the first exchange's co-location): map-side
+    partial counts collapse repeated tokens before the shuffle, the
+    entropy sum is pure codegen arithmetic, and normalization uses
+    log2(distinct) with a floor of 2 so single-token docs land at 0
+    rather than dividing by log2(1)=0."""
+    d = spread(load(spark, sf_dir, "documents"))
+    cnt = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(
+                -F.sum(p * F.log2(p))
+                / F.log2(F.greatest(F.col("n_distinct"), F.lit(2)).cast("double")),
+                6,
+            ).alias("entropy_norm"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "n_distinct",
+            "entropy_bits",
+            "entropy_norm",
+        )
+    )
