@@ -165,7 +165,7 @@ def test_queries_and_oracles_align(spark):
     assert rows_only == {
         "q_approx_distinct", "q_approx_percentiles", "q_dedup_minhash",
         "q_dedup_simhash", "q_similarity_lsh", "q_similarity_ivf",
-        "q_hll_daily_users", "q_kmeans_clusters",
+        "q_similarity_pq", "q_hll_daily_users", "q_kmeans_clusters",
     }
 
 
