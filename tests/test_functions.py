@@ -213,3 +213,29 @@ def test_hll_sketch_union_near_exact(spark, sf_dir):
     )
     assert abs(rows["ALL"] - exact) / exact <= 0.02
     assert len(rows) > 1  # per-day rows present alongside the rollup
+
+
+def test_token_entropy_matches_reference(spark, sf_dir):
+    """q_token_entropy equals a direct Python Shannon-entropy
+    computation on a sample of documents."""
+    import math
+    from collections import Counter
+
+    from roborock_data_pipeline_spark.operators.quality import q_token_entropy
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    got = {
+        r["doc_id"]: r
+        for r in q_token_entropy(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(25).collect()
+    for doc in docs:
+        toks = doc["text"].split(" ")
+        c = Counter(toks)
+        n = len(toks)
+        ent = -sum((k / n) * math.log2(k / n) for k in c.values())
+        r = got[doc["doc_id"]]
+        assert r["n_tokens"] == n and r["n_distinct"] == len(c)
+        assert abs(r["entropy_bits"] - ent) < 1e-5
+        denom = math.log2(max(len(c), 2))
+        assert abs(r["entropy_norm"] - ent / denom) < 1e-5

@@ -582,3 +582,31 @@ def test_pq_query_is_one_maponly_scan(spark, sf_dir):
     assert "Join" not in plan
     assert "ArrowEvalPython" in plan  # the sanctioned vectorized kernel
     assert "BatchEvalPython" not in plan  # never row-at-a-time
+
+
+def test_q15_argmax_attaches_by_broadcast(spark, sf_dir):
+    """Q15: Catalyst folds the `total_rev = max_rev` filter INTO the
+    1-row broadcast attach, planning it as an equi BroadcastHashJoin
+    keyed on the revenue value — no cartesian node, no SMJ, and the
+    quarter filter pushes to the lineitem scan. The supplier dim is
+    the second broadcast, joined after the argmax filter."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q15_shape
+
+    df = q_tpch_q15_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert _n_nodes(plan, "BroadcastHashJoin") == 2  # max attach + supplier
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "l_shipdate" in pushed_filters(df)
+
+
+def test_q20_semi_join_after_having(spark, sf_dir):
+    """Q20: the supplier semi-join probes the HAVING-filtered
+    aggregate — LeftSemi present, part filter pushed to its scan, and
+    the composite aggregate is partial+final."""
+    from roborock_data_pipeline_spark.operators.analytics import q_tpch_q20_shape
+
+    df = q_tpch_q20_shape(spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan
+    assert "partial_" in plan
+    assert "p_type" in pushed_filters(df)
