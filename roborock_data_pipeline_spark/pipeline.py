@@ -339,6 +339,138 @@ def mode_curate(
     return funnel
 
 
+def mode_curate_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    emb: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    batch_id: str,
+    jaccard_threshold: float = 0.5,
+    cosine_threshold: float = 0.9,
+) -> dict[str, int]:
+    """EXT: ONE ingest batch through the streaming curation funnel —
+    the composition the incremental indexes exist for (VERDICT r3 #7
+    closed the pieces; this is the funnel):
+
+    1. text near-dup check against the persisted MinHash index
+       (operators/incremental_dedup) — new docs matching anything
+       already indexed, or an earlier doc of this batch, lose;
+    2. semantic near-dup check against the persisted frozen-centroid
+       IVF index (operators/incremental_semdedup), same rule, with
+       ``vec_id == doc_id`` (each document's embedding);
+    3. quality gate (Gopher-style duplicate-bigram threshold) on the
+       survivors;
+    4. atomic publish of the batch's curated docs under
+       ``out_dir/batch-{batch_id}`` (staged rename).
+
+    Dedup policy is KEEP-FIRST, not the batch operators' keep-lowest:
+    in an ingest stream the already-published doc must win — dropping
+    a doc retroactively because a lower-id near-dup arrived later
+    would retract published training data. Within one batch (both
+    members new) the tie-break is keep-lowest, matching the batch
+    semantics. Losers are decided per pair: the new member loses;
+    new-new pairs drop the higher id.
+
+    Exactly-once: the publish directory is the replay guard — a
+    batch_id whose output already exists returns its recorded counts
+    without touching the indexes (the foreachBatch idempotence
+    pattern, same as streaming/cdc_upsert). A crash AFTER an index
+    update but BEFORE publish re-ingests the batch's signatures on
+    replay; duplicate postings change no pair decision (pairs are
+    DISTINCT and self-pairs are excluded), so the curated output is
+    identical — the indexes are monotone, the publish is the commit
+    point. Scale: every stage is the underlying operator's shape
+    (posting joins, cell-pruned pair joins, broadcast anti applies);
+    the batch, not the corpus, is the unit of work.
+    """
+    import json
+
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        update_minhash_index,
+    )
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        update_semantic_index,
+    )
+
+    batch_dir = os.path.join(out_dir, f"batch-{batch_id}")
+    counts_path = os.path.join(batch_dir, "_funnel.json")
+    if os.path.exists(counts_path):  # replay: committed, nothing to do
+        with open(counts_path) as fh:
+            return json.load(fh)
+
+    funnel = {"input": docs.count()}
+    new_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    text_pairs = update_minhash_index(
+        spark, docs, os.path.join(state_dir, "minhash"),
+        threshold=jaccard_threshold,
+    )
+    sem_index = os.path.join(state_dir, "semantic")
+    if not os.path.isdir(os.path.join(sem_index, "centroids")):
+        create_semantic_index(spark, emb, sem_index)
+    sem_pairs = update_semantic_index(
+        spark, emb, sem_index, threshold=cosine_threshold, batch_id=batch_id
+    )
+
+    # keep-first loser rule, applied to both pair streams. Pair rows
+    # are driver-bounded: |pairs this batch|, the same order as the
+    # loser set any apply step broadcasts.
+    def _losers(pairs, c1, c2):
+        out = set()
+        for r in pairs.select(c1, c2).collect():
+            i, j = r[c1], r[c2]
+            if i in new_ids and j in new_ids:
+                out.add(max(i, j))  # both new: keep-lowest
+            elif i in new_ids:
+                out.add(i)  # the new member loses to the indexed one
+            elif j in new_ids:
+                out.add(j)
+        return out
+
+    losers = _losers(text_pairs, "doc_id_1", "doc_id_2") | _losers(
+        sem_pairs, "vec_id_1", "vec_id_2"
+    )
+    funnel["dup_losers"] = len(losers)
+
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    dup_bigram_frac = 1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast(
+        "double"
+    )
+    survivors = docs.where(
+        ~F.col("doc_id").isin(list(losers)) if losers else F.lit(True)
+    ).where((F.size(toks) < 2) | (dup_bigram_frac <= 0.2))
+    funnel["published"] = survivors.count()
+
+    staged = os.path.join(out_dir, ".staging", f"batch-{batch_id}")
+    try:
+        survivors.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_funnel.json"), "w") as fh:
+            json.dump(funnel, fh)
+        os.makedirs(out_dir, exist_ok=True)
+        os.replace(staged, batch_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, ".staging"), ignore_errors=True)
+    return funnel
+
+
+def read_curated_stream(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All published curated batches of the streaming funnel."""
+    batches = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("batch-")
+    )
+    return spark.read.parquet(*batches)
+
+
 def run_scheduled(
     tick: Callable[[], None],
     interval_s: float,

@@ -1,0 +1,132 @@
+"""Streaming curation funnel: both incremental indexes composed into
+one ingest path (mode_curate_stream) — dup-free output, keep-first
+semantics, exactly-once replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark import pipeline
+from roborock_data_pipeline_spark.operators.incremental_dedup import (
+    update_minhash_index,
+)
+from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+    create_semantic_index,
+    update_semantic_index,
+)
+from roborock_data_pipeline_spark.sources.tables import load
+
+
+@pytest.fixture()
+def split(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        docs.where(F.col("doc_id") < 250),
+        emb.where(F.col("vec_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        emb.where(F.col("vec_id") >= 250),
+    )
+
+
+def _run_two_batches(spark, split, tmp_path):
+    d1, e1, d2, e2 = split
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "curated")
+    f1 = pipeline.mode_curate_stream(spark, d1, e1, state, out, "b1")
+    f2 = pipeline.mode_curate_stream(spark, d2, e2, state, out, "b2")
+    return f1, f2, state, out
+
+
+def test_curated_stream_output_is_dup_free(spark, split, tmp_path):
+    """The core contract: among ALL published docs (across batches),
+    no two are near-dups — verified by running both batch detectors
+    over the curated output as one fresh batch."""
+    f1, f2, state, out = _run_two_batches(spark, split, tmp_path)
+    curated = pipeline.read_curated_stream(spark, out)
+    n = curated.count()
+    assert f1["published"] + f2["published"] == n
+    assert f1["input"] == 250 and f2["input"] == 250
+
+    text_pairs = update_minhash_index(
+        spark, curated, str(tmp_path / "verify_minhash"), threshold=0.5
+    )
+    assert text_pairs.count() == 0, text_pairs.collect()[:5]
+
+    cur_emb = split[1].unionByName(split[3]).join(
+        curated.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    vdir = str(tmp_path / "verify_sem")
+    create_semantic_index(spark, cur_emb, vdir)
+    sem_pairs = update_semantic_index(spark, cur_emb, vdir, threshold=0.9)
+    assert sem_pairs.count() == 0, sem_pairs.collect()[:5]
+
+
+def test_curated_stream_accounting_and_gate(spark, split, tmp_path):
+    """published == input - dup_losers - quality-gate failures among
+    the non-losers, for each batch independently."""
+    f1, f2, state, out = _run_two_batches(spark, split, tmp_path)
+    for fn, batch_docs in ((f1, split[0]), (f2, split[2])):
+        toks = F.split(F.col("text"), " ")
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+        frac = 1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast(
+            "double"
+        )
+        gate_ok = batch_docs.where(
+            (F.size(toks) < 2) | (frac <= 0.2)
+        ).count()
+        gate_fails = fn["input"] - gate_ok
+        # losers and gate-failures can overlap; published is bounded
+        assert fn["published"] >= fn["input"] - fn["dup_losers"] - gate_fails
+        assert fn["published"] <= fn["input"] - max(fn["dup_losers"], gate_fails)
+
+
+def test_curate_stream_replay_is_exactly_once(spark, split, tmp_path):
+    """Re-running a committed batch_id returns the recorded counts and
+    leaves the curated output byte-identical — the publish dir is the
+    commit point."""
+    f1, f2, state, out = _run_two_batches(spark, split, tmp_path)
+    before = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out).select("doc_id").collect()
+    )
+    d2, e2 = split[2], split[3]
+    f2_replay = pipeline.mode_curate_stream(spark, d2, e2, state, out, "b2")
+    assert f2_replay == f2
+    after = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out).select("doc_id").collect()
+    )
+    assert before == after
+
+
+def test_curate_stream_keeps_first_arrival(spark, sf_dir, tmp_path):
+    """Keep-first: a later batch's doc that near-dups an already
+    published doc is dropped even when its id is LOWER — the
+    published doc is never retracted."""
+    docs = load(spark, sf_dir, "documents").limit(0)
+    schema = "doc_id long, text string, lang string, source string, n_chars double"
+    d1 = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta", "en", "w", 45.0)],
+        schema,
+    )
+    d2 = spark.createDataFrame(
+        [(5, "alpha beta gamma delta epsilon zeta eta theta", "en", "w", 45.0)],
+        schema,
+    )
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    e1 = spark.createDataFrame([(100, [1.0] * 64, 0)], emb_schema)
+    e2 = spark.createDataFrame([(5, [0.0] * 32 + [1.0] * 32, 1)], emb_schema)
+    state, out = str(tmp_path / "s"), str(tmp_path / "o")
+    f1 = pipeline.mode_curate_stream(spark, d1, e1, state, out, "b1")
+    f2 = pipeline.mode_curate_stream(spark, d2, e2, state, out, "b2")
+    assert f1["published"] == 1
+    assert f2["published"] == 0 and f2["dup_losers"] == 1
+    kept = [r["doc_id"] for r in pipeline.read_curated_stream(spark, out).collect()]
+    assert kept == [100]  # first arrival wins despite the higher id
