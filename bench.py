@@ -146,6 +146,7 @@ HEADLINE = [
     "q_boilerplate_strip",
     "q_similarity_pq",
     "q_token_entropy",
+    "q_media_ahash",
 ]
 
 

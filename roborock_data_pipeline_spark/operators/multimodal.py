@@ -343,3 +343,88 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").cast("long").alias("frame_len"),
         F.md5("frame").alias("frame_md5"),
     )
+
+
+@query(
+    "q_media_ahash",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, string_split(text, '') AS cs, strlen(text) AS n
+        FROM documents WHERE strlen(text) > 0
+    ),
+    v AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              i -> ascii(cs[CAST((i * n) // 64 AS INT) + 1]))
+                   AS vals
+        FROM r
+    ),
+    h AS (
+        SELECT doc_id, vals,
+               list_aggregate(vals, 'sum') / 64.0 AS mu
+        FROM v
+    ),
+    a AS (
+        SELECT doc_id,
+               array_to_string(list_transform(vals,
+                   x -> CASE WHEN x > mu THEN '1' ELSE '0' END), '') AS ahash
+        FROM h
+    )
+    SELECT doc_id, ahash,
+           substr(ahash, 1, 16) AS band0,
+           substr(ahash, 17, 16) AS band1,
+           substr(ahash, 33, 16) AS band2,
+           substr(ahash, 49, 16) AS band3,
+           COUNT(*) OVER (PARTITION BY ahash) AS n_same_hash
+    FROM a
+    """,
+)
+def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 media dedup: 64-bit average-hash (aHash) fingerprint per
+    blob — the image-dedup primitive. Real aHash grayscales and
+    resizes to 8×8 then thresholds each pixel against the mean; here
+    the resize is the engine's fake-codec strided resample (the same
+    mapInPandas slot a PIL grayscale+resize drops into), and the
+    threshold/bit-packing runs JVM-side on the 64 resized bytes.
+
+    The fingerprint ships with its four 16-bit bands — the SimHash
+    banding trick applied to media: exact dedup groups by the full
+    hash (`n_same_hash` counts the group inline); near-dup candidates
+    (hamming ≤ 12 across 4 bands) block on any matching band and
+    verify hamming inside the block, never all-pairs. One window
+    exchange on the 64-char hash; everything before it is map-side."""
+    from pyspark.sql import Window as W
+
+    resized = resize_media(media_table(spark, sf_dir), RESIZE_W, RESIZE_H)
+    vals = F.transform(
+        F.split(F.decode(F.col("media"), "UTF-8"), ""),
+        lambda c: F.ascii(c),
+    )
+    mu = (
+        F.aggregate(vals, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / 64.0
+    )
+    withbits = (
+        resized.where(F.length("media") > 0)
+        .withColumn("vals", vals)
+        .withColumn("mu", mu)
+        .withColumn(
+            "ahash",
+            F.array_join(
+                F.transform(
+                    F.col("vals"),
+                    lambda x: F.when(x > F.col("mu"), "1").otherwise("0"),
+                ),
+                "",
+            ),
+        )
+    )
+    return withbits.select(
+        "doc_id",
+        "ahash",
+        F.substring("ahash", 1, 16).alias("band0"),
+        F.substring("ahash", 17, 16).alias("band1"),
+        F.substring("ahash", 33, 16).alias("band2"),
+        F.substring("ahash", 49, 16).alias("band3"),
+        F.count("*").over(W.partitionBy("ahash")).alias("n_same_hash"),
+    )
