@@ -84,9 +84,11 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
         # map-only by test_udtf_is_maponly_python_surface.
         # q_similarity_pq(_check): PQ code assignment is the same
         # Arrow/BLAS matmul pattern as k-means assignment.
+        # q_media_ahash: its resize stage is the same multimodal
+        # codec slot as q_media_resize; the hash math is JVM-side.
         if name in ("q_multimodal_features", "q_heavy_hitters",
                     "q_kmeans_clusters", "q_kmeans_clusters_check",
-                    "q_media_resize", "q_media_frames",
+                    "q_media_resize", "q_media_frames", "q_media_ahash",
                     "q_udtf_sentence_spans",
                     "q_similarity_pq", "q_similarity_pq_check"):
             continue
