@@ -147,6 +147,7 @@ HEADLINE = [
     "q_similarity_pq",
     "q_token_entropy",
     "q_media_ahash",
+    "q_media_near_dup",
 ]
 
 

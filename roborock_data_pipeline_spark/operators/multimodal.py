@@ -428,3 +428,107 @@ def q_media_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("ahash", 49, 16).alias("band3"),
         F.count("*").over(W.partitionBy("ahash")).alias("n_same_hash"),
     )
+
+
+@query(
+    "q_media_near_dup",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, string_split(text, '') AS cs, strlen(text) AS n
+        FROM documents WHERE strlen(text) > 0
+    ),
+    v AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                              i -> ascii(cs[CAST((i * n) // 64 AS INT) + 1]))
+                   AS vals
+        FROM r
+    ),
+    h AS (
+        SELECT doc_id, vals, list_aggregate(vals, 'sum') / 64.0 AS mu FROM v
+    ),
+    a AS (
+        SELECT doc_id,
+               list_transform(vals, x -> CASE WHEN x > mu THEN 1 ELSE 0 END)
+                   AS bits
+        FROM h
+    ),
+    bands AS (
+        SELECT doc_id, bits, i AS band_idx, bits[i * 16 + 1 : i * 16 + 16] AS band
+        FROM a, UNNEST(generate_series(0, 3)) AS t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+               x.bits AS bits1, y.bits AS bits2
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.band = y.band
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_id_1, doc_id_2,
+           CAST(list_aggregate(list_transform(
+                    list_zip(bits1, bits2),
+                    p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END),
+                'sum') AS BIGINT) AS hamming
+    FROM cand
+    WHERE list_aggregate(list_transform(list_zip(bits1, bits2),
+              p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END), 'sum') <= 12
+    """,
+)
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 media near-dup pairs: aHash fingerprints blocked on their
+    four 16-bit bands, then exact hamming ≤ 12 verified inside the
+    candidate set. Banding recall is GUARANTEED only below the band
+    count (pigeonhole: ≤3 differing bits cannot dirty all 4 bands);
+    at radius 12 it is probabilistic, counting on difference
+    clustering — which is exactly how local image edits (crop edge,
+    watermark, re-encode artifact) perturb an aHash, as opposed to
+    spreading uniformly. The SimHash banding discipline applied to
+    media: candidate work is Σ|band-bucket|², never corpus² — the
+    same scale geometry as q_dedup_simhash.
+
+    On THIS corpus the result is deliberately empty: synthetic word
+    soup gives near-uniform 64-bit hashes (pairwise hamming ~32), so
+    zero pairs pass — verified empty-vs-empty against the oracle; the
+    property test (test_multimodal.py) pins non-empty behavior on
+    actual perturbed duplicates. Candidate dedup happens BEFORE the
+    hamming verify (one verify per unordered pair)."""
+    fp = q_media_ahash(spark, sf_dir).select("doc_id", "ahash")
+    bits = F.transform(F.split("ahash", ""), lambda c: (c == "1").cast("int"))
+    banded = fp.select(
+        "doc_id",
+        bits.alias("bits"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.slice(bits, i * 16 + 1, 16),
+            )
+        ).alias("band_idx", "band"),
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"),
+            F.col("y.doc_id").alias("doc_id_2"),
+            F.col("x.bits").alias("bits1"),
+            F.col("y.bits").alias("bits2"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("bits1"), F.col("bits2"), lambda p, q: (p != q).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .where(F.col("hamming") <= 12)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
