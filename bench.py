@@ -148,6 +148,7 @@ HEADLINE = [
     "q_token_entropy",
     "q_media_ahash",
     "q_media_near_dup",
+    "q_pareto_sources",
 ]
 
 

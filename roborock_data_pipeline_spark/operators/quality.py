@@ -974,3 +974,71 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_norm",
         )
     )
+
+
+@query(
+    "q_pareto_sources",
+    oracle="""
+    WITH st AS (
+        SELECT lang, source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang) AS lang_total,
+               SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY n_tokens DESC, source
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM st
+    )
+    SELECT lang, source, n_tokens,
+           ROUND(cum_tokens / CAST(lang_total AS DOUBLE), 6) AS cum_share
+    FROM ranked
+    WHERE cum_tokens - n_tokens < 0.9 * lang_total
+    """,
+)
+def q_pareto_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus-style coverage selection: per language, the smallest
+    prefix of sources (by token volume, deterministic ties) that
+    reaches 90% of the language's tokens — the mix-analysis question
+    ("which sources do we actually depend on?") and the top-p pattern
+    applied to corpus composition. A source is kept iff the
+    cumulative total BEFORE it is still under the threshold, so the
+    boundary source that crosses 90% is included and selection is
+    prefix-closed.
+
+    Two-level shape: the token sums aggregate to (lang × source)
+    cardinality FIRST — windows run over that tiny relation, never
+    over documents. Both windows share the lang partition key (one
+    exchange); the threshold compares integer token counts against
+    0.9·total computed from the SAME cumulative sum, so no float
+    boundary drift between engines."""
+    d = load(spark, sf_dir, "documents")
+    st = d.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens")
+    )
+    w_total = Window.partitionBy("lang")
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), "source")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = st.select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w_total).alias("lang_total"),
+        F.sum("n_tokens").over(w_cum).alias("cum_tokens"),
+    )
+    return ranked.where(
+        (F.col("cum_tokens") - F.col("n_tokens"))
+        < 0.9 * F.col("lang_total")
+    ).select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("cum_tokens") / F.col("lang_total").cast("double"), 6
+        ).alias("cum_share"),
+    )
