@@ -1563,8 +1563,11 @@ def q_tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # timestamp + INTERVAL, not date_add: date_add truncates the
+    # order timestamp to midnight, which diverges from the oracle's
+    # o_orderdate + INTERVAL on any vintage with intraday order times
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     return (
         o.join(li, late, "left_semi")
@@ -1940,7 +1943,9 @@ def q_tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = li.join(o, li.l_orderkey == F.col("o_orderkey")).select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("is_late"),
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("is_late"),  # INTERVAL, not date_add — see q_tpch_q4_shape
     )
     l1 = late.where(F.col("is_late"))
     l2 = late.select(

@@ -523,10 +523,13 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_kept"),
     )
     tail_len = F.size(F.col("toks")) - F.col("nseg") * 5
-    tail = F.when(
-        tail_len > 0,
-        F.array_join(F.slice(F.col("toks"), F.col("nseg") * 5 + 1, 1_000_000), " "),
+    tail_txt = F.array_join(
+        F.slice(F.col("toks"), F.col("nseg") * 5 + 1, 1_000_000), " "
     )
+    # NULLIF semantics, matching the oracle: an all-empty-token tail
+    # joins to '' and must vanish, not leave a trailing separator in
+    # concat_ws (divergence on trailing/double-space text)
+    tail = F.when((tail_len > 0) & (tail_txt != ""), tail_txt)
     return (
         base.join(agg, "doc_id", "left")
         .select(

@@ -33,11 +33,15 @@ def _physical_parquet_files(sf_dir: str, name: str) -> list[str]:
     or directory layout) — when that exists, the sniffer inspects it
     and nothing else, so it can never classify from a file the scan
     does not read. The STREAMING file source reads the glob
-    ``{sf_dir}/{name}*`` (change-batch layouts ship ``events-0.
-    parquet``, ``events-1.parquet``, ... with no bare ``events.
-    parquet``); when the exact path is absent the sniffer falls back
-    to that glob so the stream's unit sniff sees the same files the
-    stream reads."""
+    ``{sf_dir}/{name}*``; when the exact batch path is absent the
+    sniffer falls back to that SAME glob (not a narrower
+    ``*.parquet`` one) so it sees every layout the stream reads:
+    plain ``events-0.parquet`` files, Spark-written ``events-0.
+    parquet/`` directories (df.write.parquet always makes a dir), and
+    suffixless ``events_batch1/`` dirs. Directory matches walk to
+    their part files; non-parquet plain files are skipped (the stream
+    would reject them too, but the sniffer's job is units, not
+    validation)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
         return sorted(
@@ -45,7 +49,15 @@ def _physical_parquet_files(sf_dir: str, name: str) -> list[str]:
         )
     if os.path.exists(path):
         return [path]
-    return sorted(glob.glob(os.path.join(sf_dir, f"{name}*.parquet")))
+    out: list[str] = []
+    for m in sorted(glob.glob(os.path.join(sf_dir, f"{name}*"))):
+        if os.path.isdir(m):
+            out.extend(
+                sorted(glob.glob(os.path.join(m, "**", "*.parquet"), recursive=True))
+            )
+        elif m.endswith(".parquet"):
+            out.append(m)
+    return out
 
 
 # Footers sniffed per table: first/last plus an even spread. At 100 TB

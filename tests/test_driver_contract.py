@@ -195,3 +195,22 @@ def test_sniffer_covers_streaming_glob_layout(tmp_path, spark):
     # and an empty dir still sniffs to the native-µs default
     (tmp_path / "empty").mkdir()
     assert tables.events_ts_unit(str(tmp_path / "empty")) == "us"
+
+
+def test_sniffer_handles_directory_shaped_stream_batches(tmp_path, spark):
+    """Spark's own df.write.parquet('events-0.parquet') creates a
+    DIRECTORY — the fallback sniff must walk it (and suffixless dirs
+    the stream glob also reads), not crash pyarrow on a dir path."""
+    from roborock_data_pipeline_spark.sources import tables
+
+    df = spark.createDataFrame(
+        [(1, 1_704_067_200 * 1_000_000_000, 1, "signup", 1.0, None)],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d1 = str(tmp_path / "dirbatch")
+    df.coalesce(1).write.mode("overwrite").parquet(d1 + "/events-0.parquet")
+    assert tables.events_ts_unit(d1) == "ns"
+    d2 = str(tmp_path / "suffixless")
+    df.coalesce(1).write.mode("overwrite").parquet(d2 + "/events_batch1")
+    assert tables.events_ts_unit(d2) == "ns"
