@@ -208,13 +208,17 @@ def main() -> None:
     # bar ratchets: a win this round becomes the bar next round.
     here = os.path.dirname(os.path.abspath(__file__))
     best_path = os.path.join(here, "BENCH_BEST.json")
-    regressions: list[str] = []
+    # None (JSON null) = the gate did not run (no best file for this
+    # sf) — distinguishable from a clean gated run's empty list, so a
+    # bench at an unbaselined scale factor can't masquerade as gated.
+    regressions: list[str] | None = None
     try:
         with open(best_path) as fh:
             best = json.load(fh)
     except (OSError, ValueError):
         best = {"sf": sf, "queries": {}}
     if best.get("sf") == sf:
+        regressions = []
         bq = best.get("queries", {})
         for name, t in times.items():
             b = bq.get(name)
@@ -233,7 +237,8 @@ def main() -> None:
                 json.dump(best, fh, indent=1, sort_keys=True)
         except OSError:
             pass
-    regressions.sort(key=lambda s: -float(s.rsplit(":", 1)[1][:-1]))
+    if regressions is not None:
+        regressions.sort(key=lambda s: -float(s.rsplit(":", 1)[1][:-1]))
 
     # Per-query detail goes to a side file + a NON-final stdout line;
     # the driver's tail capture keeps only the last line, so the
@@ -252,7 +257,8 @@ def main() -> None:
     print(json.dumps({"metric": "headline_queries_total_sec",
                       "value": total, "unit": "sec", "sf": sf,
                       "n_queries": len(times),
-                      "regressions": regressions[:10],
+                      "regressions": (regressions[:10]
+                                      if regressions is not None else None),
                       "detail": "BENCH_DETAIL.json"}))
     spark.stop()
 

@@ -71,13 +71,14 @@ def create_semantic_index(
         shutil.rmtree(os.path.join(index_dir, ".staging"), ignore_errors=True)
 
 
-def _vector_batches(index_dir: str, exclude: str | None = None) -> list[str]:
+def _vector_batches(index_dir: str) -> list[str]:
+    """Vector subdirs of every published batch (batch-*/vectors)."""
     if not os.path.isdir(index_dir):
         return []
     return sorted(
-        os.path.join(index_dir, d)
+        os.path.join(index_dir, d, "vectors")
         for d in os.listdir(index_dir)
-        if d.startswith("batch-") and d != f"batch-{exclude}"
+        if d.startswith("batch-")
     )
 
 
@@ -105,13 +106,23 @@ def update_semantic_index(
 ) -> DataFrame:
     """Ingest an embedding batch and return the cosine>=threshold
     near-dup pairs (vec_id_1 < vec_id_2, cosine) involving at least
-    one new vector — each pair returned by exactly one update. See
-    module docstring for the protocol."""
+    one new vector — each pair returned by exactly one update.
+
+    Replay contract: each published batch stores THE PAIRS IT EMITTED
+    alongside its vectors (batch-{id}/{vectors,pairs}, one atomic
+    rename). Replaying a committed batch_id — latest or not — returns
+    the stored pair set verbatim, never a recompute against index
+    state that did not exist when the batch first ran (recomputing a
+    non-latest batch against later batches would re-emit pairs those
+    later updates already returned, breaking exactly-once). See
+    module docstring for the rest of the protocol."""
     batch_id = batch_id or uuid.uuid4().hex
-    replay = os.path.isdir(os.path.join(index_dir, f"batch-{batch_id}"))
+    batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
+    if os.path.isdir(batch_dir):  # committed replay: stored pairs
+        return spark.read.parquet(os.path.join(batch_dir, "pairs"))
 
     new_vec = _assign(spark, new_emb, index_dir).persist()
-    batches = _vector_batches(index_dir, exclude=batch_id if replay else None)
+    batches = _vector_batches(index_dir)
     if batches:
         old_vec = spark.read.schema(VEC_SCHEMA).parquet(*batches)
         all_vec = old_vec.withColumn("is_new", F.lit(False)).unionByName(
@@ -166,20 +177,23 @@ def update_semantic_index(
             F.round(cos, 4).alias("cosine"),
         )
     )
-    # materialize BEFORE publishing so a failure never advances the
-    # index past an unemitted pair set
-    pairs = pairs.persist()
-    pairs.count()
-
-    if not replay:
-        staged = os.path.join(index_dir, ".staging", f"batch-{batch_id}")
-        try:
-            new_vec.write.mode("overwrite").parquet(staged)
-            os.replace(staged, os.path.join(index_dir, f"batch-{batch_id}"))
-        finally:
-            if os.path.exists(staged):
-                shutil.rmtree(staged, ignore_errors=True)
-    return pairs
+    # The staged write MATERIALIZES the pairs before the rename, so a
+    # failure never advances the index past an unemitted pair set —
+    # and the pair set itself becomes part of the committed batch
+    # (the replay source). No caching: the returned frame reads the
+    # published parquet, so nothing is pinned in executor storage
+    # across a long-running ingest session (r4 review: the old
+    # per-batch persists accumulated unboundedly).
+    staged = os.path.join(index_dir, ".staging", f"batch-{batch_id}")
+    try:
+        new_vec.write.mode("overwrite").parquet(os.path.join(staged, "vectors"))
+        pairs.write.mode("overwrite").parquet(os.path.join(staged, "pairs"))
+        os.replace(staged, batch_dir)
+    finally:
+        new_vec.unpersist()
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return spark.read.parquet(os.path.join(batch_dir, "pairs"))
 
 
 def semantic_losers(pairs: DataFrame) -> DataFrame:

@@ -353,16 +353,25 @@ def mode_curate_stream(
     the composition the incremental indexes exist for (VERDICT r3 #7
     closed the pieces; this is the funnel):
 
-    1. text near-dup check against the persisted MinHash index
-       (operators/incremental_dedup) — new docs matching anything
-       already indexed, or an earlier doc of this batch, lose;
-    2. semantic near-dup check against the persisted frozen-centroid
+    1. quality gate FIRST (Gopher-style duplicate-bigram threshold,
+       the shared functions/text.shingles expression) — gate-failing
+       docs never reach the indexes, so a rejected doc can never
+       become an indexed ghost that future near-dups lose to;
+    2. text near-dup check of the gate-passers against the persisted
+       MinHash index (operators/incremental_dedup) — a new doc
+       matching anything already indexed, or an earlier doc of this
+       batch, loses;
+    3. semantic near-dup check against the persisted frozen-centroid
        IVF index (operators/incremental_semdedup), same rule, with
        ``vec_id == doc_id`` (each document's embedding);
-    3. quality gate (Gopher-style duplicate-bigram threshold) on the
-       survivors;
     4. atomic publish of the batch's curated docs under
        ``out_dir/batch-{batch_id}`` (staged rename).
+
+    Every indexed doc is therefore gate-passing, and is either
+    published or an intra-batch loser whose keeper is published — so
+    any future doc dropped against the index has a published
+    representative in its near-dup component (the same
+    equivalence-class treatment q_dup_groups applies in batch).
 
     Dedup policy is KEEP-FIRST, not the batch operators' keep-lowest:
     in an ingest stream the already-published doc must win — dropping
@@ -400,18 +409,35 @@ def mode_curate_stream(
         with open(counts_path) as fh:
             return json.load(fh)
 
+    from roborock_data_pipeline_spark.functions.text import shingles
+
     funnel = {"input": docs.count()}
-    new_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    # 1. gate first — rejected docs must not enter the indexes. The
+    # bigram expression is the shared shingles() helper (n<2 guarded:
+    # a single-token doc shingles to one joined token, frac 0, pass —
+    # the hand-rolled sequence(1, size-1) this replaces crashed
+    # element_at on such docs).
+    bigrams = shingles(F.col("text"), 2)
+    dup_bigram_frac = 1.0 - F.size(F.array_distinct(bigrams)) / F.size(
+        bigrams
+    ).cast("double")
+    candidates = docs.where(dup_bigram_frac <= 0.2)
+    funnel["gate_fails"] = funnel["input"] - candidates.count()
+    new_ids = {r["doc_id"] for r in candidates.select("doc_id").collect()}
 
     text_pairs = update_minhash_index(
-        spark, docs, os.path.join(state_dir, "minhash"),
+        spark, candidates, os.path.join(state_dir, "minhash"),
         threshold=jaccard_threshold,
+    )
+    cand_emb = emb.join(
+        candidates.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
     )
     sem_index = os.path.join(state_dir, "semantic")
     if not os.path.isdir(os.path.join(sem_index, "centroids")):
         create_semantic_index(spark, emb, sem_index)
     sem_pairs = update_semantic_index(
-        spark, emb, sem_index, threshold=cosine_threshold, batch_id=batch_id
+        spark, cand_emb, sem_index, threshold=cosine_threshold, batch_id=batch_id
     )
 
     # keep-first loser rule, applied to both pair streams. Pair rows
@@ -434,17 +460,9 @@ def mode_curate_stream(
     )
     funnel["dup_losers"] = len(losers)
 
-    toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    dup_bigram_frac = 1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast(
-        "double"
-    )
-    survivors = docs.where(
+    survivors = candidates.where(
         ~F.col("doc_id").isin(list(losers)) if losers else F.lit(True)
-    ).where((F.size(toks) < 2) | (dup_bigram_frac <= 0.2))
+    )
     funnel["published"] = survivors.count()
 
     staged = os.path.join(out_dir, ".staging", f"batch-{batch_id}")

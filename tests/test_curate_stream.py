@@ -64,27 +64,38 @@ def test_curated_stream_output_is_dup_free(spark, split, tmp_path):
 
 
 def test_curated_stream_accounting_and_gate(spark, split, tmp_path):
-    """published == input - dup_losers - quality-gate failures among
-    the non-losers, for each batch independently."""
+    """Gate runs FIRST (rejected docs never reach the indexes), so
+    the accounting is exact: published == input - gate_fails -
+    dup_losers, and gate_fails matches the shared shingles-based
+    bigram expression recomputed independently."""
+    from roborock_data_pipeline_spark.functions.text import shingles
+
     f1, f2, state, out = _run_two_batches(spark, split, tmp_path)
     for fn, batch_docs in ((f1, split[0]), (f2, split[2])):
-        toks = F.split(F.col("text"), " ")
-        bigrams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
+        bigrams = shingles(F.col("text"), 2)
         frac = 1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast(
             "double"
         )
-        gate_ok = batch_docs.where(
-            (F.size(toks) < 2) | (frac <= 0.2)
-        ).count()
-        gate_fails = fn["input"] - gate_ok
-        # losers and gate-failures can overlap; published is bounded
-        assert fn["published"] >= fn["input"] - fn["dup_losers"] - gate_fails
-        assert fn["published"] <= fn["input"] - max(fn["dup_losers"], gate_fails)
+        gate_ok = batch_docs.where(frac <= 0.2).count()
+        assert fn["gate_fails"] == fn["input"] - gate_ok
+        assert fn["published"] == fn["input"] - fn["gate_fails"] - fn["dup_losers"]
+
+
+def test_curate_stream_single_token_doc_survives(spark, tmp_path):
+    """r4 review regression: a document with no spaces must pass the
+    gate (one joined shingle, frac 0) — the hand-rolled bigram
+    expression this replaced crashed element_at on it."""
+    d = spark.createDataFrame(
+        [(1, "singletoken", "en", "w", 11.0)],
+        "doc_id long, text string, lang string, source string, n_chars double",
+    )
+    e = spark.createDataFrame(
+        [(1, [1.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    f = pipeline.mode_curate_stream(
+        spark, d, e, str(tmp_path / "s"), str(tmp_path / "o"), "b1"
+    )
+    assert f == {"input": 1, "gate_fails": 0, "dup_losers": 0, "published": 1}
 
 
 def test_curate_stream_replay_is_exactly_once(spark, split, tmp_path):

@@ -189,3 +189,47 @@ def test_incremental_semdedup_replay_is_idempotent(spark, sf_dir, tmp_path):
         len([d for d in os.listdir(idx) if d.startswith("batch-")])
         == n_batches == 2
     )
+
+
+def test_semantic_index_nonlatest_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """r4 review: replaying a NON-latest batch must return its stored
+    pair set, not a recompute against batches published after it
+    (which would re-emit the later batches' cross pairs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        update_semantic_index,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "sem_nl")
+    create_semantic_index(spark, emb, idx)
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+
+    p1 = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in update_semantic_index(
+            spark, b1, idx, threshold=0.25, batch_id="b1"
+        ).collect()
+    }
+    p2 = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in update_semantic_index(
+            spark, b2, idx, threshold=0.25, batch_id="b2"
+        ).collect()
+    }
+    assert p2 - p1  # b2 emitted cross pairs b1's run could not have
+    # replay the EARLIER batch after the later one is committed
+    p1_replay = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in update_semantic_index(
+            spark, b1, idx, threshold=0.25, batch_id="b1"
+        ).collect()
+    }
+    assert p1_replay == p1  # stored pairs, no re-emission of b2's set
+    assert len([d for d in os.listdir(idx) if d.startswith("batch-")]) == 2
