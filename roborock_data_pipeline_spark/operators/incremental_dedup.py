@@ -68,10 +68,25 @@ def update_minhash_index(
     new_docs: DataFrame,
     index_dir: str,
     threshold: float = 0.5,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Ingest a batch into the persisted MinHash index and return the
     verified near-dup pairs (doc_id_1, doc_id_2, jaccard) involving at
-    least one new document. See module docstring for the protocol."""
+    least one new document. See module docstring for the protocol.
+
+    Replay contract (same as update_semantic_index): each committed
+    batch stores the pairs it emitted (batch-{id}/pairs, part of the
+    one atomic rename); replaying a committed ``batch_id`` — latest
+    or not — returns the stored set verbatim instead of recomputing
+    against batches published after it (which would re-emit their
+    pairs). Without an explicit batch_id each call is a fresh batch
+    and replay protection is the caller's commit point (e.g. the
+    curation funnel's publish directory)."""
+    batch_id = batch_id or uuid.uuid4().hex
+    batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
+    if os.path.isdir(batch_dir):  # committed replay: stored pairs
+        return spark.read.parquet(os.path.join(batch_dir, "pairs"))
+
     new_sig = _signatures(new_docs).persist()
     new_post = _postings(new_sig).persist()
 
@@ -126,18 +141,20 @@ def update_minhash_index(
     pairs = verified.where(jac >= threshold).select(
         "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
     )
-    # materialize pairs BEFORE publishing the batch so a failure here
-    # never leaves the index advanced past an unemitted pair set
-    pairs = pairs.persist()
-    pairs.count()
-
-    batch_id = uuid.uuid4().hex
+    # The staged pair write materializes the pair set BEFORE the
+    # rename (a failure never leaves the index advanced past an
+    # unemitted pair set) and commits it WITH the batch — the replay
+    # source. Nothing stays cached after publish: the returned frame
+    # reads the committed parquet.
     staged = os.path.join(index_dir, ".staging", f"batch-{batch_id}")
     try:
         new_sig.write.mode("overwrite").parquet(f"{staged}/signatures")
         new_post.write.mode("overwrite").parquet(f"{staged}/postings")
-        os.replace(staged, os.path.join(index_dir, f"batch-{batch_id}"))
+        pairs.write.mode("overwrite").parquet(f"{staged}/pairs")
+        os.replace(staged, batch_dir)
     finally:
+        new_sig.unpersist()
+        new_post.unpersist()
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)
-    return pairs
+    return spark.read.parquet(os.path.join(batch_dir, "pairs"))

@@ -384,12 +384,12 @@ def mode_curate_stream(
     Exactly-once: the publish directory is the replay guard — a
     batch_id whose output already exists returns its recorded counts
     without touching the indexes (the foreachBatch idempotence
-    pattern, same as streaming/cdc_upsert). A crash AFTER an index
-    update but BEFORE publish re-ingests the batch's signatures on
-    replay; duplicate postings change no pair decision (pairs are
-    DISTINCT and self-pairs are excluded), so the curated output is
-    identical — the indexes are monotone, the publish is the commit
-    point. Scale: every stage is the underlying operator's shape
+    pattern, same as streaming/cdc_upsert). Both index updates carry
+    the SAME batch_id, so a crash after either index committed but
+    before the funnel published replays to the committed batch's
+    STORED pair set (no re-ingestion, no recompute) and the funnel
+    re-derives the identical loser set — the indexes are
+    per-batch-idempotent, the publish is the commit point. Scale: every stage is the underlying operator's shape
     (posting joins, cell-pruned pair joins, broadcast anti applies);
     the batch, not the corpus, is the unit of work.
     """
@@ -428,7 +428,7 @@ def mode_curate_stream(
 
     text_pairs = update_minhash_index(
         spark, candidates, os.path.join(state_dir, "minhash"),
-        threshold=jaccard_threshold,
+        threshold=jaccard_threshold, batch_id=batch_id,
     )
     cand_emb = emb.join(
         candidates.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"

@@ -233,3 +233,43 @@ def test_semantic_index_nonlatest_replay_is_exactly_once(spark, sf_dir, tmp_path
     }
     assert p1_replay == p1  # stored pairs, no re-emission of b2's set
     assert len([d for d in os.listdir(idx) if d.startswith("batch-")]) == 2
+
+
+def test_minhash_index_nonlatest_replay_is_exactly_once(spark, sf_dir, tmp_path):
+    """Same contract as the semantic index: replaying a committed
+    NON-latest minhash batch returns its stored pair set, never a
+    recompute against later batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        update_minhash_index,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh_nl")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    p1 = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in update_minhash_index(
+            spark, b1, idx, threshold=0.2, batch_id="b1"
+        ).collect()
+    }
+    p2 = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in update_minhash_index(
+            spark, b2, idx, threshold=0.2, batch_id="b2"
+        ).collect()
+    }
+    assert p2 - p1
+    p1_replay = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in update_minhash_index(
+            spark, b1, idx, threshold=0.2, batch_id="b1"
+        ).collect()
+    }
+    assert p1_replay == p1
+    assert len([d for d in os.listdir(idx) if d.startswith("batch-")]) == 2
