@@ -216,8 +216,15 @@ def main() -> None:
         with open(best_path) as fh:
             best = json.load(fh)
     except (OSError, ValueError):
+        # ADVICE r4: a missing/unreadable baseline must NOT fabricate a
+        # matching sf — that would report a clean gated [] and silently
+        # reseed the ratchet with the current (possibly regressed)
+        # times. Gate stays un-run (null); seeding a fresh baseline is
+        # an explicit opt-in.
+        best = None
+    if best is None and os.environ.get("SPARK_GRAFT_BENCH_SEED") == "1":
         best = {"sf": sf, "queries": {}}
-    if best.get("sf") == sf:
+    if best is not None and best.get("sf") == sf:
         regressions = []
         bq = best.get("queries", {})
         for name, t in times.items():

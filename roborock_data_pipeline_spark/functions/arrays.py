@@ -33,12 +33,3 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
-
-
-def sqdist(a: Column, b: Column) -> Column:
-    """Squared L2 distance via zip_with + aggregate (codegen loop)."""
-    return F.aggregate(
-        F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )

@@ -475,7 +475,10 @@ def mode_curate_stream(
     finally:
         import shutil
 
-        shutil.rmtree(os.path.join(out_dir, ".staging"), ignore_errors=True)
+        # ADVICE r4: clean ONLY this batch's staged dir — deleting the
+        # whole .staging tree would race a concurrently publishing
+        # batch mid-rename (the index modules already scope this way).
+        shutil.rmtree(staged, ignore_errors=True)
     return funnel
 
 
