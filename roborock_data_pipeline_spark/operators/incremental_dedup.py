@@ -19,6 +19,11 @@ by exactly one update — the one that ingested its later member
 new-side-left only). At warehouse scale the postings table is
 bucketed by band_hash so the recurring band-join never re-shuffles
 the accumulated index.
+
+``compact_minhash_index`` periodically merges the per-ingest batch
+directories into one base segment (layout + crash-safety contract in
+operators/index_segments) so the live directory count stays O(1)
+while every committed batch id remains replayable.
 """
 
 from __future__ import annotations
@@ -35,6 +40,13 @@ from roborock_data_pipeline_spark.functions.hashing import (
     minhash_signature,
 )
 from roborock_data_pipeline_spark.functions.text import hashed_shingles
+from roborock_data_pipeline_spark.operators.index_segments import (
+    carry_pairs,
+    commit_base,
+    live_segments,
+    next_base_gen,
+    stored_pairs_path,
+)
 
 SIG_SCHEMA = "doc_id bigint, sh array<bigint>, n int"
 POST_SCHEMA = "doc_id bigint, band_id int, band_hash bigint"
@@ -53,14 +65,12 @@ def _postings(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
-def _index_batches(index_dir: str) -> list[str]:
-    if not os.path.isdir(index_dir):
-        return []
-    return sorted(
-        os.path.join(index_dir, d)
-        for d in os.listdir(index_dir)
-        if d.startswith("batch-")
-    )
+def _table_paths(index_dir: str, table: str) -> list[str]:
+    """Live parquet dirs for one index table: the compacted base's
+    copy (if any) plus every not-yet-compacted batch's."""
+    base, batches = live_segments(index_dir)
+    paths = [os.path.join(base, table)] if base is not None else []
+    return paths + [os.path.join(b, table) for b in batches]
 
 
 def update_minhash_index(
@@ -84,19 +94,18 @@ def update_minhash_index(
     curation funnel's publish directory)."""
     batch_id = batch_id or uuid.uuid4().hex
     batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
-    if os.path.isdir(batch_dir):  # committed replay: stored pairs
-        return spark.read.parquet(os.path.join(batch_dir, "pairs"))
+    stored = stored_pairs_path(index_dir, batch_id)
+    if stored is not None:  # committed replay (batch dir or compacted)
+        return spark.read.parquet(stored)
 
     new_sig = _signatures(new_docs).persist()
     new_post = _postings(new_sig).persist()
 
-    batches = _index_batches(index_dir)
-    if batches:
-        old_post = spark.read.schema(POST_SCHEMA).parquet(
-            *[f"{b}/postings" for b in batches]
-        )
+    post_paths = _table_paths(index_dir, "postings")
+    if post_paths:
+        old_post = spark.read.schema(POST_SCHEMA).parquet(*post_paths)
         old_sig = spark.read.schema(SIG_SCHEMA).parquet(
-            *[f"{b}/signatures" for b in batches]
+            *_table_paths(index_dir, "signatures")
         )
         all_post = old_post.unionByName(new_post)
         all_sig = old_sig.unionByName(new_sig)
@@ -158,3 +167,49 @@ def update_minhash_index(
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)
     return spark.read.parquet(os.path.join(batch_dir, "pairs"))
+
+
+def compact_minhash_index(
+    spark: SparkSession, index_dir: str, n_files: int = 8
+) -> int:
+    """Merge all live segments (previous base + committed batches)
+    into one base segment (VERDICT r4 #3: per-ingest batch dirs grow
+    unboundedly — ~9k dirs/year at hourly ingest — a widening
+    small-files/listing tax on every probe). Returns the number of
+    segments merged (0 = already compact).
+
+    The merged postings are repartitioned on (band_id, band_hash) —
+    restoring the band co-location the per-batch layout loses — and
+    signatures on doc_id, each into ``n_files`` files (at warehouse
+    scale, sized to executor-memory-fitting partitions). Stored pairs
+    are carried VERBATIM into the base (file copies, no recompute), so
+    replaying any absorbed batch id still returns its committed pair
+    set. Commit is one atomic rename; superseded segments are
+    garbage-collected after (readers are consistent in the window —
+    see index_segments module docstring)."""
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        gc_superseded,
+    )
+
+    base, batches = live_segments(index_dir)
+    n_input = len(batches) + (1 if base is not None else 0)
+    if n_input <= 1:
+        gc_superseded(index_dir)  # finish any interrupted cleanup
+        return 0
+    gen = next_base_gen(index_dir)
+    staged = os.path.join(index_dir, ".staging", f"base-{gen:06d}")
+    try:
+        post_paths = _table_paths(index_dir, "postings")
+        sig_paths = _table_paths(index_dir, "signatures")
+        spark.read.schema(POST_SCHEMA).parquet(*post_paths).repartition(
+            n_files, "band_id", "band_hash"
+        ).write.mode("overwrite").parquet(os.path.join(staged, "postings"))
+        spark.read.schema(SIG_SCHEMA).parquet(*sig_paths).repartition(
+            n_files, "doc_id"
+        ).write.mode("overwrite").parquet(os.path.join(staged, "signatures"))
+        absorbed = carry_pairs(staged, base, batches)
+        commit_base(index_dir, staged, gen, absorbed)
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return n_input

@@ -45,6 +45,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roborock_data_pipeline_spark.functions.arrays import dot, norm
+from roborock_data_pipeline_spark.operators.index_segments import (
+    carry_pairs,
+    commit_base,
+    gc_superseded,
+    live_segments,
+    next_base_gen,
+    stored_pairs_path,
+)
 from roborock_data_pipeline_spark.operators.similarity import (
     BLOCK_CAP,
     N_SALTS,
@@ -71,15 +79,23 @@ def create_semantic_index(
         shutil.rmtree(os.path.join(index_dir, ".staging"), ignore_errors=True)
 
 
-def _vector_batches(index_dir: str) -> list[str]:
-    """Vector subdirs of every published batch (batch-*/vectors)."""
-    if not os.path.isdir(index_dir):
-        return []
-    return sorted(
-        os.path.join(index_dir, d, "vectors")
-        for d in os.listdir(index_dir)
-        if d.startswith("batch-")
-    )
+def _batch_vectors(batch_dir: str) -> str:
+    """A batch's vector table. Current layout: batch-{id}/vectors
+    (pairs beside it). ADVICE r4: indexes published before the
+    stored-pairs format kept vectors at the batch root — fall back so
+    pre-existing indexes stay readable (their REPLAY still fails with
+    a clear rebuild message via stored_pairs_path, since the replay
+    record genuinely does not exist)."""
+    v = os.path.join(batch_dir, "vectors")
+    return v if os.path.isdir(v) else batch_dir
+
+
+def _vector_paths(index_dir: str) -> list[str]:
+    """Live vector tables: the compacted base's (if any) plus every
+    not-yet-compacted batch's."""
+    base, batches = live_segments(index_dir)
+    paths = [os.path.join(base, "vectors")] if base is not None else []
+    return paths + [_batch_vectors(b) for b in batches]
 
 
 def _assign(spark: SparkSession, emb: DataFrame, index_dir: str) -> DataFrame:
@@ -118,11 +134,12 @@ def update_semantic_index(
     module docstring for the rest of the protocol."""
     batch_id = batch_id or uuid.uuid4().hex
     batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
-    if os.path.isdir(batch_dir):  # committed replay: stored pairs
-        return spark.read.parquet(os.path.join(batch_dir, "pairs"))
+    stored = stored_pairs_path(index_dir, batch_id)
+    if stored is not None:  # committed replay (batch dir or compacted)
+        return spark.read.parquet(stored)
 
     new_vec = _assign(spark, new_emb, index_dir).persist()
-    batches = _vector_batches(index_dir)
+    batches = _vector_paths(index_dir)
     if batches:
         old_vec = spark.read.schema(VEC_SCHEMA).parquet(*batches)
         all_vec = old_vec.withColumn("is_new", F.lit(False)).unionByName(
@@ -194,6 +211,37 @@ def update_semantic_index(
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)
     return spark.read.parquet(os.path.join(batch_dir, "pairs"))
+
+
+def compact_semantic_index(
+    spark: SparkSession, index_dir: str, n_files: int = 8
+) -> int:
+    """Merge all live segments (previous base + committed batches)
+    into one base segment — the semantic twin of
+    compact_minhash_index (VERDICT r4 #3); see there for the
+    commit/GC/replay contract. Vectors are repartitioned on cell
+    (restoring cell co-location for the pair join) into ``n_files``
+    files; the frozen centroids/ dir is metadata, not a segment, and
+    is untouched. Returns the number of segments merged."""
+    base, batches = live_segments(index_dir)
+    n_input = len(batches) + (1 if base is not None else 0)
+    if n_input <= 1:
+        gc_superseded(index_dir)  # finish any interrupted cleanup
+        return 0
+    gen = next_base_gen(index_dir)
+    staged = os.path.join(index_dir, ".staging", f"base-{gen:06d}")
+    try:
+        spark.read.schema(VEC_SCHEMA).parquet(
+            *_vector_paths(index_dir)
+        ).repartition(n_files, "cell").write.mode("overwrite").parquet(
+            os.path.join(staged, "vectors")
+        )
+        absorbed = carry_pairs(staged, base, batches)
+        commit_base(index_dir, staged, gen, absorbed)
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return n_input
 
 
 def semantic_losers(pairs: DataFrame) -> DataFrame:

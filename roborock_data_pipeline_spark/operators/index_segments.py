@@ -1,0 +1,151 @@
+"""Segment layout shared by the persisted incremental indexes
+(operators/incremental_dedup, operators/incremental_semdedup).
+
+An index directory holds:
+
+- ``batch-{id}/`` — one dir per ingest, published by a single atomic
+  rename (tables + the ``pairs/`` replay record commit together);
+- at most one LIVE ``base-{gen}/`` — a compacted segment merging
+  earlier batches into one table set, carrying every absorbed batch's
+  stored pairs under ``pairs/batch-{id}/`` plus an ``absorbed.json``
+  listing the batch ids it supersedes;
+- ``centroids/`` (semantic index only) — frozen metadata, never part
+  of a segment.
+
+VERDICT r4 #3: without compaction the index grows one ``batch-*``
+directory per ingest forever (~9k dirs/year at hourly ingest), a
+widening small-files/listing tax on every probe. Compaction collapses
+the live set to O(1) directories while preserving the replay contract:
+a committed batch id's stored pairs survive verbatim inside the base.
+
+Crash-safety: a base commits with ONE ``os.replace`` (same staged-
+rename contract as batch publishes). Between that commit and garbage
+collection, readers see the new base AND the batches it absorbed —
+``live_segments`` filters the absorbed ids via the base's manifest, so
+the window is consistent; GC is pure cleanup, idempotent, retried on
+the next compaction. Single writer assumed (same as batch publishes —
+the ingest loop is the funnel's serial commit point).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+ABSORBED_FILE = "absorbed.json"
+
+
+def _absorbed_ids(base_dir: str) -> list[str]:
+    try:
+        with open(os.path.join(base_dir, ABSORBED_FILE)) as fh:
+            return list(json.load(fh)["batches"])
+    except (OSError, ValueError, KeyError):
+        return []
+
+
+def live_segments(index_dir: str) -> tuple[str | None, list[str]]:
+    """(current base dir or None, live batch dirs) — batch dirs
+    absorbed into the base are filtered out even if GC has not removed
+    them yet; only the highest-generation base is live."""
+    if not os.path.isdir(index_dir):
+        return None, []
+    entries = os.listdir(index_dir)
+    bases = sorted(d for d in entries if d.startswith("base-"))
+    base = os.path.join(index_dir, bases[-1]) if bases else None
+    absorbed = set(_absorbed_ids(base)) if base is not None else set()
+    batches = sorted(
+        os.path.join(index_dir, d)
+        for d in entries
+        if d.startswith("batch-") and d[len("batch-"):] not in absorbed
+    )
+    return base, batches
+
+
+def stored_pairs_path(index_dir: str, batch_id: str) -> str | None:
+    """Replay lookup: the committed pair set for ``batch_id``, whether
+    the batch still has its own directory or was compacted into the
+    base. None = never committed (fresh batch)."""
+    batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
+    if os.path.isdir(batch_dir):
+        pairs = os.path.join(batch_dir, "pairs")
+        if os.path.isdir(pairs):
+            return pairs
+        raise ValueError(
+            f"index batch {batch_id!r} predates the stored-pairs format "
+            "(no pairs/ subdir) — its replay set was never recorded; "
+            "rebuild the index from the source corpus"
+        )
+    base, _ = live_segments(index_dir)
+    if base is not None:
+        pairs = os.path.join(base, "pairs", f"batch-{batch_id}")
+        if os.path.isdir(pairs):
+            return pairs
+    return None
+
+
+def next_base_gen(index_dir: str) -> int:
+    bases = [
+        d for d in os.listdir(index_dir) if d.startswith("base-")
+    ] if os.path.isdir(index_dir) else []
+    if not bases:
+        return 1
+    return max(int(b.split("-", 1)[1]) for b in bases) + 1
+
+
+def carry_pairs(staged: str, base: str | None, batches: list[str]) -> list[str]:
+    """Copy every live segment's stored pairs into ``staged/pairs/``
+    (verbatim file copies — the replay record must not be recomputed)
+    and return the full absorbed id list for the manifest."""
+    pairs_root = os.path.join(staged, "pairs")
+    os.makedirs(pairs_root, exist_ok=True)
+    absorbed: list[str] = []
+    if base is not None:
+        base_pairs = os.path.join(base, "pairs")
+        if os.path.isdir(base_pairs):
+            for d in os.listdir(base_pairs):
+                shutil.copytree(
+                    os.path.join(base_pairs, d), os.path.join(pairs_root, d)
+                )
+        absorbed.extend(_absorbed_ids(base))
+    for b in batches:
+        bid = os.path.basename(b)[len("batch-"):]
+        src = os.path.join(b, "pairs")
+        if not os.path.isdir(src):
+            raise ValueError(
+                f"cannot compact: batch {bid!r} predates the stored-pairs "
+                "format (no pairs/ subdir) — rebuild the index from the "
+                "source corpus"
+            )
+        shutil.copytree(src, os.path.join(pairs_root, f"batch-{bid}"))
+        absorbed.append(bid)
+    return absorbed
+
+
+def commit_base(index_dir: str, staged: str, gen: int,
+                absorbed: list[str]) -> str:
+    """Write the manifest, atomically publish ``staged`` as
+    ``base-{gen}``, then garbage-collect superseded segments."""
+    with open(os.path.join(staged, ABSORBED_FILE), "w") as fh:
+        json.dump({"batches": absorbed}, fh)
+    dest = os.path.join(index_dir, f"base-{gen:06d}")
+    os.replace(staged, dest)
+    gc_superseded(index_dir)
+    return dest
+
+
+def gc_superseded(index_dir: str) -> None:
+    """Remove batch dirs absorbed into the live base and any lower-
+    generation bases. Best-effort and idempotent — readers are already
+    consistent without it (live_segments filters by the manifest)."""
+    base, _ = live_segments(index_dir)
+    if base is None:
+        return
+    absorbed = set(_absorbed_ids(base))
+    live = os.path.basename(base)
+    for d in os.listdir(index_dir):
+        p = os.path.join(index_dir, d)
+        if d.startswith("base-") and d != live:
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("batch-") and d[len("batch-"):] in absorbed:
+            shutil.rmtree(p, ignore_errors=True)
