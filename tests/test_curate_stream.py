@@ -117,6 +117,118 @@ def test_curate_stream_replay_is_exactly_once(spark, split, tmp_path):
     assert before == after
 
 
+def _stage_stream_file(df, stream_dir: str, name: str) -> None:
+    """Land one parquet FILE (not a directory) in the stream source
+    dir — the unit the file source lists and, with
+    maxFilesPerTrigger=1, the unit of one micro-batch."""
+    import glob
+    import os
+    import shutil
+
+    tmp = os.path.join(os.path.dirname(stream_dir), f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(stream_dir, exist_ok=True)
+    os.replace(part, os.path.join(stream_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_funnel_under_real_streaming_engine_with_crash_replay(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r4 #2: the funnel wired into readStream →
+    writeStream.foreachBatch with a checkpoint, driven through ≥2
+    micro-batches by the real engine, then killed AFTER a batch's
+    publish but BEFORE its checkpoint commit. On restart Spark
+    replays that epoch with the same id; the funnel must return the
+    recorded counts and publish nothing twice."""
+    import os
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    stream_dir = str(tmp_path / "incoming")
+    state, out = str(tmp_path / "state"), str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    _stage_stream_file(docs.where(F.col("doc_id") < 150), stream_dir, "f0")
+    _stage_stream_file(
+        docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        stream_dir, "f1",
+    )
+
+    calls: list[tuple[str, dict]] = []
+
+    def crash_after_publish(epoch_id: str, counts: dict) -> None:
+        calls.append((epoch_id, counts))
+        if epoch_id == "1":
+            raise RuntimeError("injected crash after publish")
+
+    q = pipeline.run_curate_stream(
+        spark, stream_dir, emb, state, out, ckpt,
+        max_files_per_trigger=1, on_batch=crash_after_publish,
+    )
+    try:
+        q.awaitTermination()
+        raise AssertionError("query should have died on the injected crash")
+    except (StreamingQueryException, Py4JJavaError):
+        pass
+
+    # both micro-batches ran and PUBLISHED; only epoch 0's checkpoint
+    # commit landed — epoch 1 is the publish-but-not-committed window
+    assert [e for e, _ in calls] == ["0", "1"]
+    assert sorted(f for f in os.listdir(ckpt + "/commits")
+                  if not f.startswith(".")) == ["0"]
+    assert os.path.isdir(out + "/batch-0") and os.path.isdir(out + "/batch-1")
+    published_after_crash = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out).select("doc_id").collect()
+    )
+
+    # restart on the same checkpoint: Spark replays epoch 1 verbatim
+    calls2: list[tuple[str, dict]] = []
+    q2 = pipeline.run_curate_stream(
+        spark, stream_dir, emb, state, out, ckpt,
+        max_files_per_trigger=1,
+        on_batch=lambda e, c: calls2.append((e, c)),
+    )
+    q2.awaitTermination()
+    assert [e for e, _ in calls2] == ["1"], "restart must replay epoch 1 only"
+    assert calls2[0][1] == calls[1][1], "replay must return recorded counts"
+    published_after_restart = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out).select("doc_id").collect()
+    )
+    assert published_after_restart == published_after_crash, "double publish"
+    assert sorted(f for f in os.listdir(ckpt + "/commits")
+                  if not f.startswith(".")) == ["0", "1"]
+
+    # the stream keeps going: a third file becomes epoch 2, curated
+    # against the indexes the replayed epochs built
+    _stage_stream_file(
+        docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 450)),
+        stream_dir, "f2",
+    )
+    calls3: list[tuple[str, dict]] = []
+    q3 = pipeline.run_curate_stream(
+        spark, stream_dir, emb, state, out, ckpt,
+        max_files_per_trigger=1,
+        on_batch=lambda e, c: calls3.append((e, c)),
+    )
+    q3.awaitTermination()
+    assert [e for e, _ in calls3] == ["2"]
+    curated = pipeline.read_curated_stream(spark, out)
+    assert curated.count() == sum(c["published"] for c in
+                                  [calls[0][1], calls[1][1], calls3[0][1]])
+    # dup-free across everything the real engine published
+    text_pairs = update_minhash_index(
+        spark, curated, str(tmp_path / "verify_mh"), threshold=0.5
+    )
+    assert text_pairs.count() == 0
+
+
 def test_curate_stream_keeps_first_arrival(spark, sf_dir, tmp_path):
     """Keep-first: a later batch's doc that near-dups an already
     published doc is dropped even when its id is LOWER — the
