@@ -1,0 +1,243 @@
+"""Fault injection for every staged-rename publish (VERDICT r4 #8).
+
+The atomic rename is load-bearing for each exactly-once claim in the
+engine: warehouse appends, both incremental indexes, and the curation
+funnel's batch publish. Two injected faults per surface:
+
+- FAIL BETWEEN stage-write and ``os.replace`` (the publish rename
+  itself dies): nothing may become visible, staging must be cleaned,
+  and a plain retry must converge to the no-crash result.
+- FAIL MID-WRITE (the Spark job writing the staged files dies): same
+  postconditions. (sinks.append_rows mid-write is already pinned by
+  test_atomic_sink.test_failed_append_publishes_nothing.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from roborock_data_pipeline_spark.sources.tables import load
+
+
+def _fail_replace_once(monkeypatch, match: str) -> dict:
+    """Patch os.replace to raise ONCE for destinations under `match`
+    (everything else passes through — Spark's own JVM-side file ops
+    never route through Python's os anyway)."""
+    real = os.replace
+    state = {"fired": False}
+
+    def bomb(src, dst, *a, **k):
+        if match in str(dst) and not state["fired"]:
+            state["fired"] = True
+            raise OSError("injected failure before publish rename")
+        return real(src, dst, *a, **k)
+
+    monkeypatch.setattr("os.replace", bomb)
+    return state
+
+
+def _poison(df, col="text"):
+    """A DataFrame whose write job always fails (test-only UDF; the
+    no-UDF policy covers operators, not fault injection)."""
+
+    @F.udf(T.StringType())
+    def boom(x):
+        raise RuntimeError("injected mid-write failure")
+
+    return df.withColumn(col, boom(col))
+
+
+def _segments(idx):
+    if not os.path.isdir(idx):
+        return []
+    return sorted(
+        d for d in os.listdir(idx)
+        if d.startswith(("batch-", "base-"))
+    )
+
+
+def _staging_empty(root):
+    s = os.path.join(root, ".staging")
+    return not os.path.isdir(s) or not os.listdir(s)
+
+
+def _pairs(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_minhash_index_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        update_minhash_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") % 2 == 0)
+    b2 = docs.where(F.col("doc_id") % 2 == 1)
+    idx = str(tmp_path / "mh")
+    ctl = str(tmp_path / "mh_ctl")
+    update_minhash_index(spark, b1, idx, batch_id="b1")
+    update_minhash_index(spark, b1, ctl, batch_id="b1")
+    before = _segments(idx)
+
+    # fault 1: crash on the publish rename
+    state = _fail_replace_once(monkeypatch, idx)
+    with pytest.raises(OSError, match="injected"):
+        update_minhash_index(spark, b2, idx, batch_id="b2")
+    assert state["fired"]
+    assert _segments(idx) == before, "partial batch became visible"
+    assert _staging_empty(idx)
+    monkeypatch.undo()
+
+    # fault 2: crash mid-write of the staged tables
+    with pytest.raises(Exception):
+        update_minhash_index(spark, _poison(b2), idx, batch_id="b2")
+    assert _segments(idx) == before
+    assert _staging_empty(idx)
+
+    # retry converges to the no-crash result
+    got = _pairs(update_minhash_index(spark, b2, idx, batch_id="b2"))
+    want = _pairs(update_minhash_index(spark, b2, ctl, batch_id="b2"))
+    assert got == want and got, "retry diverged from the no-crash control"
+
+
+def test_semantic_index_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        update_semantic_index,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "sem")
+    ctl = str(tmp_path / "sem_ctl")
+    create_semantic_index(spark, emb, idx)
+    create_semantic_index(spark, emb, ctl)
+    update_semantic_index(spark, b1, idx, threshold=0.25, batch_id="b1")
+    update_semantic_index(spark, b1, ctl, threshold=0.25, batch_id="b1")
+    before = _segments(idx)
+
+    state = _fail_replace_once(monkeypatch, idx)
+    with pytest.raises(OSError, match="injected"):
+        update_semantic_index(spark, b2, idx, threshold=0.25, batch_id="b2")
+    assert state["fired"]
+    assert _segments(idx) == before, "partial batch became visible"
+    assert _staging_empty(idx)
+    monkeypatch.undo()
+
+    @F.udf(T.ArrayType(T.FloatType()))
+    def boom(x):
+        raise RuntimeError("injected mid-write failure")
+
+    with pytest.raises(Exception):
+        update_semantic_index(
+            spark, b2.withColumn("embedding", boom("embedding")), idx,
+            threshold=0.25, batch_id="b2",
+        )
+    assert _segments(idx) == before
+    assert _staging_empty(idx)
+
+    got = _pairs(update_semantic_index(spark, b2, idx, threshold=0.25,
+                                       batch_id="b2"))
+    want = _pairs(update_semantic_index(spark, b2, ctl, threshold=0.25,
+                                        batch_id="b2"))
+    assert got == want and got, "retry diverged from the no-crash control"
+
+
+def test_index_compaction_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
+    """A compaction that dies on its base-commit rename must leave the
+    pre-compaction segments fully live; the retry compacts cleanly."""
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        compact_minhash_index,
+        update_minhash_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh")
+    for i in range(2):
+        update_minhash_index(
+            spark, docs.where(F.col("doc_id") % 2 == i), idx, batch_id=f"b{i}"
+        )
+    before = _segments(idx)
+
+    state = _fail_replace_once(monkeypatch, idx)
+    with pytest.raises(OSError, match="injected"):
+        compact_minhash_index(spark, idx)
+    assert state["fired"]
+    assert _segments(idx) == before, "half-committed base became visible"
+    assert _staging_empty(idx)
+    monkeypatch.undo()
+
+    assert compact_minhash_index(spark, idx) == 2
+    # replay records survived the crashed attempt + the retry
+    got = _pairs(update_minhash_index(spark, docs.limit(0), idx,
+                                      batch_id="b1"))
+    assert got == _pairs(
+        update_minhash_index(spark, docs.limit(0), idx, batch_id="b1")
+    )
+
+
+def test_curate_funnel_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
+    """The funnel's batch publish dies before the rename: the batch is
+    invisible to read_curated_stream, and the retry converges — its
+    index updates replay their stored pair sets, so the counts equal
+    the no-crash control's."""
+    from roborock_data_pipeline_spark import pipeline
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    d1, d2 = docs.where(F.col("doc_id") < 250), docs.where(F.col("doc_id") >= 250)
+    state_dir, out = str(tmp_path / "s"), str(tmp_path / "o")
+    ctl_state, ctl_out = str(tmp_path / "cs"), str(tmp_path / "co")
+    f1 = pipeline.mode_curate_stream(spark, d1, emb, state_dir, out, "b1")
+    pipeline.mode_curate_stream(spark, d1, emb, ctl_state, ctl_out, "b1")
+
+    state = _fail_replace_once(monkeypatch, os.path.join(out, "batch-b2"))
+    with pytest.raises(OSError, match="injected"):
+        pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    assert state["fired"]
+    monkeypatch.undo()
+    visible = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
+    assert visible == ["batch-b1"], "crashed batch leaked into the output"
+    assert _staging_empty(out)
+    assert pipeline.read_curated_stream(spark, out).count() == f1["published"]
+
+    f2 = pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    ctl2 = pipeline.mode_curate_stream(spark, d2, emb, ctl_state, ctl_out, "b2")
+    assert f2 == ctl2
+    assert (
+        pipeline.read_curated_stream(spark, out).count()
+        == f1["published"] + f2["published"]
+    )
+
+
+def test_append_rows_rename_fault_then_retry(spark, tmp_path, monkeypatch):
+    """Warehouse append: rename dies → table byte-identical, staging
+    clean; retry lands exactly one batch."""
+    import datetime as dt
+
+    from roborock_data_pipeline_spark import schemas
+    from roborock_data_pipeline_spark.sources import sinks
+
+    wh = str(tmp_path / "wh")
+    sinks.setup_warehouse(spark, wh)
+    rows = [
+        (dt.datetime(2024, 2, 1, 12), "bot1", dt.datetime(2024, 2, 1, 6),
+         40.0, 28.1, "vacuum", "auto", None, "completed"),
+    ]
+    df = spark.createDataFrame(rows, schemas.CLEANING_RECORDS)
+
+    state = _fail_replace_once(monkeypatch, wh)
+    with pytest.raises(OSError, match="injected"):
+        sinks.append_rows(df, wh, "cleaning_records")
+    assert state["fired"]
+    assert sinks.read_table(spark, wh, "cleaning_records").count() == 0
+    assert _staging_empty(wh)
+    monkeypatch.undo()
+
+    sinks.append_rows(df, wh, "cleaning_records")
+    assert sinks.read_table(spark, wh, "cleaning_records").count() == 1
