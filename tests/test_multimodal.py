@@ -61,6 +61,92 @@ def test_media_near_dup_finds_perturbed_copy(spark, tmp_path):
     assert not any(4 in p for p in pairs)
 
 
+def _png_gray(pixels):
+    """Minimal 8-bit grayscale PNG, stdlib-only (struct+zlib) — a REAL
+    png any codec must decode, no Pillow needed to craft it."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_real_codec_slot_with_pillow(spark):
+    """VERDICT r4 #7 (opt-in, skip-gated on import): push a real PNG
+    through the gated codec slot — decode_media(fake=False) and
+    resize_media(fake=False) → aHash — proving the Arrow slot's
+    contract (image bytes in → w*h grayscale bytes out → 64-bit hash)
+    against an actual decoder, not the deterministic fake."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from PIL import Image
+
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        ahash_fingerprints,
+        decode_media,
+        resize_media,
+    )
+
+    # 16x16 gradient: top half dark, bottom half bright
+    pixels = [[20 if r < 8 else 220 for _c in range(16)] for r in range(16)]
+    png = _png_gray(pixels)
+
+    feats = decode_media(png, "image/png", fake=False)
+    assert feats == [120.0, 20.0]  # mean gray, first pixel
+
+    df = spark.createDataFrame([(1, bytearray(png))],
+                               "doc_id long, media binary")
+    resized = resize_media(df, RESIZE_W, RESIZE_H, fake=False).collect()
+    assert len(resized) == 1
+    got = bytes(resized[0]["media"])
+    import io
+
+    want = (Image.open(io.BytesIO(png)).convert("L")
+            .resize((RESIZE_W, RESIZE_H), Image.NEAREST).tobytes())
+    assert got == want and len(got) == 64
+
+    # the JVM hash math is codec-agnostic: expected bits from the
+    # reference bytes computed independently
+    mu = sum(want) / 64.0
+    expect = "".join("1" if b > mu else "0" for b in want)
+    fp = ahash_fingerprints(df, fake=False).collect()
+    assert fp[0]["ahash"] == expect
+
+
+def test_real_codec_absent_raises_clearly():
+    """Without Pillow the gated real paths must fail loudly and name
+    the dependency — never silently fall back to the fake."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — the raise path is not reachable")
+    except ImportError:
+        pass
+
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        decode_media,
+        resize_image,
+    )
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\x89PNG", "image/png", fake=False)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        resize_image(b"\x89PNG", 8, 8)
+
+
 def test_banding_recall_guaranteed_and_measured(spark):
     """VERDICT r4 #4: 8×8 banding recall. Pigeonhole guarantees every
     pair at hamming ≤ 7 is found (7 dirty bits cannot touch all 8
