@@ -404,10 +404,9 @@ def mode_curate_stream(
     )
 
     batch_dir = os.path.join(out_dir, f"batch-{batch_id}")
-    counts_path = os.path.join(batch_dir, "_funnel.json")
-    if os.path.exists(counts_path):  # replay: committed, nothing to do
-        with open(counts_path) as fh:
-            return json.load(fh)
+    counts = _curated_batch_counts(out_dir, batch_id)
+    if counts is not None:  # replay: committed (live dir or compacted)
+        return counts
 
     from roborock_data_pipeline_spark.functions.text import shingles
 
@@ -545,14 +544,105 @@ def run_curate_stream(
     )
 
 
-def read_curated_stream(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All published curated batches of the streaming funnel."""
-    batches = sorted(
-        os.path.join(out_dir, d)
-        for d in os.listdir(out_dir)
-        if d.startswith("batch-")
+def _curated_batch_counts(out_dir: str, batch_id: str) -> dict | None:
+    """Replay lookup for the funnel's commit point: the recorded
+    counts of ``batch_id``, whether its publish dir is still live or
+    was compacted into a base segment. None = never committed."""
+    import json
+
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        live_segments,
     )
-    return spark.read.parquet(*batches)
+
+    path = os.path.join(out_dir, f"batch-{batch_id}", "_funnel.json")
+    if not os.path.exists(path):
+        base, _ = live_segments(out_dir)
+        if base is None:
+            return None
+        path = os.path.join(base, "counts", f"batch-{batch_id}.json")
+        if not os.path.exists(path):
+            return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_curated_stream(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All published curated batches of the streaming funnel — the
+    compacted base segment's data (if any) plus live batch dirs."""
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        live_segments,
+    )
+
+    base, batches = live_segments(out_dir)
+    paths = [os.path.join(base, "data")] if base is not None else []
+    return spark.read.parquet(*(paths + batches))
+
+
+def compact_curated_output(
+    spark: SparkSession, out_dir: str, n_files: int = 8
+) -> int:
+    """Merge the funnel's per-batch publish dirs into one base segment
+    — the funnel-output twin of compact_minhash_index (the curated
+    corpus grows one directory per ingest exactly like the indexes
+    did; VERDICT r4 #3's argument applies verbatim to the thing
+    training jobs actually read). Each absorbed batch's recorded
+    counts move to ``base/counts/batch-{id}.json`` so replaying a
+    compacted batch id still returns them; data is repartitioned into
+    ``n_files`` files. Same commit/GC contract as index_segments."""
+    import json as _json
+    import shutil
+
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        commit_base,
+        gc_superseded,
+        live_segments,
+        next_base_gen,
+    )
+
+    base, batches = live_segments(out_dir)
+    n_input = len(batches) + (1 if base is not None else 0)
+    if n_input <= 1:
+        gc_superseded(out_dir)
+        return 0
+    gen = next_base_gen(out_dir)
+    staged = os.path.join(out_dir, ".staging", f"base-{gen:06d}")
+    try:
+        data_paths = (
+            [os.path.join(base, "data")] if base is not None else []
+        ) + batches  # _funnel.json is _-prefixed: invisible to the reader
+        spark.read.parquet(*data_paths).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staged, "data"))
+        counts_root = os.path.join(staged, "counts")
+        os.makedirs(counts_root, exist_ok=True)
+        absorbed: list[str] = []
+        if base is not None:
+            old_counts = os.path.join(base, "counts")
+            if os.path.isdir(old_counts):
+                for f in os.listdir(old_counts):
+                    shutil.copy2(
+                        os.path.join(old_counts, f),
+                        os.path.join(counts_root, f),
+                    )
+            from roborock_data_pipeline_spark.operators.index_segments import (
+                _absorbed_ids,
+            )
+
+            absorbed.extend(_absorbed_ids(base))
+        for b in batches:
+            bid = os.path.basename(b)[len("batch-"):]
+            with open(os.path.join(b, "_funnel.json")) as fh:
+                counts = _json.load(fh)
+            with open(
+                os.path.join(counts_root, f"batch-{bid}.json"), "w"
+            ) as fh:
+                _json.dump(counts, fh)
+            absorbed.append(bid)
+        commit_base(out_dir, staged, gen, absorbed)
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return n_input
 
 
 def run_scheduled(

@@ -117,6 +117,60 @@ def test_curate_stream_replay_is_exactly_once(spark, split, tmp_path):
     assert before == after
 
 
+def test_curated_output_compaction_preserves_replay_and_data(
+    spark, split, tmp_path
+):
+    """The curated corpus grows one publish dir per ingest exactly
+    like the indexes did — compact_curated_output merges them into a
+    base segment without changing what readers see, what replays
+    return, or how the next ingest behaves."""
+    import os
+
+    f1, f2, state, out = _run_two_batches(spark, split, tmp_path)
+
+    def ids():
+        return sorted(
+            r["doc_id"]
+            for r in pipeline.read_curated_stream(spark, out)
+            .select("doc_id").collect()
+        )
+
+    before = ids()
+    assert pipeline.compact_curated_output(spark, out) == 2
+    assert not [d for d in os.listdir(out) if d.startswith("batch-")]
+    assert len([d for d in os.listdir(out) if d.startswith("base-")]) == 1
+    assert ids() == before
+    assert pipeline.compact_curated_output(spark, out) == 0  # idempotent
+
+    # replay of a compacted batch id returns the recorded counts and
+    # publishes nothing
+    f2_replay = pipeline.mode_curate_stream(
+        spark, split[2], split[3], state, out, "b2"
+    )
+    assert f2_replay == f2
+    assert ids() == before
+
+    # the next ingest still dedups against everything published: an
+    # exact copy of a published doc (new id) must lose
+    kept_id = before[0]
+    d3 = split[0].where(F.col("doc_id") == kept_id).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    e3 = split[1].where(F.col("vec_id") == kept_id).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    f3 = pipeline.mode_curate_stream(spark, d3, e3, state, out, "b3")
+    assert f3["published"] == 0 and f3["dup_losers"] == 1
+    # second compaction folds b3's (empty) publish into the next base
+    # and keeps every earlier replay record
+    assert pipeline.compact_curated_output(spark, out) == 2
+    assert pipeline.mode_curate_stream(
+        spark, split[2], split[3], state, out, "b2"
+    ) == f2
+    assert pipeline.mode_curate_stream(spark, d3, e3, state, out, "b3") == f3
+    assert ids() == before
+
+
 def _stage_stream_file(df, stream_dir: str, name: str) -> None:
     """Land one parquet FILE (not a directory) in the stream source
     dir — the unit the file source lists and, with
