@@ -645,6 +645,40 @@ def compact_curated_output(
     return n_input
 
 
+def funnel_maintenance(
+    spark: SparkSession, state_dir: str, out_dir: str, n_files: int = 8
+) -> dict[str, int]:
+    """One maintenance pass over everything the streaming funnel
+    grows: compact both persisted indexes and the curated output into
+    their base segments. Safe to run between ingests on any cadence
+    (each compactor is a no-op when there is ≤1 live segment, and the
+    commit→GC window is reader-consistent); the natural T4 pairing is
+    ``run_scheduled(lambda: funnel_maintenance(...), interval)``.
+    Returns segments merged per surface."""
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        compact_minhash_index,
+    )
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        compact_semantic_index,
+    )
+
+    merged = {}
+    mh = os.path.join(state_dir, "minhash")
+    sem = os.path.join(state_dir, "semantic")
+    merged["minhash"] = (
+        compact_minhash_index(spark, mh, n_files) if os.path.isdir(mh) else 0
+    )
+    merged["semantic"] = (
+        compact_semantic_index(spark, sem, n_files)
+        if os.path.isdir(sem) else 0
+    )
+    merged["curated"] = (
+        compact_curated_output(spark, out_dir, n_files)
+        if os.path.isdir(out_dir) else 0
+    )
+    return merged
+
+
 def run_scheduled(
     tick: Callable[[], None],
     interval_s: float,

@@ -171,6 +171,29 @@ def test_curated_output_compaction_preserves_replay_and_data(
     assert ids() == before
 
 
+def test_funnel_maintenance_compacts_all_three_surfaces(
+    spark, split, tmp_path
+):
+    """One maintenance call compacts indexes + curated output; the
+    funnel keeps working identically afterwards (replay + dedup)."""
+    import os
+
+    f1, f2, state, out = _run_two_batches(spark, split, tmp_path)
+    merged = pipeline.funnel_maintenance(spark, state, out)
+    assert merged == {"minhash": 2, "semantic": 2, "curated": 2}
+    for d in (os.path.join(state, "minhash"),
+              os.path.join(state, "semantic"), out):
+        assert not [x for x in os.listdir(d) if x.startswith("batch-")]
+    # second pass: everything already compact
+    assert pipeline.funnel_maintenance(spark, state, out) == {
+        "minhash": 0, "semantic": 0, "curated": 0
+    }
+    # funnel replay and forward progress unaffected
+    assert pipeline.mode_curate_stream(
+        spark, split[2], split[3], state, out, "b2"
+    ) == f2
+
+
 def _stage_stream_file(df, stream_dir: str, name: str) -> None:
     """Land one parquet FILE (not a directory) in the stream source
     dir — the unit the file source lists and, with
