@@ -76,7 +76,10 @@ def create_semantic_index(
         os.makedirs(index_dir, exist_ok=True)
         os.replace(staged, os.path.join(index_dir, "centroids"))
     finally:
-        shutil.rmtree(os.path.join(index_dir, ".staging"), ignore_errors=True)
+        # clean ONLY our staged dir (ADVICE r4 on the funnel applies
+        # here too: nuking .staging wholesale would clobber a batch
+        # publish staging concurrently)
+        shutil.rmtree(staged, ignore_errors=True)
 
 
 def _batch_vectors(batch_dir: str) -> str:
