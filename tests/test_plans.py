@@ -587,6 +587,52 @@ def test_pq_query_is_one_maponly_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # never row-at-a-time
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's runtime-filter injection, pinned like the AQE skew
+    split (test_skew): a shuffled fact↔selective-dim join gets a
+    bloom_filter_agg built on the dim's join keys and a might_contain
+    probe pushed into the fact side — at 100 TB this drops most fact
+    rows BEFORE the join shuffle. Thresholds are lowered to test
+    scale (applicationSideScanSizeThreshold defaults to 10 GB);
+    broadcast is disabled because runtime filters only pay for
+    shuffled joins."""
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        spark.conf.set(keys[0], "0")
+        spark.conf.set(keys[1], "-1")
+        spark.conf.set(keys[2], "-1")
+        li = load(spark, sf_dir, "lineitem")
+        urgent = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_string(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_media_near_dup_single_codec_pass(spark, sf_dir):
     """VERDICT r4 #1: the fingerprint frame is persisted before the
     band self-join, so the codec/resize MapInPandas stage is ONE
