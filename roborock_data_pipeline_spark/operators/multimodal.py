@@ -396,7 +396,12 @@ def ahash_fingerprints(media: DataFrame, *, fake: bool = True) -> DataFrame:
     ``fake=False`` routes the resize through the real codec slot
     (PIL grayscale+resize, import-gated) — everything JVM-side is
     byte-true either way, so the hash math is identical."""
-    resized = resize_media(media, RESIZE_W, RESIZE_H, fake=fake)
+    from roborock_data_pipeline_spark.sources.tables import spread
+
+    # codec work is the dominant per-row cost: widen single-split
+    # scans to every core before the MapInPandas stage (no-op on
+    # multi-split 100 TB inputs — spread() gates on input files)
+    resized = resize_media(spread(media), RESIZE_W, RESIZE_H, fake=fake)
     hexs = F.hex(F.col("media"))
     vals = F.transform(
         F.sequence(F.lit(0), F.lit(63)),
