@@ -169,6 +169,76 @@ def update_minhash_index(
     return spark.read.parquet(os.path.join(batch_dir, "pairs"))
 
 
+def probe_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """READ-ONLY near-dup lookup: which indexed documents does each
+    probe doc near-duplicate? Returns (probe_id, index_id, jaccard)
+    without ingesting anything — the "is this a dup of something we
+    already have?" endpoint (dedup-before-ingest gating, contamination
+    checks against a training corpus, serving-time lookups). The same
+    band-join + jaccard-verify as update_minhash_index, but candidates
+    come from the INDEX side only (probe-probe pairs are not this
+    query), and no state changes — safe to run concurrently with
+    ingests and compactions (the manifest keeps the read set
+    consistent)."""
+    post_paths = _table_paths(index_dir, "postings")
+    if not post_paths:
+        raise ValueError(f"no index at {index_dir!r}")
+    # stateless read path: no persist (nothing to pin across a
+    # publish), the probe's shingle sets are rebuilt by the verify
+    # join from the same pruned scan — the cheap-rebuild posture
+    # blocked_pairs documents
+    probe_sig = _signatures(docs)
+    probe_post = _postings(probe_sig)
+    idx_post = spark.read.schema(POST_SCHEMA).parquet(*post_paths)
+    idx_sig = spark.read.schema(SIG_SCHEMA).parquet(
+        *_table_paths(index_dir, "signatures")
+    )
+    a, b = probe_post.alias("a"), idx_post.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("probe_id"),
+            F.col("b.doc_id").alias("index_id"),
+        )
+        .distinct()
+    )
+    s1 = probe_sig.select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("sh").alias("sh1"),
+        F.col("n").alias("n1"),
+    )
+    s2 = idx_sig.select(
+        F.col("doc_id").alias("index_id"),
+        F.col("sh").alias("sh2"),
+        F.col("n").alias("n2"),
+    )
+    verified = (
+        candidates.join(s1, "probe_id")
+        .join(s2, "index_id")
+        .select(
+            "probe_id",
+            "index_id",
+            F.size(F.array_intersect("sh1", "sh2")).cast("double")
+            .alias("inter"),
+            (F.col("n1") + F.col("n2")).alias("sz"),
+        )
+    )
+    jac = F.col("inter") / (F.col("sz") - F.col("inter"))
+    return verified.where(jac >= threshold).select(
+        "probe_id", "index_id", F.round(jac, 4).alias("jaccard")
+    )
+
+
 def compact_minhash_index(
     spark: SparkSession, index_dir: str, n_files: int = 8
 ) -> int:

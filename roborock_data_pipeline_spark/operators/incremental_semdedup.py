@@ -247,6 +247,89 @@ def compact_semantic_index(
     return n_input
 
 
+def probe_semantic_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """READ-ONLY semantic lookup: which indexed vectors does each
+    probe embedding near-duplicate (cosine ≥ threshold)? Returns
+    (probe_id, index_id, cosine) without ingesting — the semantic
+    twin of probe_minhash_index. Probes assign into the frozen cell
+    space (broadcast centroids), join only against indexed vectors of
+    the same cell, and change no state — safe concurrent with ingests
+    and compactions (manifest-consistent read set). Probe-probe pairs
+    are not this query."""
+    batches = _vector_paths(index_dir)
+    if not batches:
+        raise ValueError(f"no index at {index_dir!r}")
+    probe = _assign(spark, emb, index_dir)
+    idx = spark.read.schema(VEC_SCHEMA).parquet(*batches)
+    a, b = probe.alias("a"), idx.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .where(cos >= threshold)
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("index_id"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+
+
+def rebuild_semantic_index(
+    spark: SparkSession, index_dir: str, dest_dir: str
+) -> int:
+    """The offline rebuild the frozen-centroid regime defers to
+    (module docstring: "retraining is an offline rebuild, not an
+    ingest-path concern"): retrain cell centroids on the CURRENT live
+    vector set and re-publish everything as a fresh index at
+    ``dest_dir`` — one ``rebuild`` batch whose pair set is EMPTY (the
+    corpus was already curated when it entered the old index; its
+    near-dup decisions are history, not facts to re-emit). Replay
+    history does NOT carry over: the rebuilt index starts a fresh
+    replay epoch, which is the point — rebuild when drift makes the
+    old cell space a bad fit, then swap directories at the caller's
+    commit point. Returns the number of vectors republished."""
+    batches = _vector_paths(index_dir)
+    if not batches:
+        raise ValueError(f"no index at {index_dir!r}")
+    # retrain seeds = the CURRENT cell assignment: new centroids are
+    # the means of what each cell actually holds now (a Lloyd refresh
+    # over the drifted corpus), then every vector re-assigns into the
+    # refreshed space
+    vecs = spark.read.schema(VEC_SCHEMA).parquet(*batches).select(
+        "vec_id", "embedding", F.col("cell").alias("label")
+    )
+    create_semantic_index(spark, vecs, dest_dir)
+    assigned = _assign(spark, vecs.select("vec_id", "embedding"), dest_dir)
+    empty_pairs = spark.createDataFrame(
+        [], "vec_id_1 bigint, vec_id_2 bigint, cosine double"
+    )
+    staged = os.path.join(dest_dir, ".staging", "batch-rebuild")
+    batch_dir = os.path.join(dest_dir, "batch-rebuild")
+    try:
+        assigned.write.mode("overwrite").parquet(
+            os.path.join(staged, "vectors")
+        )
+        empty_pairs.write.mode("overwrite").parquet(
+            os.path.join(staged, "pairs")
+        )
+        os.replace(staged, batch_dir)
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return spark.read.parquet(os.path.join(batch_dir, "vectors")).count()
+
+
 def semantic_losers(pairs: DataFrame) -> DataFrame:
     """Keep-lowest canonical rule: the loser set is the distinct
     higher-id member of every qualifying pair (the apply side is a
