@@ -149,6 +149,9 @@ HEADLINE = [
     "q_media_ahash",
     "q_media_near_dup",
     "q_pareto_sources",
+    # round-5 additions: canonicalization policy + domain capping
+    "q_dedup_keep_best",
+    "q_source_cap",
 ]
 
 

@@ -397,6 +397,95 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, n_chars // 100 AS len_bucket,
+               string_split(text, ' ') AS w
+        FROM documents
+    ), t AS (
+        SELECT doc_id, len_bucket,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS sh
+        FROM d
+    ), p AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM t a
+        JOIN t b
+          ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh)
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), e AS (
+        SELECT a, b FROM p UNION ALL SELECT b, a FROM p
+    ), reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a
+    ), comp AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+        FROM reach GROUP BY src
+    ), q AS (
+        SELECT doc_id,
+               ROUND(0.5 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+                     + 0.5 * (CAST(len(list_distinct(string_split(text, ' ')))
+                                   AS DOUBLE)
+                              / len(string_split(text, ' '))), 4) AS quality
+        FROM documents
+    ), sel AS (
+        SELECT comp.group_id, comp.doc_id, q.quality,
+               COUNT(*) OVER (PARTITION BY comp.group_id) AS group_size,
+               ROW_NUMBER() OVER (PARTITION BY comp.group_id
+                                  ORDER BY q.quality DESC, comp.doc_id) AS rn
+        FROM comp JOIN q USING (doc_id)
+    )
+    SELECT group_id, doc_id AS keep_doc_id,
+           CAST(group_size AS BIGINT) AS group_size,
+           quality AS best_quality
+    FROM sel WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (canonicalization policy): per duplicate group, keep the
+    HIGHEST-QUALITY member (tie-break lowest doc_id) instead of the
+    lowest id — what production curation actually does: near-dup
+    groups usually contain one clean original and N mangled
+    re-crawls, and keep-lowest throws away the clean one whenever the
+    mangled copy was crawled first. Composes the existing pieces:
+    q_dup_groups' connected components × q_quality_score's scalar,
+    one row_number window per group.
+
+    Scale: the join ships (doc_id, group_id, quality) triples only;
+    the argmax window partitions by group_id — groups are dup
+    clusters (pairs/triples), so no partition is ever large. The
+    apply step is the same broadcast anti join as q_dedup_apply with
+    (group member − keeper) as the loser set."""
+    from pyspark.sql import Window as W
+
+    from roborock_data_pipeline_spark.operators.text import q_quality_score
+
+    groups = q_dup_groups(spark, sf_dir).select(
+        "doc_id", "group_id", "group_size"
+    )
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = W.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        groups.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "group_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("quality").alias("best_quality"),
+        )
+    )
+
+
 @query("q_dedup_simhash")  # no oracle: xxhash64 is Spark-specific
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (sketch variant): SimHash near-dup — 64-bit signature per

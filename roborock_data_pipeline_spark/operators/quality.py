@@ -1045,3 +1045,57 @@ def q_pareto_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens") / F.col("lang_total").cast("double"), 6
         ).alias("cum_share"),
     )
+
+
+SOURCE_CAP = 15  # max docs kept per source
+
+
+@query(
+    "q_source_cap",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               ROUND(0.5 * LEAST(len(string_split(text, ' ')) / 50.0, 1.0)
+                     + 0.5 * (CAST(len(list_distinct(string_split(text, ' ')))
+                                   AS DOUBLE)
+                              / len(string_split(text, ' '))), 4) AS quality
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS src_rank
+        FROM q
+    )
+    SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank, quality
+    FROM r WHERE src_rank <= {SOURCE_CAP}
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (curation ladder): per-source document cap — the domain
+    capping every web-corpus pipeline applies so no single domain
+    dominates the training mix (the C4/Gopher "top-k per domain"
+    rule). Keeps the best ``SOURCE_CAP`` docs per source by the
+    shared quality scalar, tie-broken by doc_id for determinism.
+
+    Scale: the window partitions by source, which is the one column
+    a web corpus is guaranteed to skew on (a big domain = a big
+    partition). The exact row_number form here is right while
+    per-source cardinality fits a partition; past that, the two-phase
+    form keeps the same semantics — aggregate each source's
+    approx-quantile quality threshold at rank=cap (tiny, broadcast),
+    filter the scan on quality > threshold, and run the exact window
+    only on the boundary sliver. AQE skew-join/partition splitting
+    (pinned in test_skew) is the runtime backstop either way."""
+    from roborock_data_pipeline_spark.operators.text import q_quality_score
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        docs.join(quality, "doc_id")
+        .withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("src_rank") <= SOURCE_CAP)
+        .select("doc_id", "source", "src_rank", "quality")
+    )
