@@ -152,6 +152,7 @@ HEADLINE = [
     # round-5 additions: canonicalization policy + domain capping
     "q_dedup_keep_best",
     "q_source_cap",
+    "q_ewma_value",
 ]
 
 

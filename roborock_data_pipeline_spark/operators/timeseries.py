@@ -218,3 +218,51 @@ def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.date_format("wd", "yyyy-MM-dd").alias("d"), "wau")
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "q_ewma_value",
+    oracle=f"""
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           ROUND(list_reduce(vals,
+                 (a, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * a), 4)
+               AS ewma
+    FROM (SELECT user_id, ARRAY_AGG(value ORDER BY ts, event_id) AS vals
+          FROM events GROUP BY user_id)
+    """,
+)
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS: per-user exponentially-weighted moving average of event
+    values — the BATCH TWIN of streaming/anomaly.py's EWMA detector
+    (the same recurrence the GroupState carries across micro-batches,
+    folded over history in one pass), giving that streaming path an
+    oracle-checked reference like the other stream/batch twins.
+
+    The fold is a codegen'd `aggregate` over the per-user ordered
+    value array, seeded with the FIRST value and folding the rest —
+    exactly DuckDB's list_reduce semantics, same left-to-right double
+    arithmetic, so the engines agree bitwise. Scale: one exchange
+    (groupBy user_id); per-user history must fit an array, which is
+    the same bound the sort-based window alternative has — for
+    unbounded histories the streaming path IS the answer (state
+    carries the accumulator; nothing re-folds)."""
+    ev = load(spark, sf_dir, "events")
+    vals = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    grouped = ev.groupBy("user_id").agg(vals.alias("vals"))
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(EWMA_ALPHA) * x + F.lit(1 - EWMA_ALPHA) * acc,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(ewma, 4).alias("ewma"),
+    )

@@ -289,6 +289,47 @@ def test_sessionizer_survives_restart(spark):
         shutil.rmtree(out_dir.rsplit("/", 1)[0], ignore_errors=True)
 
 
+def test_ewma_batch_fold_matches_streaming_recurrence(spark):
+    """Twin pin for q_ewma_value: the codegen'd aggregate() fold the
+    batch query uses must produce the same mean as the streaming
+    detector's per-row GroupState recurrence on identical data — the
+    JVM fold and the pandas state loop are the same EWMA, proven, not
+    asserted in prose."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.streaming.anomaly import (
+        ALPHA,
+        _detect_anomalies,
+    )
+
+    values = [50.0, 51.0, 49.5, 80.0, 50.2, 50.1, 49.9, 12.5]
+
+    class FakeState:
+        exists = False
+        updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    state = FakeState()
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-02-01", periods=len(values), freq="min"),
+        "value": values,
+    })
+    list(_detect_anomalies(("bot1",), iter([pdf]), state))
+    stream_mean = state.updated[0]
+
+    df = spark.createDataFrame([(values,)], "vals array<double>")
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(ALPHA) * x + F.lit(1 - ALPHA) * acc,
+    )
+    batch_mean = df.select(fold.alias("m")).collect()[0]["m"]
+    assert abs(batch_mean - stream_mean) < 1e-12
+
+
 def test_anomaly_detector_ewma_state(spark):
     """T2 (numeric twin): a spike after warm-up alerts; steady-state
     readings never do; state carries across micro-batches (the spike
