@@ -645,6 +645,10 @@ def test_media_near_dup_single_codec_pass(spark, sf_dir):
         q_media_near_dup,
     )
 
+    # cold cache: an earlier test's executed q_media_near_dup leaves
+    # its fingerprint frame persisted (deliberately — the query's own
+    # persist), and a warm entry changes the node counts below
+    spark.catalog.clearCache()
     plan = plan_string(q_media_near_dup(spark, sf_dir))
     assert _n_nodes(plan, "MapInPandas") == 1
     assert _n_nodes(plan, "InMemoryTableScan") == 2  # one per join side
