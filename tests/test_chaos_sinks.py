@@ -215,6 +215,64 @@ def test_curate_funnel_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
     )
 
 
+def test_curate_funnel_crash_between_index_commits(spark, sf_dir, tmp_path,
+                                                   monkeypatch):
+    """The funnel's documented mid-batch window: the MinHash index has
+    COMMITTED the batch, the semantic index has not, and the funnel
+    dies. On retry the text side must replay its stored pair set (not
+    recompute against itself — that would re-pair the batch with its
+    own postings and drop every doc as a self-dup) while the semantic
+    side computes fresh; the final counts must equal a no-crash
+    control's."""
+    from roborock_data_pipeline_spark import pipeline
+    from roborock_data_pipeline_spark.operators import incremental_semdedup
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    d1 = docs.where(F.col("doc_id") < 250)
+    d2 = docs.where(F.col("doc_id") >= 250)
+    state_dir, out = str(tmp_path / "s"), str(tmp_path / "o")
+    ctl_state, ctl_out = str(tmp_path / "cs"), str(tmp_path / "co")
+    pipeline.mode_curate_stream(spark, d1, emb, state_dir, out, "b1")
+    pipeline.mode_curate_stream(spark, d1, emb, ctl_state, ctl_out, "b1")
+
+    real = incremental_semdedup.update_semantic_index
+    state = {"fired": False}
+
+    def bomb(*a, **k):
+        if not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash after minhash commit")
+        return real(*a, **k)
+
+    # the funnel imports update_semantic_index inside the call, so the
+    # module attribute is the single binding to patch
+    monkeypatch.setattr(incremental_semdedup, "update_semantic_index", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    assert state["fired"]
+    # minhash committed b2; semantic did not; nothing published
+    assert os.path.isdir(os.path.join(state_dir, "minhash", "batch-b2"))
+    assert not os.path.isdir(os.path.join(state_dir, "semantic", "batch-b2"))
+    assert not os.path.isdir(os.path.join(out, "batch-b2"))
+
+    f2 = pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    ctl2 = pipeline.mode_curate_stream(spark, d2, emb, ctl_state, ctl_out,
+                                       "b2")
+    assert f2 == ctl2
+    kept = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out)
+        .select("doc_id").collect()
+    )
+    kept_ctl = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, ctl_out)
+        .select("doc_id").collect()
+    )
+    assert kept == kept_ctl
+
+
 def test_append_rows_rename_fault_then_retry(spark, tmp_path, monkeypatch):
     """Warehouse append: rename dies → table byte-identical, staging
     clean; retry lands exactly one batch."""
