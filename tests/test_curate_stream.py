@@ -306,6 +306,73 @@ def test_funnel_under_real_streaming_engine_with_crash_replay(
     assert text_pairs.count() == 0
 
 
+def test_streaming_runs_survive_maintenance_between_them(
+    spark, sf_dir, tmp_path
+):
+    """The full ops lifecycle: stream a batch in under the real
+    engine, run funnel_maintenance (all three surfaces compact), then
+    stream the next batch on the SAME checkpoint. The new batch must
+    still dedup against everything published pre-compaction, and a
+    forced replay of the compacted epoch must return its recorded
+    counts."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    stream_dir = str(tmp_path / "incoming")
+    state, out = str(tmp_path / "state"), str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    _stage_stream_file(docs.where(F.col("doc_id") < 200), stream_dir, "f0")
+    _stage_stream_file(
+        docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 400)),
+        stream_dir, "f1",
+    )
+    calls: list[tuple[str, dict]] = []
+    q = pipeline.run_curate_stream(
+        spark, stream_dir, emb, state, out, ckpt,
+        max_files_per_trigger=1, on_batch=lambda e, c: calls.append((e, c)),
+    )
+    q.awaitTermination()
+    assert [e for e, _ in calls] == ["0", "1"]
+    published = pipeline.read_curated_stream(spark, out).count()
+
+    merged = pipeline.funnel_maintenance(spark, state, out)
+    assert merged == {"minhash": 2, "semantic": 2, "curated": 2}
+    assert not [d for d in os.listdir(out) if d.startswith("batch-")]
+
+    # replay of a compacted epoch returns its recorded counts
+    assert pipeline.mode_curate_stream(
+        spark, docs.limit(0), emb, state, out, "1"
+    ) == calls[1][1]
+
+    # next micro-batch: exact copies of already-published docs (new
+    # ids) must ALL lose against the compacted indexes
+    kept_ids = [
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out)
+        .select("doc_id").limit(20).collect()
+    ]
+    dup_docs = docs.where(F.col("doc_id").isin(kept_ids)).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    dup_emb = emb.where(F.col("vec_id").isin(kept_ids)).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    _stage_stream_file(dup_docs, stream_dir, "f2")
+    calls3: list[tuple[str, dict]] = []
+    q3 = pipeline.run_curate_stream(
+        spark, stream_dir, dup_emb.unionByName(emb), state, out, ckpt,
+        max_files_per_trigger=1, on_batch=lambda e, c: calls3.append((e, c)),
+    )
+    q3.awaitTermination()
+    assert [e for e, _ in calls3] == ["2"]
+    f3 = calls3[0][1]
+    assert f3["published"] == 0
+    assert f3["dup_losers"] == f3["input"] - f3["gate_fails"]
+    assert pipeline.read_curated_stream(spark, out).count() == published
+
+
 def test_curate_stream_keeps_first_arrival(spark, sf_dir, tmp_path):
     """Keep-first: a later batch's doc that near-dups an already
     published doc is dropped even when its id is LOWER — the
