@@ -153,6 +153,7 @@ HEADLINE = [
     "q_dedup_keep_best",
     "q_source_cap",
     "q_ewma_value",
+    "q_media_near_dup_guaranteed",
 ]
 
 

@@ -557,6 +557,116 @@ def media_near_dup_pairs(fp: DataFrame, max_hamming: int = 12) -> DataFrame:
     )
 
 
+def media_near_dup_pairs_guaranteed(
+    fp: DataFrame, max_hamming: int = 12
+) -> DataFrame:
+    """Multi-probe variant of media_near_dup_pairs with a RECALL
+    GUARANTEE covering the full advertised radius: the probe side
+    emits, per band, the band value plus its eight radius-1 variants
+    (band XOR 2^i), so a pair collides iff SOME band differs by ≤1
+    bit. Pigeonhole: 8 bands × 2 = 16 > 15, so every pair at hamming
+    ≤ 15 ≥ max_hamming=12 is guaranteed a collision — banding becomes
+    semantically invisible and the result EQUALS exact all-pairs
+    hamming ≤ 12 (which is why q_media_near_dup_guaranteed can carry
+    a brute-force oracle that knows nothing about bands).
+
+    Cost vs the probabilistic path: 9× probe keys (72/doc) and ~9×
+    band-collision candidates on a worst-case uniformly-random
+    corpus — the classic multi-index-hashing trade (Norouzi et al.):
+    probes buy guarantee. The verify stays two bit_count instructions,
+    so candidates are cheap; pick this path when a missed duplicate
+    costs more than the probe fan-out (e.g. copyright/compliance
+    dedup), the default path when throughput wins."""
+    bands = [
+        F.conv(
+            F.substring("ahash", i * AHASH_BAND_BITS + 1, AHASH_BAND_BITS),
+            2, 10,
+        ).cast("int")
+        for i in range(AHASH_BANDS)
+    ]
+    base = fp.select(
+        "doc_id",
+        F.conv(F.substring("ahash", 1, 32), 2, 10).cast("long").alias("hi"),
+        F.conv(F.substring("ahash", 33, 32), 2, 10).cast("long").alias("lo"),
+        F.posexplode(F.array(*bands)).alias("band_idx", "band"),
+    )
+    masks = F.array(*[F.lit(m) for m in [0] + [1 << i for i in range(8)]])
+    probes = base.select(
+        "doc_id", "hi", "lo", "band_idx",
+        F.explode(
+            F.transform(masks, lambda m: F.col("band").bitwiseXOR(m))
+        ).alias("band"),
+    )
+    x, y = probes.alias("x"), base.alias("y")
+    hamming = (
+        F.bit_count(F.col("x.hi").bitwiseXOR(F.col("y.hi")))
+        + F.bit_count(F.col("x.lo").bitwiseXOR(F.col("y.lo")))
+    ).cast("long")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .where(hamming <= max_hamming)
+        .select(
+            F.col("x.doc_id").alias("doc_id_1"),
+            F.col("y.doc_id").alias("doc_id_2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_media_near_dup_guaranteed",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    v AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                   i -> ('0x' || substring(hx,
+                             CAST((i * n) // 64 AS INT) * 2 + 1, 2))::INT)
+                   AS vals
+        FROM r
+    ),
+    h AS (
+        SELECT doc_id, vals, list_aggregate(vals, 'sum') AS s FROM v
+    ),
+    a AS (
+        SELECT doc_id,
+               list_transform(vals,
+                   x -> CASE WHEN x * 64 > s THEN 1 ELSE 0 END) AS bits
+        FROM h
+    )
+    SELECT x.doc_id AS doc_id_1, y.doc_id AS doc_id_2,
+           CAST(list_aggregate(list_transform(
+                    list_zip(x.bits, y.bits),
+                    p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END),
+                'sum') AS BIGINT) AS hamming
+    FROM a x JOIN a y ON x.doc_id < y.doc_id
+    WHERE list_aggregate(list_transform(list_zip(x.bits, y.bits),
+              p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END), 'sum') <= 12
+    """,
+)
+def q_media_near_dup_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 media near-dup, guaranteed-recall mode: radius-1 multi-probe
+    banding whose result PROVABLY equals exact all-pairs hamming ≤ 12
+    (see media_near_dup_pairs_guaranteed) — and the oracle is exactly
+    that: a brute-force all-pairs join that knows nothing about bands,
+    so the hash check verifies the guarantee itself, not just an
+    agreed approximation. The engine side still never goes all-pairs:
+    candidate work is Σ|probe-bucket| collisions, 9× the probabilistic
+    path's keys."""
+    fp = ahash_fingerprints(media_table(spark, sf_dir)).persist()
+    return media_near_dup_pairs_guaranteed(fp)
+
+
 @query(
     "q_media_near_dup",
     oracle="""

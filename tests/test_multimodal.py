@@ -200,3 +200,18 @@ def test_banding_recall_guaranteed_and_measured(spark):
     assert all(h > 7 for h in missed), f"guaranteed-radius miss: {missed}"
     recall = len(found_h) / len(expected)
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95 (missed={missed})"
+
+    # guaranteed mode: radius-1 multi-probe covers hamming <= 15 by
+    # pigeonhole, so recall over the full 4-12 range must be EXACTLY
+    # 100% on the same corpus — including every pair the probabilistic
+    # path missed
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        media_near_dup_pairs_guaranteed,
+    )
+
+    got_g = {
+        (r["doc_id_1"], r["doc_id_2"]): r["hamming"]
+        for r in media_near_dup_pairs_guaranteed(fp).collect()
+    }
+    for pair, h in expected.items():
+        assert got_g.get(pair) == h, f"guaranteed mode missed {pair} (h={h})"

@@ -89,7 +89,7 @@ def test_hot_path_has_no_python_udf(spark, sf_dir):
         if name in ("q_multimodal_features", "q_heavy_hitters",
                     "q_kmeans_clusters", "q_kmeans_clusters_check",
                     "q_media_resize", "q_media_frames", "q_media_ahash",
-                    "q_media_near_dup",
+                    "q_media_near_dup", "q_media_near_dup_guaranteed",
                     "q_udtf_sentence_spans",
                     "q_similarity_pq", "q_similarity_pq_check"):
             continue
