@@ -645,15 +645,20 @@ def test_media_near_dup_single_codec_pass(spark, sf_dir):
         q_media_near_dup,
     )
 
-    # cold cache: an earlier test's executed q_media_near_dup leaves
-    # its fingerprint frame persisted (deliberately — the query's own
-    # persist), and a warm entry changes the node counts below
-    spark.catalog.clearCache()
-    plan = plan_string(q_media_near_dup(spark, sf_dir))
-    assert _n_nodes(plan, "MapInPandas") == 1
-    assert _n_nodes(plan, "InMemoryTableScan") == 2  # one per join side
-    assert _n_nodes(plan, "Scan parquet") == 1  # one corpus read
-    assert "BatchEvalPython" not in plan  # never row-at-a-time
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        q_media_near_dup_guaranteed,
+    )
+
+    for q in (q_media_near_dup, q_media_near_dup_guaranteed):
+        # cold cache: an earlier executed run leaves the query's own
+        # fingerprint persist behind, and a warm entry changes the
+        # node counts below
+        spark.catalog.clearCache()
+        plan = plan_string(q(spark, sf_dir))
+        assert _n_nodes(plan, "MapInPandas") == 1, q.__name__
+        assert _n_nodes(plan, "InMemoryTableScan") == 2, q.__name__
+        assert _n_nodes(plan, "Scan parquet") == 1, q.__name__
+        assert "BatchEvalPython" not in plan  # never row-at-a-time
 
 
 def test_q15_argmax_attaches_by_broadcast(spark, sf_dir):
