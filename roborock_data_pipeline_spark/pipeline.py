@@ -447,6 +447,9 @@ def mode_curate_stream(
         create_semantic_index,
         update_semantic_index,
     )
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        publish_segment,
+    )
 
     batch_dir = os.path.join(out_dir, f"batch-{batch_id}")
     counts = _curated_batch_counts(out_dir, batch_id)
@@ -497,13 +500,19 @@ def mode_curate_stream(
     funnel["dup_losers"] = losers.count()
     funnel["published"] = survivors.count()
 
-    staged = os.path.join(out_dir, ".staging", f"batch-{batch_id}")
+    import uuid as _uuid
+
+    # writer-unique staging: a same-batch-id race is decided by the
+    # publish rename, never by two writers clobbering one staging dir
+    staged = os.path.join(
+        out_dir, ".staging", f"batch-{batch_id}-{_uuid.uuid4().hex[:8]}"
+    )
     try:
         survivors.write.mode("overwrite").parquet(staged)
         with open(os.path.join(staged, "_funnel.json"), "w") as fh:
             json.dump(funnel, fh)
         os.makedirs(out_dir, exist_ok=True)
-        os.replace(staged, batch_dir)
+        publish_segment(staged, batch_dir)  # loud on a same-id race
     finally:
         import shutil
 
@@ -622,7 +631,8 @@ def compact_curated_output(
     training jobs actually read). Each absorbed batch's recorded
     counts move to ``base/counts/batch-{id}.json`` so replaying a
     compacted batch id still returns them; data is repartitioned into
-    ``n_files`` files. Same commit/GC contract as index_segments."""
+    ``n_files`` files. Same commit/GC contract as index_segments:
+    CAS-guarded commit, GC at entry (grace window)."""
     import json as _json
     import shutil
 
@@ -633,13 +643,18 @@ def compact_curated_output(
         next_base_gen,
     )
 
+    gc_superseded(out_dir)  # deferred cleanup from the LAST commit
     base, batches = live_segments(out_dir)
     n_input = len(batches) + (1 if base is not None else 0)
     if n_input <= 1:
-        gc_superseded(out_dir)
         return 0
     gen = next_base_gen(out_dir)
-    staged = os.path.join(out_dir, ".staging", f"base-{gen:06d}")
+    import uuid as _uuid
+
+    # writer-unique staging; the commit CAS decides a race's winner
+    staged = os.path.join(
+        out_dir, ".staging", f"base-{gen:06d}-{_uuid.uuid4().hex[:8]}"
+    )
     try:
         data_paths = (
             [os.path.join(base, "data")] if base is not None else []

@@ -158,10 +158,11 @@ def test_curated_output_compaction_preserves_replay_and_data(
 
     before = ids()
     assert pipeline.compact_curated_output(spark, out) == 2
+    assert ids() == before  # grace window: manifest filters absorbed dirs
+    assert pipeline.compact_curated_output(spark, out) == 0  # deferred GC
     assert not [d for d in os.listdir(out) if d.startswith("batch-")]
     assert len([d for d in os.listdir(out) if d.startswith("base-")]) == 1
     assert ids() == before
-    assert pipeline.compact_curated_output(spark, out) == 0  # idempotent
 
     # replay of a compacted batch id returns the recorded counts and
     # publishes nothing
@@ -202,13 +203,14 @@ def test_funnel_maintenance_compacts_all_three_surfaces(
     f1, f2, state, out = _run_two_batches(spark, split, tmp_path)
     merged = pipeline.funnel_maintenance(spark, state, out)
     assert merged == {"minhash": 2, "semantic": 2, "curated": 2}
-    for d in (os.path.join(state, "minhash"),
-              os.path.join(state, "semantic"), out):
-        assert not [x for x in os.listdir(d) if x.startswith("batch-")]
-    # second pass: everything already compact
+    # second pass: everything already compact; its entry GC removes
+    # the batch dirs the first pass's commits superseded (grace window)
     assert pipeline.funnel_maintenance(spark, state, out) == {
         "minhash": 0, "semantic": 0, "curated": 0
     }
+    for d in (os.path.join(state, "minhash"),
+              os.path.join(state, "semantic"), out):
+        assert not [x for x in os.listdir(d) if x.startswith("batch-")]
     # funnel replay and forward progress unaffected
     assert pipeline.mode_curate_stream(
         spark, split[2], split[3], state, out, "b2"
@@ -360,6 +362,7 @@ def test_streaming_runs_survive_maintenance_between_them(
 
     merged = pipeline.funnel_maintenance(spark, state, out)
     assert merged == {"minhash": 2, "semantic": 2, "curated": 2}
+    pipeline.funnel_maintenance(spark, state, out)  # deferred GC pass
     assert not [d for d in os.listdir(out) if d.startswith("batch-")]
 
     # replay of a compacted epoch returns its recorded counts
