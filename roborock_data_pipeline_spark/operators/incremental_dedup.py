@@ -189,7 +189,14 @@ def probe_minhash_index(
     checks against a training corpus, serving-time lookups). The same
     band-join + jaccard-verify as update_minhash_index, but candidates
     come from the INDEX side only (probe-probe pairs are not this
-    query), and no state changes. Concurrency contract (ADVICE r5,
+    query), and no state changes. Probe ids are EXTERNAL to the index
+    namespace (ADVICE r5): no id-equality filter is applied, so a
+    probe whose id happens to collide with an indexed id still
+    surfaces its (likely exact) match — in the dedup-before-ingest
+    and contamination use cases that collision is precisely the
+    duplicate that matters. Callers re-probing documents that are
+    ALREADY in the index should drop ``probe_id == index_id`` rows
+    themselves. Concurrency contract (ADVICE r5,
     stated precisely): the read set is ONE ``live_segments`` snapshot,
     manifest-consistent across a compaction COMMIT; superseded
     segments stay on disk until the NEXT maintenance pass's GC, so a
@@ -212,8 +219,7 @@ def probe_minhash_index(
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
         )
         .select(
             F.col("a.doc_id").alias("probe_id"),

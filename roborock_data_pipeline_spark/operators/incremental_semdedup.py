@@ -275,7 +275,11 @@ def probe_semantic_index(
     (probe_id, index_id, cosine) without ingesting — the semantic
     twin of probe_minhash_index. Probes assign into the frozen cell
     space (broadcast centroids), join only against indexed vectors of
-    the same cell, and change no state. Concurrency contract (ADVICE
+    the same cell, and change no state. Probe ids are EXTERNAL to the
+    index namespace (ADVICE r5): no id-equality filter, so an id
+    collision with an indexed vector still surfaces its (likely
+    exact) match; callers re-probing already-indexed vectors drop
+    ``probe_id == index_id`` rows themselves. Concurrency contract (ADVICE
     r5): one ``live_segments`` snapshot, manifest-consistent across a
     compaction commit; superseded segments survive until the NEXT
     maintenance pass's GC, so probes finishing within one maintenance
@@ -292,11 +296,7 @@ def probe_semantic_index(
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
+        a.join(b, F.col("a.cell") == F.col("b.cell"))
         .where(cos >= threshold)
         .select(
             F.col("a.vec_id").alias("probe_id"),

@@ -103,6 +103,48 @@ def test_probe_semantic_matches_update_new_old_pairs(spark, sf_dir, tmp_path):
     assert probed == want and probed
 
 
+def test_probe_id_collision_still_surfaces_match(spark, sf_dir, tmp_path):
+    """ADVICE r5: probe ids are external to the index namespace — a
+    probe whose id collides with an indexed id must still surface its
+    (here: exact) duplicate, both text and semantic. The old
+    id-inequality filter silently suppressed exactly this match."""
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        probe_minhash_index,
+        update_minhash_index,
+    )
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        probe_semantic_index,
+        update_semantic_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    some = docs.where(F.col("doc_id") < 50)
+    mh = str(tmp_path / "mh")
+    update_minhash_index(spark, some, mh, batch_id="b1")
+    # probe the SAME rows (same ids, same text): every probe doc's
+    # exact self-duplicate in the index must come back
+    hits = probe_minhash_index(spark, some, mh, threshold=0.9)
+    self_hits = {
+        r.probe_id
+        for r in hits.where(F.col("probe_id") == F.col("index_id")).collect()
+    }
+    want = {r.doc_id for r in some.select("doc_id").collect()}
+    assert self_hits == want
+
+    sem = str(tmp_path / "sem")
+    some_e = emb.where(F.col("vec_id") < 50)
+    create_semantic_index(spark, emb, sem)
+    update_semantic_index(spark, some_e, sem, threshold=0.9, batch_id="b1")
+    shits = probe_semantic_index(spark, some_e, sem, threshold=0.99)
+    sself = {
+        r.probe_id
+        for r in shits.where(F.col("probe_id") == F.col("index_id")).collect()
+    }
+    assert sself == {r.vec_id for r in some_e.select("vec_id").collect()}
+
+
 def test_rebuild_semantic_index_fresh_epoch(spark, sf_dir, tmp_path):
     """Offline rebuild: retrained centroids over the live vectors,
     everything republished as one batch with an empty pair set, fresh
