@@ -79,17 +79,16 @@ def _png_gray(pixels):
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def test_real_codec_slot_with_pillow(spark):
-    """VERDICT r4 #7 (opt-in, skip-gated on import): push a real PNG
-    through the gated codec slot — decode_media(fake=False) and
+def test_real_codec_slot(spark):
+    """VERDICT r4 #7 + r5 #2 (now unconditional — no skip): push a
+    real PNG through the codec slot — decode_media(fake=False) and
     resize_media(fake=False) → aHash — proving the Arrow slot's
     contract (image bytes in → w*h grayscale bytes out → 64-bit hash)
-    against an actual decoder, not the deterministic fake."""
-    import pytest
-
-    PIL = pytest.importorskip("PIL")  # noqa: F841
-    from PIL import Image
-
+    against an actual decoder, not the deterministic fake. Without
+    Pillow the stdlib gray8-PNG fallback runs; expected bytes are
+    computed INDEPENDENTLY from the crafted pixels (center-sampled
+    nearest neighbor, Pillow's NEAREST semantics), and when Pillow is
+    importable the output is additionally asserted byte-equal to it."""
     from roborock_data_pipeline_spark.operators.multimodal import (
         RESIZE_H,
         RESIZE_W,
@@ -110,11 +109,25 @@ def test_real_codec_slot_with_pillow(spark):
     resized = resize_media(df, RESIZE_W, RESIZE_H, fake=False).collect()
     assert len(resized) == 1
     got = bytes(resized[0]["media"])
-    import io
 
-    want = (Image.open(io.BytesIO(png)).convert("L")
-            .resize((RESIZE_W, RESIZE_H), Image.NEAREST).tobytes())
+    # independent reference: center-sampled nearest neighbor over the
+    # CRAFTED pixel matrix, floor((i+0.5)*16/8) = 2i+1
+    want = bytes(
+        pixels[2 * r + 1][2 * c + 1]
+        for r in range(RESIZE_H) for c in range(RESIZE_W)
+    )
     assert got == want and len(got) == 64
+
+    try:  # byte parity with the general codec, when present
+        import io
+
+        from PIL import Image
+
+        pil = (Image.open(io.BytesIO(png)).convert("L")
+               .resize((RESIZE_W, RESIZE_H), Image.NEAREST).tobytes())
+        assert got == pil
+    except ImportError:
+        pass
 
     # the JVM hash math is codec-agnostic: expected bits from the
     # reference bytes computed independently
@@ -124,9 +137,74 @@ def test_real_codec_slot_with_pillow(spark):
     assert fp[0]["ahash"] == expect
 
 
-def test_real_codec_absent_raises_clearly():
-    """Without Pillow the gated real paths must fail loudly and name
-    the dependency — never silently fall back to the fake."""
+def test_real_codec_filters_roundtrip():
+    """The stdlib fallback undoes all five PNG row filters: re-encode
+    the same pixel matrix under each filter type and assert the
+    decode is pixel-identical."""
+    import struct
+    import zlib
+
+    from roborock_data_pipeline_spark.operators.multimodal import (
+        _decode_png_gray8,
+    )
+
+    pixels = [[(r * 31 + c * 7) % 256 for c in range(9)] for r in range(11)]
+    flat = bytes(b for row in pixels for b in row)
+
+    def encode(ftype):
+        w = len(pixels[0])
+        rows = []
+        prev = bytes(w)
+        for row in pixels:
+            row = bytes(row)
+            if ftype == 0:
+                enc = row
+            elif ftype == 1:  # Sub
+                enc = bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF
+                            for i in range(w))
+            elif ftype == 2:  # Up
+                enc = bytes((row[i] - prev[i]) & 0xFF for i in range(w))
+            elif ftype == 3:  # Average
+                enc = bytes(
+                    (row[i] - ((row[i - 1] if i else 0) + prev[i]) // 2) & 0xFF
+                    for i in range(w)
+                )
+            else:  # Paeth
+                enc = bytearray()
+                for i in range(w):
+                    a = row[i - 1] if i else 0
+                    b, c = prev[i], (prev[i - 1] if i else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    enc.append((row[i] - pred) & 0xFF)
+                enc = bytes(enc)
+            rows.append(bytes([ftype]) + enc)
+            prev = row
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, len(pixels), 8, 0, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+
+    for ftype in range(5):
+        decoded = _decode_png_gray8(encode(ftype))
+        assert decoded is not None, f"filter {ftype} rejected"
+        w, h, px = decoded
+        assert (w, h) == (9, 11) and px == flat, f"filter {ftype} diverged"
+
+
+def test_real_codec_unsupported_raises_clearly():
+    """Payloads neither the stdlib fallback nor an absent Pillow can
+    decode must fail loudly and name the dependency — never silently
+    fall back to the fake. (Skip-gated the other way: with Pillow
+    installed the general path takes over.)"""
     import pytest
 
     try:
@@ -141,10 +219,28 @@ def test_real_codec_absent_raises_clearly():
         resize_image,
     )
 
+    # truncated magic-only blob, a JPEG, and an RGB (color type 2) PNG
+    # are all outside the gray8 fallback's shape
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_media(b"\x89PNG", "image/png", fake=False)
     with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_media(b"\xff\xd8\xff\xe0jpeg", "image/jpeg", fake=False)
+    with pytest.raises(NotImplementedError, match="Pillow"):
         resize_image(b"\x89PNG", 8, 8)
+
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    rgb_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    rgb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", rgb_ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x10" * 12))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        resize_image(rgb, 8, 8)
 
 
 def test_banding_recall_guaranteed_and_measured(spark):
