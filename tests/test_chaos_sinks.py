@@ -273,6 +273,52 @@ def test_curate_funnel_crash_between_index_commits(spark, sf_dir, tmp_path,
     assert kept == kept_ctl
 
 
+def test_vacuum_rename_fault_then_retry(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #5 chaos: the vacuum's base-publish rename dies →
+    the batch log is untouched (every batch dir + every as-of still
+    exact), staging clean; the retry vacuums cleanly with identical
+    current-state rows."""
+    import datetime as dt
+    import time
+
+    from roborock_data_pipeline_spark import schemas
+    from roborock_data_pipeline_spark.sources import sinks
+
+    wh = str(tmp_path / "wh")
+    sinks.setup_warehouse(spark, wh)
+    rows = [
+        (dt.datetime(2024, 2, 1, 12), "bot1", dt.datetime(2024, 2, 1, 6),
+         40.0, 28.1, "vacuum", "auto", None, "completed"),
+        (dt.datetime(2024, 2, 1, 12), "bot1", dt.datetime(2024, 2, 1, 9),
+         55.0, 33.2, "vacuum", "auto", None, "completed"),
+    ]
+    for i in range(3):
+        sinks.append_rows(
+            spark.createDataFrame(rows[i % 2: i % 2 + 1],
+                                  schemas.CLEANING_RECORDS),
+            wh, "cleaning_records",
+        )
+    t_all = time.time_ns()
+    before_batches = sinks.list_batches(wh, "cleaning_records")
+    before_rows = sorted(map(tuple, sinks.read_table(
+        spark, wh, "cleaning_records").collect()))
+
+    state = _fail_replace_once(monkeypatch, sinks.VACUUM_BASE_SUFFIX)
+    with pytest.raises(OSError, match="injected"):
+        sinks.vacuum_table(spark, wh, "cleaning_records", retain_last_n=1)
+    assert state["fired"]
+    assert sinks.list_batches(wh, "cleaning_records") == before_batches
+    assert _staging_empty(wh)
+    monkeypatch.undo()
+
+    assert sinks.vacuum_table(spark, wh, "cleaning_records",
+                              retain_last_n=1) == 2
+    assert sorted(map(tuple, sinks.read_table(
+        spark, wh, "cleaning_records").collect())) == before_rows
+    assert sorted(map(tuple, sinks.read_table_as_of(
+        spark, wh, "cleaning_records", t_all).collect())) == before_rows
+
+
 def test_append_rows_rename_fault_then_retry(spark, tmp_path, monkeypatch):
     """Warehouse append: rename dies → table byte-identical, staging
     clean; retry lands exactly one batch."""
