@@ -154,6 +154,8 @@ HEADLINE = [
     "q_source_cap",
     "q_ewma_value",
     "q_media_near_dup_guaranteed",
+    # round-6 additions: two-phase domain cap (the 100 TB skew form)
+    "q_source_cap_two_phase",
 ]
 
 

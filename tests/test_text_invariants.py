@@ -109,6 +109,65 @@ def test_interpolate_respects_observations(spark, sf_dir):
     assert out_of_range == 0  # lerp never extrapolates beyond the data
 
 
+def test_source_cap_two_phase_equivalence_on_skew(spark):
+    """VERDICT r5 #6: the two-phase cap must equal the exact window
+    row-for-row on a deliberately skewed source distribution (one
+    mega-domain with heavy quality ties at the cap boundary, one
+    under-cap domain, one exactly-at-cap domain), and its physical
+    plan must pre-filter on the broadcast threshold BEFORE the window
+    exchange — the point of the form is that the mega-domain never
+    shuffles wholesale into one window partition."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from roborock_data_pipeline_spark.operators.quality import (
+        SOURCE_CAP,
+        source_cap_two_phase,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    # mega-domain: 2000 docs, qualities drawn from only 40 distinct
+    # values → ~50-way ties, including at the cap boundary
+    for i in range(2000):
+        rows.append((i, "mega", round(rng.randrange(40) / 40.0, 4)))
+    # under-cap domain: fewer docs than the cap → kept wholesale
+    for i in range(SOURCE_CAP - 5):
+        rows.append((10_000 + i, "tiny", round(rng.random(), 4)))
+    # exactly-at-cap domain
+    for i in range(SOURCE_CAP):
+        rows.append((20_000 + i, "edge", round(rng.random(), 4)))
+    dq = spark.createDataFrame(
+        rows, "doc_id long, source string, quality double"
+    )
+
+    got = source_cap_two_phase(dq)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    want = (
+        dq.withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("src_rank") <= SOURCE_CAP)
+        .select("doc_id", "source", "src_rank", "quality")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() == 2 * SOURCE_CAP + (SOURCE_CAP - 5)
+
+    # plan: broadcast threshold join + sliver filter sit UPSTREAM of
+    # the window's source-hash exchange (printed plans are root-first,
+    # so upstream operators appear at larger offsets)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    i_window = plan.index("Window")
+    i_filter = plan.index("thr_bucket")
+    i_bcast = plan.index("BroadcastHashJoin")
+    assert i_window < i_filter, plan
+    assert i_window < i_bcast, plan
+
+
 def test_winnowing_guarantee(spark):
     """The MOSS coverage guarantee, property-tested: two documents
     sharing any run of >= w + k - 1 = 6 consecutive words MUST share
