@@ -354,30 +354,38 @@ def keep_first_apply(
     JOIN — the exact q_dedup_apply shape (operators/dedup.py:380).
     Only counts ever reach the driver (the funnel's _funnel.json).
 
-    The membership joins run pairs-side-small against the batch-sized
-    candidate ids — a plain shuffled join Spark is free to plan either
-    way; the broadcast is reserved for the loser set, whose size is
-    |near-dup pairs this batch|, the quantity the banding caps."""
-    new_ids = candidates.select("doc_id")
-    flagged = pairs.join(
-        new_ids.select(F.col("doc_id").alias("i"), F.lit(True).alias("i_new")),
-        "i",
-        "left",
-    ).join(
-        new_ids.select(F.col("doc_id").alias("j"), F.lit(True).alias("j_new")),
-        "j",
-        "left",
-    )
-    i_new = F.coalesce("i_new", F.lit(False))
-    j_new = F.coalesce("j_new", F.lit(False))
+    Every join broadcasts the PAIR-BOUNDED side, so the batch itself
+    is never shuffled: oriented pair members broadcast onto the
+    candidate scan (inner — output is |members|), the other-side ids
+    broadcast as a semi-join probe (output ≤ |members|), the loser
+    rule evaluates on those two pair-bounded frames, and the distinct
+    loser set (≤ |pairs|, the quantity banding caps) broadcasts back
+    as the anti join. Total batch cost: two column-pruned scans plus
+    the survivor scan — zero exchanges of batch-sized data."""
+    cand_ids = candidates.select("doc_id")
+    members = pairs.select(
+        F.col("i").alias("m"), F.col("j").alias("o")
+    ).unionByName(pairs.select(F.col("j").alias("m"), F.col("i").alias("o")))
+    # pair members that are NEW this batch (each new-new pair appears
+    # in both orientations; new-indexed pairs survive in one)
+    new_members = cand_ids.join(
+        F.broadcast(members), F.col("doc_id") == F.col("m")
+    ).select("m", "o")
+    # which partner ids are themselves new — pairs-bounded
+    new_others = cand_ids.join(
+        F.broadcast(members.select("o").distinct()),
+        F.col("doc_id") == F.col("o"),
+        "left_semi",
+    ).select(F.col("doc_id").alias("o"), F.lit(True).alias("o_new"))
     losers = (
-        flagged.select(
-            F.when(i_new & j_new, F.greatest("i", "j"))  # both new: keep-lowest
-            .when(i_new, F.col("i"))  # new member loses to the indexed one
-            .when(j_new, F.col("j"))
-            .alias("doc_id")
+        new_members.join(new_others, "o", "left")
+        .where(
+            # partner indexed → the new member loses; both new →
+            # keep-lowest (the greater id loses, emitted exactly once
+            # by the orientation where m > o)
+            ~F.coalesce("o_new", F.lit(False)) | (F.col("m") > F.col("o"))
         )
-        .where(F.col("doc_id").isNotNull())
+        .select(F.col("m").alias("doc_id"))
         .distinct()
     )
     survivors = candidates.join(F.broadcast(losers), "doc_id", "left_anti")
