@@ -313,6 +313,24 @@ def vacuum_table(
     return _merge_batches(spark, warehouse_dir, name, old)
 
 
+def warehouse_maintenance(
+    spark: SparkSession, warehouse_dir: str, retain_last_n: int = 24
+) -> dict[str, int]:
+    """One retention pass over every provisioned warehouse table —
+    the batch-log twin of pipeline.funnel_maintenance, schedulable
+    with run_scheduled (T4). Default retention of 24 batches keeps a
+    day of hourly as-of versions addressable while bounding every
+    table at 25 live directories. Returns batches reclaimed per
+    table (0 = already within retention)."""
+    reclaimed: dict[str, int] = {}
+    for name in WAREHOUSE_TABLES:
+        if os.path.isdir(table_path(warehouse_dir, name)):
+            reclaimed[name] = vacuum_table(
+                spark, warehouse_dir, name, retain_last_n
+            )
+    return reclaimed
+
+
 def compact_table(spark: SparkSession, warehouse_dir: str, name: str) -> int:
     """Small-file compaction: rewrite the whole batch log as ONE
     batch — ``vacuum_table`` with an empty retention window. At

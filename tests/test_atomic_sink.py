@@ -262,6 +262,30 @@ def test_vacuum_retention_window(spark, warehouse):
     assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 6
 
 
+def test_warehouse_maintenance_vacuums_every_table(spark, warehouse):
+    """One pass bounds every provisioned table's directory count at
+    retain+1 while current-state reads stay identical."""
+    sinks.setup_warehouse(spark, warehouse)
+    for i in range(4):
+        sinks.append_rows(
+            _records_df(spark, GOOD_ROWS[i % 2 : i % 2 + 1]),
+            warehouse, "cleaning_records",
+        )
+    before = sinks.read_table(spark, warehouse, "cleaning_records").count()
+    reclaimed = sinks.warehouse_maintenance(spark, warehouse, retain_last_n=1)
+    assert reclaimed["cleaning_records"] == 3
+    assert all(n == 0 for t, n in reclaimed.items()
+               if t != "cleaning_records")
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 2
+    assert sinks.read_table(
+        spark, warehouse, "cleaning_records"
+    ).count() == before
+    # second pass: nothing older than retention remains anywhere
+    assert all(n == 0 for n in sinks.warehouse_maintenance(
+        spark, warehouse, retain_last_n=1
+    ).values())
+
+
 def test_compaction_keeps_asof_exact_at_boundary(spark, warehouse):
     """r6 regression fix: the compacted base is stamped with the last
     ABSORBED publish time, so an as-of between the last append and the
