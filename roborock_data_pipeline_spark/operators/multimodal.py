@@ -86,7 +86,8 @@ def _decode_png_gray8(blob: bytes) -> tuple[int, int, bytes] | None:
                 w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
-                if depth != 8 or ctype != 0 or interlace != 0:
+                if depth != 8 or ctype != 0 or interlace != 0 \
+                        or w == 0 or h == 0:
                     return None  # only 8-bit gray, non-interlaced
             elif typ == b"IDAT":
                 idat += data
