@@ -203,12 +203,11 @@ def mode_history(spark: SparkSession, cloud: str, limit: int = 10) -> DataFrame:
     return recs.orderBy(F.col("start_time").desc()).limit(limit)
 
 
-def mode_daily_summary(spark: SparkSession, warehouse: str) -> None:
-    """A6: build the Daily_Summary gold table from cleaning_records —
-    the aggregation the reference declared twice (pipeline.py:307,
-    sheets_client.py:299-307) and never computed."""
-    recs = sinks.read_table(spark, warehouse, "cleaning_records")
-    daily = recs.groupBy(
+def _daily_rollup(recs: DataFrame) -> DataFrame:
+    """The Daily_Summary aggregation shape, shared by the full rebuild
+    (mode_daily_summary) and the incremental partition refresh
+    (refresh_daily_summary) so the two can never drift."""
+    return recs.groupBy(
         F.date_format("start_time", "yyyy-MM-dd").alias("date")
     ).agg(
         F.count("*").alias("total_cleanings"),
@@ -217,9 +216,147 @@ def mode_daily_summary(spark: SparkSession, warehouse: str) -> None:
         F.round(F.avg("area_sqm"), 2).alias("avg_area_m2"),
         F.round(F.avg("duration_minutes"), 2).alias("avg_time_min"),
     )
+
+
+def mode_daily_summary(spark: SparkSession, warehouse: str) -> None:
+    """A6: build the Daily_Summary gold table from cleaning_records —
+    the aggregation the reference declared twice (pipeline.py:307,
+    sheets_client.py:299-307) and never computed."""
+    recs = sinks.read_table(spark, warehouse, "cleaning_records")
+    daily = _daily_rollup(recs)
     # gold table is a full rebuild from cleaning_records — overwrite so
     # re-runs are idempotent (an append would duplicate per-date rows)
     sinks.overwrite_rows(daily, warehouse, "daily_summary")
+
+
+# --- incremental gold-table maintenance (EXT, VERDICT r5 'What's
+# missing' closure: the 100 TB form of mode_daily_summary) ----------
+
+GOLD_PART_TABLE = "daily_summary_by_date"
+
+
+def _rollup_watermark_path(warehouse: str) -> str:
+    # outside the table dir so a dynamic partition overwrite can
+    # never touch it
+    return os.path.join(warehouse, ".rollup", f"{GOLD_PART_TABLE}.watermark")
+
+
+def _read_rollup_watermark(warehouse: str) -> str:
+    p = _rollup_watermark_path(warehouse)
+    if not os.path.exists(p):
+        return ""
+    with open(p) as fh:
+        return fh.read().strip()
+
+
+def _write_rollup_watermark(warehouse: str, batch_ns: str) -> None:
+    p = _rollup_watermark_path(warehouse)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(batch_ns)
+    os.replace(tmp, p)
+
+
+def rollup_for_dates(
+    spark: SparkSession, warehouse: str, dates: list[str]
+) -> DataFrame:
+    """Recompute the daily rollup for exactly ``dates`` from the full
+    cleaning_records log. The scan carries a start_time RANGE bound
+    (min..max+1d) that pushes into the parquet reader (PushedFilters —
+    row-group min/max stats prune non-touched history; on a
+    date-partitioned layout the same predicate becomes partition
+    pruning), plus the exact formatted-date membership as a residual.
+    Per-date recompute-from-base beats merging partial aggregates
+    here because the published gold values are ROUNDED — re-merging
+    rounded sums would drift from the full rebuild."""
+    recs = sinks.read_table(spark, warehouse, "cleaning_records")
+    lo, hi = min(dates), max(dates)
+    bounded = recs.where(
+        (F.col("start_time") >= F.to_timestamp(F.lit(lo)))
+        & (
+            F.col("start_time")
+            < F.to_timestamp(F.date_add(F.to_date(F.lit(hi)), 1))
+        )
+    )
+    exact = bounded.where(
+        F.date_format("start_time", "yyyy-MM-dd").isin(dates)
+    )
+    return _daily_rollup(exact)
+
+
+def refresh_daily_summary(spark: SparkSession, warehouse: str) -> dict[str, int]:
+    """EXT: INCREMENTAL maintenance of the Daily_Summary gold table —
+    the 100 TB form of mode_daily_summary's full rebuild.
+
+    mode_daily_summary recomputes every date from all of history on
+    every run — fine at the reference's ~1-2 rows/day, a full-table
+    scan per refresh at warehouse scale. This refresh does
+    new-batch-sized work instead:
+
+    1. list cleaning_records batches newer than the stored watermark
+       (batch ids are publish-time-ordered, sinks.list_batches);
+    2. scan ONLY those batch dirs for their distinct event dates
+       (driver state = a set of calendar dates, bounded by days of
+       history, not rows);
+    3. recompute exactly those dates from the base table via a
+       range-pruned scan (rollup_for_dates);
+    4. swap the touched date partitions into the hive-partitioned
+       gold table with a dynamic partition overwrite
+       (sinks.overwrite_partitions) — untouched dates' files are
+       never rewritten;
+    5. advance the watermark (atomic tmp+rename).
+
+    Crash-safety: the watermark moves LAST, so a crash after the
+    partition swap replays the same batches — the recompute is
+    deterministic from the base table, so the re-swap publishes
+    byte-identical partitions (idempotent convergence, same discipline
+    as the funnel's publish-is-the-commit-point). Vacuum interplay:
+    a vacuum base stamped newer than the watermark makes the 'new'
+    scan OVER-approximate touched dates (the base also holds
+    already-folded rows) — recompute-from-base makes any
+    over-approximation safe, never wrong.
+
+    Returns {"new_batches": n, "dates_refreshed": n}.
+    """
+    batches = sinks.list_batches(warehouse, "cleaning_records")
+    watermark = _read_rollup_watermark(warehouse)
+    new = [
+        b for b in batches
+        if sinks._batch_ns_prefix(b) > watermark  # noqa: SLF001 - same package
+    ]
+    if not new:
+        return {"new_batches": 0, "dates_refreshed": 0}
+    table_dir = sinks.table_path(warehouse, "cleaning_records")
+    touched = (
+        spark.read.schema(sinks.WAREHOUSE_TABLES["cleaning_records"])
+        .option("recursiveFileLookup", "true")
+        .parquet(*[os.path.join(table_dir, b) for b in new])
+        .select(F.date_format("start_time", "yyyy-MM-dd").alias("d"))
+        .distinct()
+    )
+    dates = sorted(r["d"] for r in touched.collect() if r["d"] is not None)
+    if dates:
+        sinks.overwrite_partitions(
+            rollup_for_dates(spark, warehouse, dates),
+            warehouse,
+            GOLD_PART_TABLE,
+            ["date"],
+        )
+    _write_rollup_watermark(
+        warehouse, max(sinks._batch_ns_prefix(b) for b in new)  # noqa: SLF001
+    )
+    return {"new_batches": len(new), "dates_refreshed": len(dates)}
+
+
+def read_daily_summary(spark: SparkSession, warehouse: str) -> DataFrame:
+    """The partition-maintained gold table, normalized back to the
+    daily_summary schema (partition value re-typed to the ISO string;
+    columns in declared order). Date filters prune partitions at
+    planning time, same as sinks.read_partitioned."""
+    df = sinks.read_partitioned(spark, warehouse, GOLD_PART_TABLE)
+    cols = [f.name for f in sinks.WAREHOUSE_TABLES["daily_summary"].fields]
+    return df.withColumn("date", F.col("date").cast("string")).select(*cols)
 
 
 def mode_curate(
