@@ -18,6 +18,8 @@ deriving state from what the sink actually holds).
   mode history       O1  print the k most recent records
   mode daily_summary A6  build the gold table the reference declared
                          but never implemented
+  mode daily_refresh EXT incremental partition-swap maintenance of
+                         the same gold table (new-batch-sized work)
 
 "Device cloud" stand-in: a parquet directory of device telemetry
 (device_status + cleaning_records shapes) — the process boundary the
@@ -950,6 +952,8 @@ def run_mode(spark: SparkSession, args: argparse.Namespace) -> None:
         mode_history(spark, args.cloud, args.limit).show(truncate=False)
     elif args.mode == "daily_summary":
         mode_daily_summary(spark, args.warehouse)
+    elif args.mode == "daily_refresh":
+        print(refresh_daily_summary(spark, args.warehouse))
     elif args.mode == "curate":
         print(mode_curate(spark, args.cloud, args.warehouse))
 
@@ -961,7 +965,7 @@ def main(argv: list[str] | None = None) -> None:
         required=True,
         choices=[
             "setup", "status", "log", "smart", "schedule", "record_sync",
-            "monitor", "history", "daily_summary", "curate",
+            "monitor", "history", "daily_summary", "daily_refresh", "curate",
         ],
     )
     p.add_argument("--cloud", help="telemetry parquet dir (device stand-in)")
