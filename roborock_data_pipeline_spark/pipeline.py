@@ -319,8 +319,20 @@ def refresh_daily_summary(spark: SparkSession, warehouse: str) -> dict[str, int]
     already-folded rows) — recompute-from-base makes any
     over-approximation safe, never wrong.
 
+    Single-writer: the watermark read → recompute → partition swap →
+    watermark write sequence is a read-modify-write, so it runs under
+    ``sinks.writer_lock`` on the gold table — a second concurrent
+    refresh fails loudly instead of interleaving partition overwrites.
+
     Returns {"new_batches": n, "dates_refreshed": n}.
     """
+    with sinks.writer_lock(warehouse, GOLD_PART_TABLE):
+        return _refresh_daily_summary_locked(spark, warehouse)
+
+
+def _refresh_daily_summary_locked(
+    spark: SparkSession, warehouse: str
+) -> dict[str, int]:
     batches = sinks.list_batches(warehouse, "cleaning_records")
     watermark = _read_rollup_watermark(warehouse)
     new = [

@@ -22,11 +22,15 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from roborock_data_pipeline_spark import schemas
+from roborock_data_pipeline_spark.operators.index_segments import (
+    ConcurrentWriterError,
+)
 
 # The reference's five tabs (config/settings.py:25-30 SHEETS dict).
 WAREHOUSE_TABLES: dict[str, T.StructType] = {
@@ -200,6 +204,91 @@ def list_batches(warehouse_dir: str, name: str) -> list[str]:
 VACUUM_BASE_SUFFIX = "-vb"  # merged-history batch (vacuum/compact base)
 
 
+@contextmanager
+def writer_lock(warehouse_dir: str, name: str):
+    """Single-writer lease for a table's MUTATING maintenance
+    (vacuum/compact, incremental gold refresh) — the batch-log twin
+    of the index layer's CAS guard (operators/index_segments): a
+    second concurrent writer fails LOUDLY (ConcurrentWriterError)
+    instead of interleaving.
+
+    Why vacuum needs it when appends don't: `append_rows` publishes
+    writer-unique dirs (uuid suffix), so concurrent appends commute.
+    Two concurrent vacuums each merge a prefix into their OWN base
+    and then delete the absorbed dirs — with different retention
+    boundaries both bases publish and the overlapping prefix is
+    double-counted. No rename-refusal can catch that (the bases have
+    different names), so mutation is leased.
+
+    Lease mechanics: O_CREAT|O_EXCL on `.lock-{name}` with the
+    holder's pid inside. A holder that crashed leaves a stale lock;
+    a later writer detects the dead pid and STEALS atomically by
+    renaming the stale lock aside (exactly one concurrent stealer's
+    rename succeeds; the rest lose with ConcurrentWriterError) before
+    re-acquiring. Same-host pid liveness is the right check for
+    local[n]; on a real cluster this seat is a transactional commit
+    log or a ZK/DB lease — the contract (one mutator, loud losers)
+    is what carries over."""
+    lock = os.path.join(warehouse_dir, f".lock-{name}")
+    os.makedirs(warehouse_dir, exist_ok=True)
+
+    def _try_acquire() -> bool:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(str(os.getpid()))
+        return True
+
+    if not _try_acquire():
+        try:
+            with open(lock) as fh:
+                holder = int(fh.read().strip() or "0")
+        except (OSError, ValueError):
+            holder = 0
+        alive = False
+        if holder > 0:
+            try:
+                os.kill(holder, 0)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:
+                alive = True  # exists, just not ours to signal
+        if alive:
+            who = (
+                f"live writer pid {holder}"
+                if holder != os.getpid()
+                else f"this process (pid {holder}) re-entrantly"
+            )
+            raise ConcurrentWriterError(
+                f"table {name!r} is being mutated by {who}; rerun this "
+                "maintenance after the holder finishes"
+            )
+        # stale lock: steal by renaming it aside — atomic, exactly one
+        # concurrent stealer wins the rename
+        try:
+            os.replace(lock, f"{lock}.stale-{uuid.uuid4().hex[:8]}")
+        except FileNotFoundError:
+            raise ConcurrentWriterError(
+                f"table {name!r}: another writer took over the stale "
+                "lock first; rerun if still needed"
+            ) from None
+        if not _try_acquire():
+            raise ConcurrentWriterError(
+                f"table {name!r}: lost the lock race after stealing a "
+                "stale lease; rerun if still needed"
+            )
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 def _batch_ns_prefix(batch_dirname: str) -> str:
     """The 20-digit publish-time prefix of a ``batch-…`` dirname
     (works for plain batches and vacuum bases alike)."""
@@ -303,14 +392,20 @@ def vacuum_table(
       of silently fabricating a partial state;
     - the directory count is bounded at retain_last_n + 1.
 
+    Single-writer: the whole list→merge→publish→delete sequence runs
+    under :func:`writer_lock` — a second concurrent vacuum raises
+    ConcurrentWriterError instead of publishing an overlapping base
+    (which would double-count the shared prefix).
+
     Returns the number of batch dirs reclaimed (0 = nothing to do)."""
     if retain_last_n < 0:
         raise ValueError("retain_last_n must be >= 0")
-    batches = list_batches(warehouse_dir, name)
-    old = batches[:-retain_last_n] if retain_last_n else batches
-    if len(old) <= 1:
-        return 0  # merging one batch would only rename it
-    return _merge_batches(spark, warehouse_dir, name, old)
+    with writer_lock(warehouse_dir, name):
+        batches = list_batches(warehouse_dir, name)
+        old = batches[:-retain_last_n] if retain_last_n else batches
+        if len(old) <= 1:
+            return 0  # merging one batch would only rename it
+        return _merge_batches(spark, warehouse_dir, name, old)
 
 
 def warehouse_maintenance(

@@ -1,0 +1,103 @@
+"""Single-writer lease for batch-log mutation (sinks.writer_lock).
+
+Appends commute (writer-unique dirs), but vacuum's list→merge→
+publish→delete is a read-modify-write: two concurrent vacuums with
+different retention boundaries would each publish a base absorbing an
+overlapping prefix and double-count it — no rename-refusal can catch
+bases with different names. The lease makes the documented
+single-mutator assumption a CHECKED invariant (the batch-log twin of
+index_segments' CAS guard, VERDICT r5 #4), with atomic stale-lock
+takeover when a holder crashed.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from roborock_data_pipeline_spark import pipeline, schemas
+from roborock_data_pipeline_spark.operators.index_segments import (
+    ConcurrentWriterError,
+)
+from roborock_data_pipeline_spark.sources import sinks
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp()
+    sinks.setup_warehouse(spark, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _append_n(spark, warehouse, n):
+    for day in range(1, n + 1):
+        ts = dt.datetime(2024, 3, day, 9)
+        df = spark.createDataFrame(
+            [(ts, "dev", ts, 30.0, 10.0, "s", "v", 0, "ok")],
+            schemas.CLEANING_RECORDS,
+        )
+        sinks.append_rows(df, warehouse, "cleaning_records")
+
+
+def _lock_path(warehouse, name):
+    return os.path.join(warehouse, f".lock-{name}")
+
+
+def test_concurrent_vacuum_loses_loudly(spark, warehouse):
+    _append_n(spark, warehouse, 3)
+    # a LIVE holder (this test's own pid stands in for another
+    # maintenance process that is still running)
+    with sinks.writer_lock(warehouse, "cleaning_records"):
+        with pytest.raises(ConcurrentWriterError):
+            sinks.vacuum_table(spark, warehouse, "cleaning_records", 0)
+        # the loser changed nothing: all 3 batches still live
+        assert len(sinks.list_batches(warehouse, "cleaning_records")) == 3
+    # holder released → vacuum proceeds
+    assert sinks.vacuum_table(spark, warehouse, "cleaning_records", 0) == 3
+    n = spark.read.schema(schemas.CLEANING_RECORDS).option(
+        "recursiveFileLookup", "true"
+    ).parquet(sinks.table_path(warehouse, "cleaning_records")).count()
+    assert n == 3  # no double count
+
+
+def test_stale_lock_from_dead_holder_is_stolen(spark, warehouse):
+    _append_n(spark, warehouse, 2)
+    # a crashed holder: a real pid that has exited
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(_lock_path(warehouse, "cleaning_records"), "w") as fh:
+        fh.write(str(proc.pid))
+    # vacuum detects the dead pid, steals atomically, and proceeds
+    assert sinks.vacuum_table(spark, warehouse, "cleaning_records", 0) == 2
+    # the lease was released after the steal
+    assert not os.path.exists(_lock_path(warehouse, "cleaning_records"))
+
+
+def test_unreadable_lock_is_treated_as_stale(spark, warehouse):
+    _append_n(spark, warehouse, 2)
+    with open(_lock_path(warehouse, "cleaning_records"), "w") as fh:
+        fh.write("not-a-pid")
+    assert sinks.vacuum_table(spark, warehouse, "cleaning_records", 0) == 2
+
+
+def test_gold_refresh_is_leased(spark, warehouse):
+    _append_n(spark, warehouse, 2)
+    with sinks.writer_lock(warehouse, pipeline.GOLD_PART_TABLE):
+        with pytest.raises(ConcurrentWriterError):
+            pipeline.refresh_daily_summary(spark, warehouse)
+    # released → refresh proceeds and the watermark advanced
+    out = pipeline.refresh_daily_summary(spark, warehouse)
+    assert out == {"new_batches": 2, "dates_refreshed": 2}
+
+
+def test_reentrant_lock_raises_not_deadlocks(spark, warehouse):
+    with sinks.writer_lock(warehouse, "cleaning_records"):
+        with pytest.raises(ConcurrentWriterError, match="re-entrantly"):
+            with sinks.writer_lock(warehouse, "cleaning_records"):
+                pass  # pragma: no cover - must not be reached
