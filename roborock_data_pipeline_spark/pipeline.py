@@ -343,7 +343,7 @@ def _refresh_daily_summary_locked(
         return {"new_batches": 0, "dates_refreshed": 0}
     table_dir = sinks.table_path(warehouse, "cleaning_records")
     touched = (
-        spark.read.schema(sinks.WAREHOUSE_TABLES["cleaning_records"])
+        spark.read.schema(sinks.table_schema(warehouse, "cleaning_records"))
         .option("recursiveFileLookup", "true")
         .parquet(*[os.path.join(table_dir, b) for b in new])
         .select(F.date_format("start_time", "yyyy-MM-dd").alias("d"))
@@ -369,7 +369,7 @@ def read_daily_summary(spark: SparkSession, warehouse: str) -> DataFrame:
     columns in declared order). Date filters prune partitions at
     planning time, same as sinks.read_partitioned."""
     df = sinks.read_partitioned(spark, warehouse, GOLD_PART_TABLE)
-    cols = [f.name for f in sinks.WAREHOUSE_TABLES["daily_summary"].fields]
+    cols = [f.name for f in sinks.table_schema(warehouse, "daily_summary").fields]
     return df.withColumn("date", F.col("date").cast("string")).select(*cols)
 
 

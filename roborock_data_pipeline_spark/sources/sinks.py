@@ -18,6 +18,7 @@ queries' date predicates prune partitions at 100 TB.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -25,6 +26,7 @@ import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from roborock_data_pipeline_spark import schemas
@@ -80,14 +82,84 @@ def table_path(warehouse_dir: str, name: str) -> str:
     return os.path.join(warehouse_dir, name)
 
 
+SCHEMA_MANIFEST = "_schema.json"
+
+
+def table_schema(warehouse_dir: str, name: str) -> T.StructType:
+    """The table's CURRENT schema: the committed manifest if one
+    exists (written at provisioning, advanced by add_table_column),
+    else the code-pinned declaration. Every reader resolves through
+    here, so an evolved column is visible across ALL batches — ones
+    written before the evolution read it as null (parquet
+    read-with-explicit-schema semantics), exactly Delta/Iceberg's
+    additive-evolution behavior."""
+    p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    try:
+        with open(p) as fh:
+            return T.StructType.fromJson(json.load(fh)["schema"])
+    except (OSError, ValueError, KeyError):
+        return WAREHOUSE_TABLES[name]
+
+
+def _write_schema_manifest(
+    warehouse_dir: str, name: str, schema: T.StructType, version: int
+) -> None:
+    p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "schema": schema.jsonValue()}, fh)
+    os.replace(tmp, p)
+
+
+def _schema_version(warehouse_dir: str, name: str) -> int:
+    p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    try:
+        with open(p) as fh:
+            return int(json.load(fh)["version"])
+    except (OSError, ValueError, KeyError):
+        return 0
+
+
+def add_table_column(
+    warehouse_dir: str, name: str, field: T.StructField
+) -> None:
+    """ADDITIVE schema evolution — the only kind the batch log
+    permits. The new column must be nullable (every already-published
+    batch reads it as null; a non-nullable add would fabricate a
+    constraint history can't satisfy) and must not collide with an
+    existing column. Drops and type changes are refused: parquet
+    files already committed under the old type cannot be reinterpreted
+    without a rewrite (that operation is a migration, not an
+    evolution). Manifest commit is atomic (tmp+rename) under the
+    table's writer lease."""
+    if not field.nullable:
+        raise ValueError(
+            f"evolved column {field.name!r} must be nullable: batches "
+            "published before the evolution hold no values for it"
+        )
+    with writer_lock(warehouse_dir, name):
+        schema = table_schema(warehouse_dir, name)
+        if field.name in schema.fieldNames():
+            raise ValueError(
+                f"column {field.name!r} already exists on table {name!r}"
+            )
+        evolved = T.StructType(list(schema.fields) + [field])
+        _write_schema_manifest(
+            warehouse_dir, name, evolved, _schema_version(warehouse_dir, name) + 1
+        )
+
+
 def setup_warehouse(spark: SparkSession, warehouse_dir: str) -> None:
     """S8/S9: provision every table (idempotent, like the reference's
     'already exists' tolerance, sheets_client.py:103-107). An empty
-    dataframe write pins the schema on disk."""
+    dataframe write pins the schema on disk; the schema manifest makes
+    the declaration evolvable (add_table_column) without code edits."""
     for name, schema in WAREHOUSE_TABLES.items():
         path = table_path(warehouse_dir, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             spark.createDataFrame([], schema).write.mode("ignore").parquet(path)
+        if not os.path.exists(os.path.join(path, SCHEMA_MANIFEST)):
+            _write_schema_manifest(warehouse_dir, name, schema, 0)
 
 
 def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
@@ -108,6 +180,30 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     commit log); the staged-rename is the HDFS-/local-FS-native form.
     """
     table_dir = table_path(warehouse_dir, name)
+    if os.path.exists(os.path.join(table_dir, SCHEMA_MANIFEST)):
+        # schema enforcement at the door (Delta-style): unknown
+        # columns are refused (evolve first — add_table_column);
+        # missing NULLABLE columns are filled with typed nulls so
+        # pre-evolution writers keep working; a missing non-nullable
+        # column is a real contract break and refused
+        schema = table_schema(warehouse_dir, name)
+        declared = {f.name: f for f in schema.fields}
+        extra = [c for c in df.columns if c not in declared]
+        if extra:
+            raise ValueError(
+                f"append to {name!r} carries undeclared column(s) "
+                f"{extra}: evolve the table first (add_table_column)"
+            )
+        missing = [f for f in schema.fields if f.name not in df.columns]
+        broken = [f.name for f in missing if not f.nullable]
+        if broken:
+            raise ValueError(
+                f"append to {name!r} is missing non-nullable column(s) "
+                f"{broken}"
+            )
+        for f in missing:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        df = df.select(*[f.name for f in schema.fields])
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
     # batch ids encode publish time (ns) so the batch log is ordered:
@@ -125,12 +221,13 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
 
 
 def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
-    """S5: full-table read with the pinned schema. Batches published
-    by :func:`append_rows` live in ``batch-*`` subdirs —
+    """S5: full-table read with the CURRENT schema (manifest-resolved
+    — evolved columns read as null on pre-evolution batches). Batches
+    published by :func:`append_rows` live in ``batch-*`` subdirs —
     recursiveFileLookup picks them up; orphaned ``.staging`` dirs are
     outside the table path and never read."""
     return (
-        spark.read.schema(WAREHOUSE_TABLES[name])
+        spark.read.schema(table_schema(warehouse_dir, name))
         .option("recursiveFileLookup", "true")
         .parquet(table_path(warehouse_dir, name))
     )
@@ -331,9 +428,9 @@ def read_table_as_of(
         )
     table_dir = table_path(warehouse_dir, name)
     if not keep:
-        return spark.createDataFrame([], WAREHOUSE_TABLES[name])
+        return spark.createDataFrame([], table_schema(warehouse_dir, name))
     return (
-        spark.read.schema(WAREHOUSE_TABLES[name])
+        spark.read.schema(table_schema(warehouse_dir, name))
         .option("recursiveFileLookup", "true")
         .parquet(*[os.path.join(table_dir, b) for b in keep])
     )
@@ -361,7 +458,7 @@ def _merge_batches(
     staged = os.path.join(staging_root, f"{name}-merge-{uuid.uuid4().hex[:8]}")
     try:
         (
-            spark.read.schema(WAREHOUSE_TABLES[name])
+            spark.read.schema(table_schema(warehouse_dir, name))
             .option("recursiveFileLookup", "true")
             .parquet(*[os.path.join(table_dir, b) for b in old])
             .write.mode("overwrite").parquet(staged)

@@ -1,0 +1,135 @@
+"""Additive schema evolution on the batch-log tables.
+
+The warehouse schemas were code-pinned: adding a column meant editing
+the engine. The manifest (`_schema.json`, atomic tmp+rename under the
+writer lease) makes the declaration data: `add_table_column` appends a
+NULLABLE field, every reader resolves the CURRENT schema, batches
+published before the evolution read the new column as null, and
+appends are schema-enforced at the door (unknown columns refused until
+evolved; missing nullable columns null-filled) — Delta/Iceberg's
+additive-evolution + enforcement contract on the staged-rename log.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from roborock_data_pipeline_spark import schemas
+from roborock_data_pipeline_spark.sources import sinks
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp()
+    sinks.setup_warehouse(spark, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rec_df(spark, day, schema=None, extra=None):
+    ts = dt.datetime(2024, 3, day, 9)
+    row = [ts, "dev", ts, 30.0, 10.0, "s", "v", 0, "ok"]
+    if extra is not None:
+        row = row + [extra]
+    return spark.createDataFrame(
+        [tuple(row)], schema or schemas.CLEANING_RECORDS
+    )
+
+
+EVOLVED = T.StructType(
+    list(schemas.CLEANING_RECORDS.fields)
+    + [T.StructField("water_level", T.StringType(), True)]
+)
+
+
+def test_old_batches_read_null_new_carry_values(spark, warehouse):
+    sinks.append_rows(_rec_df(spark, 1), warehouse, "cleaning_records")
+    sinks.add_table_column(
+        warehouse,
+        "cleaning_records",
+        T.StructField("water_level", T.StringType(), True),
+    )
+    sinks.append_rows(
+        _rec_df(spark, 2, EVOLVED, extra="high"), warehouse, "cleaning_records"
+    )
+    rows = {
+        r["start_time"].day: r["water_level"]
+        for r in sinks.read_table(spark, warehouse, "cleaning_records").collect()
+    }
+    assert rows == {1: None, 2: "high"}
+
+
+def test_pre_evolution_writer_keeps_working(spark, warehouse):
+    sinks.add_table_column(
+        warehouse,
+        "cleaning_records",
+        T.StructField("water_level", T.StringType(), True),
+    )
+    # a writer still on the old schema: missing nullable column is
+    # null-filled, not refused
+    sinks.append_rows(_rec_df(spark, 1), warehouse, "cleaning_records")
+    out = sinks.read_table(spark, warehouse, "cleaning_records").collect()
+    assert out[0]["water_level"] is None
+
+
+def test_unknown_column_refused_until_evolved(spark, warehouse):
+    with pytest.raises(ValueError, match="undeclared column"):
+        sinks.append_rows(
+            _rec_df(spark, 1, EVOLVED, extra="high"),
+            warehouse,
+            "cleaning_records",
+        )
+
+
+def test_non_nullable_add_refused(spark, warehouse):
+    with pytest.raises(ValueError, match="nullable"):
+        sinks.add_table_column(
+            warehouse,
+            "cleaning_records",
+            T.StructField("water_level", T.StringType(), False),
+        )
+
+
+def test_duplicate_add_refused(spark, warehouse):
+    with pytest.raises(ValueError, match="already exists"):
+        sinks.add_table_column(
+            warehouse,
+            "cleaning_records",
+            T.StructField("area_sqm", T.DoubleType(), True),
+        )
+
+
+def test_time_travel_and_vacuum_span_the_evolution(spark, warehouse):
+    import time
+
+    sinks.append_rows(_rec_df(spark, 1), warehouse, "cleaning_records")
+    t_before = time.time_ns()
+    sinks.add_table_column(
+        warehouse,
+        "cleaning_records",
+        T.StructField("water_level", T.StringType(), True),
+    )
+    sinks.append_rows(
+        _rec_df(spark, 2, EVOLVED, extra="low"), warehouse, "cleaning_records"
+    )
+    # as-of BEFORE the evolution still resolves the current schema
+    # (evolution is table-wide, not per-version) — the old batch's
+    # new column is null
+    asof = sinks.read_table_as_of(
+        spark, warehouse, "cleaning_records", t_before
+    ).collect()
+    assert len(asof) == 1 and asof[0]["water_level"] is None
+    # vacuum merges across the evolution: base carries the evolved
+    # schema with nulls materialized for pre-evolution rows
+    assert sinks.vacuum_table(spark, warehouse, "cleaning_records", 0) == 2
+    rows = {
+        r["start_time"].day: r["water_level"]
+        for r in sinks.read_table(spark, warehouse, "cleaning_records").collect()
+    }
+    assert rows == {1: None, 2: "low"}
