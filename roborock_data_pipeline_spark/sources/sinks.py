@@ -365,8 +365,10 @@ def writer_lock(warehouse_dir: str, name: str):
             )
         # stale lock: steal by renaming it aside — atomic, exactly one
         # concurrent stealer wins the rename
+        aside = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
         try:
-            os.replace(lock, f"{lock}.stale-{uuid.uuid4().hex[:8]}")
+            os.replace(lock, aside)
+            os.unlink(aside)
         except FileNotFoundError:
             raise ConcurrentWriterError(
                 f"table {name!r}: another writer took over the stale "
