@@ -260,15 +260,28 @@ def _write_rollup_watermark(warehouse: str, batch_ns: str) -> None:
     os.replace(tmp, p)
 
 
+# Above this many touched dates the refresh recomputes the whole
+# [min, max] range instead of carrying a per-date isin residual: a
+# backfill touching years of dates would otherwise inline thousands
+# of literals into the plan (the isin-literal scale trap VERDICT r5
+# flagged in the funnel). The in-between dates' recompute is
+# byte-identical to their published partitions (deterministic from
+# the base), so the only cost is rewriting some untouched partitions
+# — and a touched set that large is almost always dense anyway.
+DATE_RESIDUAL_CAP = 256
+
+
 def rollup_for_dates(
     spark: SparkSession, warehouse: str, dates: list[str]
 ) -> DataFrame:
-    """Recompute the daily rollup for exactly ``dates`` from the full
+    """Recompute the daily rollup for ``dates`` from the full
     cleaning_records log. The scan carries a start_time RANGE bound
     (min..max+1d) that pushes into the parquet reader (PushedFilters —
     row-group min/max stats prune non-touched history; on a
     date-partitioned layout the same predicate becomes partition
-    pruning), plus the exact formatted-date membership as a residual.
+    pruning), plus the exact formatted-date membership as a residual
+    while the touched set is small (≤DATE_RESIDUAL_CAP — beyond that
+    the whole range is recomputed; see the cap's comment).
     Per-date recompute-from-base beats merging partial aggregates
     here because the published gold values are ROUNDED — re-merging
     rounded sums would drift from the full rebuild."""
@@ -281,10 +294,11 @@ def rollup_for_dates(
             < F.to_timestamp(F.date_add(F.to_date(F.lit(hi)), 1))
         )
     )
-    exact = bounded.where(
-        F.date_format("start_time", "yyyy-MM-dd").isin(dates)
-    )
-    return _daily_rollup(exact)
+    if len(dates) <= DATE_RESIDUAL_CAP:
+        bounded = bounded.where(
+            F.date_format("start_time", "yyyy-MM-dd").isin(dates)
+        )
+    return _daily_rollup(bounded)
 
 
 def refresh_daily_summary(spark: SparkSession, warehouse: str) -> dict[str, int]:

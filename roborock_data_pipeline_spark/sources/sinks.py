@@ -194,6 +194,17 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
                 f"append to {name!r} carries undeclared column(s) "
                 f"{extra}: evolve the table first (add_table_column)"
             )
+        drifted = [
+            f"{c}: {t} != {declared[c].dataType.simpleString()}"
+            for c, t in df.dtypes
+            if c in declared and t != declared[c].dataType.simpleString()
+        ]
+        if drifted:
+            raise ValueError(
+                f"append to {name!r} carries type-drifted column(s) "
+                f"[{'; '.join(drifted)}]: a type change is a migration "
+                "(rewrite), not an append"
+            )
         missing = [f for f in schema.fields if f.name not in df.columns]
         broken = [f.name for f in missing if not f.nullable]
         if broken:

@@ -149,3 +149,25 @@ def test_rollup_scan_pushes_date_range(spark, warehouse):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(start_time" in plan
     assert "LessThan(start_time" in plan
+
+
+def test_backfill_beyond_residual_cap_skips_isin(spark, warehouse, monkeypatch):
+    # a 3-date backfill with the cap forced below it: the residual
+    # isin is dropped, the whole range recomputes — results identical
+    _append(spark, warehouse, [_rec(1, 9), _rec(2, 9), _rec(5, 9)])
+    monkeypatch.setattr(pipeline, "DATE_RESIDUAL_CAP", 2)
+    out = pipeline.refresh_daily_summary(spark, warehouse)
+    assert out == {"new_batches": 1, "dates_refreshed": 3}
+    assert _gold_rows(spark, warehouse) == _full_rollup_rows(spark, warehouse)
+    def _plan(dates):
+        return (
+            pipeline.rollup_for_dates(spark, warehouse, dates)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    dates = ["2024-03-01", "2024-03-02", "2024-03-05"]
+    assert " IN (" not in _plan(dates)  # above cap: no isin residual
+    monkeypatch.setattr(pipeline, "DATE_RESIDUAL_CAP", 256)
+    assert " IN (" in _plan(dates)  # below cap: exact membership kept

@@ -133,3 +133,19 @@ def test_time_travel_and_vacuum_span_the_evolution(spark, warehouse):
         for r in sinks.read_table(spark, warehouse, "cleaning_records").collect()
     }
     assert rows == {1: None, 2: "low"}
+
+
+def test_type_drifted_append_refused(spark, warehouse):
+    drifted_schema = T.StructType(
+        [
+            f if f.name != "area_sqm"
+            else T.StructField("area_sqm", T.StringType(), True)
+            for f in schemas.CLEANING_RECORDS.fields
+        ]
+    )
+    ts = dt.datetime(2024, 3, 1, 9)
+    df = spark.createDataFrame(
+        [(ts, "dev", ts, 30.0, "ten", "s", "v", 0, "ok")], drifted_schema
+    )
+    with pytest.raises(ValueError, match="type-drifted"):
+        sinks.append_rows(df, warehouse, "cleaning_records")
