@@ -377,6 +377,127 @@ def _refresh_daily_summary_locked(
     return {"new_batches": len(new), "dates_refreshed": len(dates)}
 
 
+LIFETIME_TABLE = "device_lifetime"
+LIFETIME_WATERMARK = "_folded_watermark"
+
+
+def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, object]:
+    """EXT: KEYED incremental view maintenance — the delta-merge twin
+    of refresh_daily_summary's partition swap. A per-device lifetime
+    rollup has no date axis to swap partitions on; instead it exploits
+    that count/sum are MERGEABLE: scan only the new batches, partial-
+    aggregate them per device, and merge into the prior |devices|-row
+    snapshot. History is never rescanned; the unit of work is the new
+    batches plus a snapshot the size of the key space.
+
+    The merge-safety contract differs from the dated refresh in both
+    directions, and both are handled:
+
+    - Exactly-once, not at-least-once: replaying a batch into a
+      delta-merge DOUBLE-COUNTS (the dated refresh just recomputed).
+      So the folded watermark is committed INSIDE the snapshot
+      directory and the two publish in ONE atomic rename — there is
+      no crash window where data advanced but the watermark did not.
+    - Vacuum bases break the delta property: a base newer than the
+      watermark absorbed already-folded rows, so folding it as a
+      delta would double-count. Detected → this refresh falls back
+      to one full recompute (correct by construction), then resumes
+      delta-sized work on later runs.
+
+    Mergeability dictates the storage schema: the snapshot holds
+    UNROUNDED sums (rounded values do not merge — re-rounding partial
+    sums drifts); presentation rounding happens in
+    read_device_lifetime. Returns {"new_batches": n, "mode":
+    "delta"|"full"|"noop"}.
+    """
+    import shutil
+    import uuid as _uuid
+
+    with sinks.writer_lock(warehouse, LIFETIME_TABLE):
+        table_dir = sinks.table_path(warehouse, LIFETIME_TABLE)
+        wm_path = os.path.join(table_dir, LIFETIME_WATERMARK)
+        watermark = ""
+        if os.path.exists(wm_path):
+            with open(wm_path) as fh:
+                watermark = fh.read().strip()
+        batches = sinks.list_batches(warehouse, "cleaning_records")
+        new = [
+            b for b in batches
+            if sinks._batch_ns_prefix(b) > watermark  # noqa: SLF001
+        ]
+        if not new:
+            return {"new_batches": 0, "mode": "noop"}
+
+        def _partial(df: DataFrame) -> DataFrame:
+            return df.groupBy("device_name").agg(
+                F.count("*").alias("n"),
+                F.sum("area_sqm").alias("area_sum"),
+                F.sum("duration_minutes").alias("time_sum"),
+            )
+
+        src_dir = sinks.table_path(warehouse, "cleaning_records")
+        vacuum_base_arrived = any(
+            b.endswith(sinks.VACUUM_BASE_SUFFIX) for b in new
+        )
+        if vacuum_base_arrived or not os.path.exists(wm_path):
+            mode = "full"
+            merged = _partial(
+                sinks.read_table(spark, warehouse, "cleaning_records")
+            )
+        else:
+            mode = "delta"
+            delta = _partial(
+                spark.read.schema(
+                    sinks.table_schema(warehouse, "cleaning_records")
+                )
+                .option("recursiveFileLookup", "true")
+                .parquet(*[os.path.join(src_dir, b) for b in new])
+            )
+            prior = spark.read.parquet(table_dir)
+            merged = (
+                prior.unionByName(delta)
+                .groupBy("device_name")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("area_sum").alias("area_sum"),
+                    F.sum("time_sum").alias("time_sum"),
+                )
+            )
+        # snapshot + folded watermark publish in ONE rename: no crash
+        # window between data and watermark (delta-merge is not replay-
+        # idempotent, unlike the dated refresh's recompute)
+        staging_root = os.path.join(warehouse, ".staging")
+        os.makedirs(staging_root, exist_ok=True)
+        staged = os.path.join(
+            staging_root, f"{LIFETIME_TABLE}-{_uuid.uuid4().hex[:8]}"
+        )
+        old = f"{staged}-old"
+        try:
+            merged.write.mode("overwrite").parquet(staged)
+            with open(os.path.join(staged, LIFETIME_WATERMARK), "w") as fh:
+                fh.write(max(sinks._batch_ns_prefix(b) for b in new))  # noqa: SLF001
+            if os.path.exists(table_dir):
+                os.replace(table_dir, old)
+            os.replace(staged, table_dir)
+        finally:
+            for leftover in (staged, old):
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover, ignore_errors=True)
+        return {"new_batches": len(new), "mode": mode}
+
+
+def read_device_lifetime(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Presentation view over the delta-merged snapshot: rounding is
+    applied HERE, never stored (rounded values do not merge)."""
+    snap = spark.read.parquet(sinks.table_path(warehouse, LIFETIME_TABLE))
+    return snap.select(
+        "device_name",
+        F.col("n").alias("total_clean_count"),
+        F.round("area_sum", 2).alias("total_clean_area"),
+        F.col("time_sum").cast("long").alias("total_clean_time"),
+    )
+
+
 def read_daily_summary(spark: SparkSession, warehouse: str) -> DataFrame:
     """The partition-maintained gold table, normalized back to the
     daily_summary schema (partition value re-typed to the ISO string;
