@@ -498,6 +498,26 @@ def read_device_lifetime(spark: SparkSession, warehouse: str) -> DataFrame:
     )
 
 
+def gold_maintenance(
+    spark: SparkSession, warehouse: str, retain_last_n: int = 24
+) -> dict[str, object]:
+    """One schedulable pass over the warehouse's derived state — the
+    gold twin of funnel_maintenance, T4-pairable via ``run_scheduled``:
+    fold new batches into both gold views, then vacuum the batch logs.
+
+    ORDER IS THE CONTRACT: refresh BEFORE vacuum. Refreshing first
+    folds every pending batch, so the vacuum base (stamped with the
+    newest ABSORBED publish time) lands at-or-below both watermarks —
+    the next lifetime refresh stays delta-sized instead of tripping
+    the base-past-watermark full-recompute fallback, and the daily
+    refresh's touched-date set stays new-batch-sized instead of
+    over-approximating to the base's full span."""
+    daily = refresh_daily_summary(spark, warehouse)
+    lifetime = refresh_device_lifetime(spark, warehouse)
+    reclaimed = sinks.warehouse_maintenance(spark, warehouse, retain_last_n)
+    return {"daily": daily, "lifetime": lifetime, "vacuumed": reclaimed}
+
+
 def read_daily_summary(spark: SparkSession, warehouse: str) -> DataFrame:
     """The partition-maintained gold table, normalized back to the
     daily_summary schema (partition value re-typed to the ISO string;

@@ -116,3 +116,25 @@ def test_snapshot_stores_unrounded_sums(spark, warehouse):
     pipeline.refresh_device_lifetime(spark, warehouse)
     got = {r["device_name"]: r["total_clean_area"] for r in _got(spark, warehouse)}
     assert got["a"] == 0.01  # round(0.008, 2), not round(0.0 + 0.0)
+
+
+def test_gold_maintenance_refreshes_then_vacuums(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "a", 10.0, 30.0)])
+    _append(spark, warehouse, [_rec(2, "b", 20.5, 45.0)])
+    out = pipeline.gold_maintenance(spark, warehouse, retain_last_n=0)
+    assert out["daily"]["new_batches"] == 2
+    assert out["lifetime"] == {"new_batches": 2, "mode": "full"}  # seed
+    assert out["vacuumed"]["cleaning_records"] == 2
+    assert _got(spark, warehouse) == _expected(spark, warehouse)
+    # refresh-before-vacuum keeps later runs delta-sized: the base is
+    # stamped at-or-below the watermarks, so only the new append folds
+    _append(spark, warehouse, [_rec(3, "a", 5.5, 15.0)])
+    out = pipeline.gold_maintenance(spark, warehouse, retain_last_n=0)
+    assert out["lifetime"] == {"new_batches": 1, "mode": "delta"}
+    assert out["daily"] == {"new_batches": 1, "dates_refreshed": 1}
+    assert _got(spark, warehouse) == _expected(spark, warehouse)
+    daily = sorted(
+        pipeline.read_daily_summary(spark, warehouse).collect(),
+        key=lambda r: r["date"],
+    )
+    assert [r["date"] for r in daily] == ["2024-03-01", "2024-03-02", "2024-03-03"]
