@@ -21,6 +21,12 @@ deriving state from what the sink actually holds).
   mode daily_refresh EXT incremental partition-swap maintenance of
                          the same gold table (new-batch-sized work)
 
+Library-level maintenance (T4-schedulable via run_scheduled):
+refresh_device_lifetime (keyed delta-merge IVM), gold_maintenance
+(fold both golds, then vacuum every batch log — refresh-before-vacuum
+keeps later runs delta-sized), funnel_maintenance (compact the
+curation indexes + curated output), sinks.warehouse_maintenance.
+
 "Device cloud" stand-in: a parquet directory of device telemetry
 (device_status + cleaning_records shapes) — the process boundary the
 reference crosses via MQTT/HTTPS (roborock_collector.py:295-352)
