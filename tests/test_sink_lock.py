@@ -101,3 +101,43 @@ def test_reentrant_lock_raises_not_deadlocks(spark, warehouse):
         with pytest.raises(ConcurrentWriterError, match="re-entrantly"):
             with sinks.writer_lock(warehouse, "cleaning_records"):
                 pass  # pragma: no cover - must not be reached
+
+
+def test_cross_process_holder_then_kill_then_steal(tmp_path):
+    """The real multi-process story: a live holder in ANOTHER process
+    blocks the lease; killing it leaves a stale lock that the next
+    writer steals."""
+    import sys
+    import time as _time
+
+    wh = str(tmp_path)
+    code = (
+        "import sys, time\n"
+        "sys.path.insert(0, sys.argv[2])\n"
+        "from roborock_data_pipeline_spark.sources import sinks\n"
+        "cm = sinks.writer_lock(sys.argv[1], 'cleaning_records')\n"
+        "cm.__enter__()\n"
+        "print('held', flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code, wh, repo], stdout=subprocess.PIPE
+    )
+    try:
+        assert proc.stdout.readline().strip() == b"held"
+        with pytest.raises(ConcurrentWriterError, match="live writer"):
+            with sinks.writer_lock(wh, "cleaning_records"):
+                pass  # pragma: no cover
+    finally:
+        proc.kill()
+        proc.wait()
+    # the killed holder's lock is stale now — stolen and released
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        try:
+            with sinks.writer_lock(wh, "cleaning_records"):
+                break
+        except ConcurrentWriterError:  # pid not yet reaped
+            _time.sleep(0.2)
+    assert not os.path.exists(os.path.join(wh, ".lock-cleaning_records"))
