@@ -215,6 +215,26 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         for f in missing:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         df = df.select(*[f.name for f in schema.fields])
+        # NOT NULL is a VALUE constraint Spark does not enforce on
+        # write (schema nullability is advisory there) — enforce it
+        # here like Delta's CHECK/NOT NULL: one batch-sized scan,
+        # fused into the job below at plan time via assert_true (no
+        # second pass over the data)
+        for f in schema.fields:
+            if not f.nullable:
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        F.assert_true(
+                            F.col(f.name).isNotNull(),
+                            F.lit(
+                                f"append to {name!r}: null in "
+                                f"non-nullable column {f.name!r}"
+                            ),
+                        ).isNull(),
+                        F.col(f.name),
+                    ),
+                )
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
     # batch ids encode publish time (ns) so the batch log is ordered:
@@ -282,6 +302,24 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def register_warehouse_views(spark: SparkSession, warehouse_dir: str) -> list[str]:
+    """Register every provisioned table as a session temp view so the
+    warehouse is queryable with plain ``spark.sql`` — the engine's
+    equivalent of the reference user opening the spreadsheet and
+    reading tabs. A view SNAPSHOTS the batch listing at registration
+    (Spark pins the file index when the DataFrame is created;
+    refreshByPath does not re-list new batch dirs — measured, not
+    assumed): after appends or an evolution, call this again to see
+    them — re-registration costs one directory listing, no data
+    motion. Returns the registered names."""
+    registered = []
+    for name in WAREHOUSE_TABLES:
+        if os.path.isdir(table_path(warehouse_dir, name)):
+            read_table(spark, warehouse_dir, name).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered
 
 
 def append_with_console_fallback(

@@ -149,3 +149,33 @@ def test_type_drifted_append_refused(spark, warehouse):
     )
     with pytest.raises(ValueError, match="type-drifted"):
         sinks.append_rows(df, warehouse, "cleaning_records")
+
+
+def test_null_in_non_nullable_column_refused(spark, warehouse):
+    rows = [(dt.datetime(2024, 3, 1, 9), None, dt.datetime(2024, 3, 1, 9),
+             30.0, 10.0, "s", "v", 0, "ok")]
+    nullable_all = T.StructType(
+        [T.StructField(f.name, f.dataType, True)
+         for f in schemas.CLEANING_RECORDS.fields]
+    )
+    df = spark.createDataFrame(rows, nullable_all)
+    with pytest.raises(Exception, match="non-nullable column"):
+        sinks.append_rows(df, warehouse, "cleaning_records")
+    # nothing was published: the job died before the staged rename
+    assert sinks.list_batches(warehouse, "cleaning_records") == []
+
+
+def test_register_warehouse_views_sql_roundtrip(spark, warehouse):
+    sinks.append_rows(_rec_df(spark, 1), warehouse, "cleaning_records")
+    names = sinks.register_warehouse_views(spark, warehouse)
+    assert "cleaning_records" in names and "daily_summary" in names
+    n = spark.sql("SELECT COUNT(*) AS n FROM cleaning_records").collect()[0]["n"]
+    assert n == 1
+    # a view snapshots the batch listing — re-register after appends
+    # (one directory listing) to see the new batch
+    sinks.append_rows(_rec_df(spark, 2), warehouse, "cleaning_records")
+    sinks.register_warehouse_views(spark, warehouse)
+    n = spark.sql("SELECT COUNT(*) AS n FROM cleaning_records").collect()[0]["n"]
+    assert n == 2
+    for name in names:
+        spark.catalog.dropTempView(name)
