@@ -104,10 +104,15 @@ def table_schema(warehouse_dir: str, name: str) -> T.StructType:
 def _write_schema_manifest(
     warehouse_dir: str, name: str, schema: T.StructType, version: int
 ) -> None:
+    # read-modify-write: preserve manifest keys owned by other
+    # features (CHECK constraints) across a schema evolution
+    m = _manifest(warehouse_dir, name)
+    m["version"] = version
+    m["schema"] = schema.jsonValue()
     p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
     tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
-        json.dump({"version": version, "schema": schema.jsonValue()}, fh)
+        json.dump(m, fh)
     os.replace(tmp, p)
 
 
@@ -118,6 +123,72 @@ def _schema_version(warehouse_dir: str, name: str) -> int:
             return int(json.load(fh)["version"])
     except (OSError, ValueError, KeyError):
         return 0
+
+
+def _manifest(warehouse_dir: str, name: str) -> dict:
+    p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def table_constraints(warehouse_dir: str, name: str) -> dict[str, str]:
+    """The table's named CHECK constraints ({name: sql_expr})."""
+    return dict(_manifest(warehouse_dir, name).get("constraints") or {})
+
+
+def add_table_constraint(
+    warehouse_dir: str, name: str, constraint_name: str, sql_expr: str
+) -> None:
+    """Delta-style CHECK constraint: a SQL boolean expression every
+    appended row must satisfy (e.g. ``area_sqm >= 0``), enforced by
+    fusing an assert_true guard into the append job — a violating
+    batch dies BEFORE the staged rename, so nothing partial
+    publishes. Constraints apply to FUTURE appends only (existing
+    batches are not re-validated — validating history is a scan the
+    caller can run explicitly via read_table + filter). Committed
+    atomically in the schema manifest under the writer lease."""
+    with writer_lock(warehouse_dir, name):
+        m = _manifest(warehouse_dir, name)
+        schema = table_schema(warehouse_dir, name)
+        cons = dict(m.get("constraints") or {})
+        if constraint_name in cons:
+            raise ValueError(
+                f"constraint {constraint_name!r} already exists on "
+                f"table {name!r}"
+            )
+        cons[constraint_name] = sql_expr
+        m["constraints"] = cons
+        m["schema"] = schema.jsonValue()
+        m["version"] = int(m.get("version", 0)) + 1
+        p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, p)
+
+
+def drop_table_constraint(
+    warehouse_dir: str, name: str, constraint_name: str
+) -> None:
+    """Remove a CHECK constraint (future appends stop validating it)."""
+    with writer_lock(warehouse_dir, name):
+        m = _manifest(warehouse_dir, name)
+        cons = dict(m.get("constraints") or {})
+        if constraint_name not in cons:
+            raise ValueError(
+                f"no constraint {constraint_name!r} on table {name!r}"
+            )
+        del cons[constraint_name]
+        m["constraints"] = cons
+        m["version"] = int(m.get("version", 0)) + 1
+        p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, p)
 
 
 def add_table_column(
@@ -235,6 +306,18 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
                         F.col(f.name),
                     ),
                 )
+        # CHECK constraints fuse the same way: per-row assert inside
+        # the write job, violating batch dies pre-publish
+        for cn, expr in table_constraints(warehouse_dir, name).items():
+            df = df.filter(
+                F.assert_true(
+                    F.expr(expr),
+                    F.lit(
+                        f"append to {name!r}: CHECK constraint {cn!r} "
+                        f"violated ({expr})"
+                    ),
+                ).isNull()
+            )
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
     # batch ids encode publish time (ns) so the batch log is ordered:

@@ -179,3 +179,50 @@ def test_register_warehouse_views_sql_roundtrip(spark, warehouse):
     assert n == 2
     for name in names:
         spark.catalog.dropTempView(name)
+
+
+def test_check_constraint_lifecycle(spark, warehouse):
+    sinks.add_table_constraint(
+        warehouse, "cleaning_records", "nonneg_area", "area_sqm >= 0"
+    )
+    # valid batch passes
+    sinks.append_rows(_rec_df(spark, 1), warehouse, "cleaning_records")
+    # violating batch dies before the staged rename
+    ts = dt.datetime(2024, 3, 2, 9)
+    bad = spark.createDataFrame(
+        [(ts, "dev", ts, 30.0, -1.0, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    with pytest.raises(Exception, match="nonneg_area"):
+        sinks.append_rows(bad, warehouse, "cleaning_records")
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 1
+    # duplicate name refused; drop re-opens the door
+    with pytest.raises(ValueError, match="already exists"):
+        sinks.add_table_constraint(
+            warehouse, "cleaning_records", "nonneg_area", "area_sqm >= 0"
+        )
+    sinks.drop_table_constraint(warehouse, "cleaning_records", "nonneg_area")
+    sinks.append_rows(bad, warehouse, "cleaning_records")  # now allowed
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 2
+
+
+def test_constraints_survive_schema_evolution(spark, warehouse):
+    sinks.add_table_constraint(
+        warehouse, "cleaning_records", "nonneg_area", "area_sqm >= 0"
+    )
+    sinks.add_table_column(
+        warehouse,
+        "cleaning_records",
+        T.StructField("water_level", T.StringType(), True),
+    )
+    # the evolution's manifest rewrite must not drop the constraint
+    assert sinks.table_constraints(warehouse, "cleaning_records") == {
+        "nonneg_area": "area_sqm >= 0"
+    }
+    ts = dt.datetime(2024, 3, 2, 9)
+    bad = spark.createDataFrame(
+        [(ts, "dev", ts, 30.0, -1.0, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    with pytest.raises(Exception, match="nonneg_area"):
+        sinks.append_rows(bad, warehouse, "cleaning_records")
