@@ -387,6 +387,41 @@ def write_bucketed(
     )
 
 
+def validate_table(
+    spark: SparkSession, warehouse_dir: str, name: str
+) -> dict[str, int]:
+    """Explicit HISTORY validation — the scan that door-level
+    enforcement deliberately does not run on ALTER: count existing
+    rows violating each declared NOT NULL column and each named CHECK
+    constraint. One pass over the table (all predicates aggregated in
+    a single job, conditional counts — no per-constraint scans);
+    returns {check_name: violating_rows} with zero entries included
+    so a clean report is explicit. Read-only: quarantining violators
+    is the caller's policy (filter + overwrite/append), not the
+    validator's."""
+    schema = table_schema(warehouse_dir, name)
+    checks: dict[str, object] = {
+        f"not_null:{f.name}": F.col(f.name).isNull()
+        for f in schema.fields
+        if not f.nullable
+    }
+    for cn, expr in table_constraints(warehouse_dir, name).items():
+        checks[f"check:{cn}"] = ~F.coalesce(F.expr(expr), F.lit(False))
+    if not checks:
+        return {}
+    row = (
+        read_table(spark, warehouse_dir, name)
+        .agg(
+            *[
+                F.count(F.when(cond, 1)).alias(label)
+                for label, cond in checks.items()
+            ]
+        )
+        .collect()[0]
+    )
+    return {label: int(row[label]) for label in checks}
+
+
 def register_warehouse_views(spark: SparkSession, warehouse_dir: str) -> list[str]:
     """Register every provisioned table as a session temp view so the
     warehouse is queryable with plain ``spark.sql`` — the engine's

@@ -226,3 +226,25 @@ def test_constraints_survive_schema_evolution(spark, warehouse):
     )
     with pytest.raises(Exception, match="nonneg_area"):
         sinks.append_rows(bad, warehouse, "cleaning_records")
+
+
+def test_validate_table_reports_history_violations(spark, warehouse):
+    # a valid batch lands first; then the constraint arrives AFTER a
+    # violating batch slipped in pre-constraint — door enforcement is
+    # future-only, so history must be auditable explicitly
+    sinks.append_rows(_rec_df(spark, 1), warehouse, "cleaning_records")
+    ts = dt.datetime(2024, 3, 2, 9)
+    pre_constraint_bad = spark.createDataFrame(
+        [(ts, "dev", ts, 30.0, -1.0, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    sinks.append_rows(pre_constraint_bad, warehouse, "cleaning_records")
+    sinks.add_table_constraint(
+        warehouse, "cleaning_records", "nonneg_area", "area_sqm >= 0"
+    )
+    report = sinks.validate_table(spark, warehouse, "cleaning_records")
+    assert report["check:nonneg_area"] == 1
+    # NOT NULL columns are clean (zero entries are explicit)
+    assert report["not_null:device_name"] == 0
+    # a null in a NULLABLE column does not count against anything
+    assert all(v == 0 for k, v in report.items() if k != "check:nonneg_area")
