@@ -346,7 +346,15 @@ def refresh_daily_summary(spark: SparkSession, warehouse: str) -> dict[str, int]
 
     Returns {"new_batches": n, "dates_refreshed": n}.
     """
-    with sinks.writer_lock(warehouse, GOLD_PART_TABLE):
+    # gold lease first, then the SOURCE lease: the refresh lazily
+    # scans cleaning_records batch dirs by explicit path, and a
+    # concurrent vacuum merging them away mid-scan would fail the
+    # read (the commit->GC hazard ADVICE r5 flagged on the indexes).
+    # Lock order gold->source is acquisition-consistent everywhere
+    # (vacuum takes only source), so no deadlock is possible.
+    with sinks.writer_lock(warehouse, GOLD_PART_TABLE), sinks.writer_lock(
+        warehouse, "cleaning_records"
+    ):
         return _refresh_daily_summary_locked(spark, warehouse)
 
 
@@ -419,7 +427,12 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
     import shutil
     import uuid as _uuid
 
-    with sinks.writer_lock(warehouse, LIFETIME_TABLE):
+    # same lock order as refresh_daily_summary: own gold lease, then
+    # the source lease (excludes a concurrent vacuum deleting the
+    # batch dirs this refresh lazily scans)
+    with sinks.writer_lock(warehouse, LIFETIME_TABLE), sinks.writer_lock(
+        warehouse, "cleaning_records"
+    ):
         table_dir = sinks.table_path(warehouse, LIFETIME_TABLE)
         wm_path = os.path.join(table_dir, LIFETIME_WATERMARK)
         watermark = ""

@@ -141,3 +141,19 @@ def test_cross_process_holder_then_kill_then_steal(tmp_path):
         except ConcurrentWriterError:  # pid not yet reaped
             _time.sleep(0.2)
     assert not os.path.exists(os.path.join(wh, ".lock-cleaning_records"))
+
+
+def test_refreshes_exclude_concurrent_source_vacuum(spark, warehouse):
+    """Both gold refreshes take the SOURCE lease too: a vacuum merging
+    batch dirs away mid-scan would fail the refresh's lazy read (the
+    index-GC hazard class), so maintenance on cleaning_records is
+    one-at-a-time."""
+    _append_n(spark, warehouse, 2)
+    with sinks.writer_lock(warehouse, "cleaning_records"):
+        with pytest.raises(ConcurrentWriterError):
+            pipeline.refresh_daily_summary(spark, warehouse)
+        with pytest.raises(ConcurrentWriterError):
+            pipeline.refresh_device_lifetime(spark, warehouse)
+    # released → both proceed
+    assert pipeline.refresh_daily_summary(spark, warehouse)["new_batches"] == 2
+    assert pipeline.refresh_device_lifetime(spark, warehouse)["new_batches"] == 2
