@@ -497,7 +497,15 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
                 fh.write(max(sinks._batch_ns_prefix(b) for b in new))  # noqa: SLF001
             if os.path.exists(table_dir):
                 os.replace(table_dir, old)
-            os.replace(staged, table_dir)
+            try:
+                os.replace(staged, table_dir)
+            except BaseException:
+                # roll the old snapshot (and its watermark) back:
+                # readers see old-or-new, never a missing table, and
+                # the un-advanced watermark re-folds the same batches
+                if os.path.exists(old) and not os.path.exists(table_dir):
+                    os.replace(old, table_dir)
+                raise
         finally:
             for leftover in (staged, old):
                 if os.path.exists(leftover):

@@ -349,7 +349,11 @@ def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
 
 def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     """Full-replace publish for rebuilt gold tables (idempotent
-    re-runs): stage, then swap the table dir in one rename."""
+    re-runs): stage, then swap the table dir in one rename. A fault
+    between moving the old snapshot aside and publishing the new one
+    ROLLS THE OLD SNAPSHOT BACK — readers never observe a missing
+    table, only old-or-new (the same contract the IVF-PQ rebuild's
+    swap gives, similarity.rebuild_ivfpq_index)."""
     table_dir = table_path(warehouse_dir, name)
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
@@ -360,7 +364,12 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         df.write.mode("overwrite").parquet(staged)
         if os.path.exists(table_dir):
             os.replace(table_dir, old)
-        os.replace(staged, table_dir)
+        try:
+            os.replace(staged, table_dir)
+        except BaseException:
+            if os.path.exists(old) and not os.path.exists(table_dir):
+                os.replace(old, table_dir)  # roll the old snapshot back
+            raise
     finally:
         for leftover in (staged, old):
             if os.path.exists(leftover):

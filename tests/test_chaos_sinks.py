@@ -345,3 +345,92 @@ def test_append_rows_rename_fault_then_retry(spark, tmp_path, monkeypatch):
 
     sinks.append_rows(df, wh, "cleaning_records")
     assert sinks.read_table(spark, wh, "cleaning_records").count() == 1
+
+
+def test_gold_snapshot_swap_fault_rolls_old_back(spark, tmp_path, monkeypatch):
+    """Lifetime snapshot two-rename swap: a fault on the PUBLISH
+    rename (old already moved aside) must roll the old snapshot back
+    — readers see old-or-new, never a missing table — and the
+    un-advanced watermark makes the retry re-fold the same batches."""
+    import datetime as dt
+
+    from roborock_data_pipeline_spark import pipeline, schemas
+    from roborock_data_pipeline_spark.sources import sinks
+
+    w = str(tmp_path)
+    sinks.setup_warehouse(spark, w)
+    ts = dt.datetime(2024, 3, 1, 9)
+    df = spark.createDataFrame(
+        [(ts, "a", ts, 30.0, 10.0, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    sinks.append_rows(df, w, "cleaning_records")
+    pipeline.refresh_device_lifetime(spark, w)
+    before = sorted(pipeline.read_device_lifetime(spark, w).collect())
+
+    ts2 = dt.datetime(2024, 3, 2, 9)
+    df2 = spark.createDataFrame(
+        [(ts2, "a", ts2, 15.0, 5.5, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    sinks.append_rows(df2, w, "cleaning_records")
+    # fail exactly the publish rename (dst == the live table dir);
+    # the move-aside rename has a .staging dst and passes through
+    table_dir = sinks.table_path(w, pipeline.LIFETIME_TABLE)
+    real = os.replace
+    state = {"fired": False}
+
+    def bomb(src, dst, *a, **k):
+        if str(dst) == table_dir and not state["fired"] and ".staging" in str(src):
+            state["fired"] = True
+            raise OSError("injected failure on snapshot publish")
+        return real(src, dst, *a, **k)
+
+    monkeypatch.setattr("os.replace", bomb)
+    with pytest.raises(OSError, match="injected"):
+        pipeline.refresh_device_lifetime(spark, w)
+    monkeypatch.undo()
+    # old snapshot rolled back: readable, un-advanced
+    assert sorted(pipeline.read_device_lifetime(spark, w).collect()) == before
+    # retry folds the same batch and converges
+    out = pipeline.refresh_device_lifetime(spark, w)
+    assert out == {"new_batches": 1, "mode": "delta"}
+    got = {r["device_name"]: r["total_clean_count"]
+           for r in pipeline.read_device_lifetime(spark, w).collect()}
+    assert got == {"a": 2}
+
+
+def test_overwrite_rows_fault_rolls_old_back(spark, tmp_path, monkeypatch):
+    """overwrite_rows (full gold rebuild): same old-or-new contract."""
+    from roborock_data_pipeline_spark.sources import sinks
+
+    w = str(tmp_path)
+    sinks.setup_warehouse(spark, w)
+    one = spark.createDataFrame(
+        [("2024-03-01", 1, 10.0, 30, 10.0, 30.0)],
+        sinks.WAREHOUSE_TABLES["daily_summary"],
+    )
+    sinks.overwrite_rows(one, w, "daily_summary")
+    table_dir = sinks.table_path(w, "daily_summary")
+    real = os.replace
+    state = {"fired": False}
+
+    def bomb(src, dst, *a, **k):
+        if str(dst) == table_dir and not state["fired"] and ".staging" in str(src):
+            state["fired"] = True
+            raise OSError("injected failure on overwrite publish")
+        return real(src, dst, *a, **k)
+
+    monkeypatch.setattr("os.replace", bomb)
+    two = spark.createDataFrame(
+        [("2024-03-02", 2, 20.0, 60, 10.0, 30.0)],
+        sinks.WAREHOUSE_TABLES["daily_summary"],
+    )
+    with pytest.raises(OSError, match="injected"):
+        sinks.overwrite_rows(two, w, "daily_summary")
+    monkeypatch.undo()
+    rows = sinks.read_table(spark, w, "daily_summary").collect()
+    assert [r["date"] for r in rows] == ["2024-03-01"]  # old rolled back
+    sinks.overwrite_rows(two, w, "daily_summary")  # retry converges
+    rows = sinks.read_table(spark, w, "daily_summary").collect()
+    assert [r["date"] for r in rows] == ["2024-03-02"]
