@@ -344,6 +344,13 @@ def refresh_daily_summary(spark: SparkSession, warehouse: str) -> dict[str, int]
     ``sinks.writer_lock`` on the gold table — a second concurrent
     refresh fails loudly instead of interleaving partition overwrites.
 
+    Reader honesty note: a query running over the gold table WHILE a
+    touched partition is being swapped can transiently fail on the
+    replaced files (each date directory is atomic; the set is not) —
+    a retry reads the new state. Same trade the vacuum documents for
+    the batch log; a transactional table format (Delta/Iceberg commit
+    log) is what removes the window on a real deployment.
+
     Returns {"new_batches": n, "dates_refreshed": n}.
     """
     # gold lease first, then the SOURCE lease: the refresh lazily
