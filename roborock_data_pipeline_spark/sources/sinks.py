@@ -396,6 +396,37 @@ def write_bucketed(
     )
 
 
+def describe_table(warehouse_dir: str, name: str) -> dict[str, object]:
+    """Operator-facing metadata snapshot, no Spark job: live batch
+    count, retention point (the newest vacuum base's stamp, i.e. the
+    oldest exact as-of), schema version, declared columns, named
+    constraints. The 100 TB use is monitoring the maintenance loop:
+    batch_count growing without bound means vacuum stopped running;
+    a moving retention_point_ns confirms it is."""
+    batches = list_batches(warehouse_dir, name)
+    bases = [b for b in batches if b.endswith(VACUUM_BASE_SUFFIX)]
+    schema = table_schema(warehouse_dir, name)
+    return {
+        "batch_count": len(batches),
+        "vacuum_bases": len(bases),
+        "retention_point_ns": (
+            int(_batch_ns_prefix(bases[-1])) if bases else None
+        ),
+        "schema_version": _schema_version(warehouse_dir, name),
+        "columns": [f.name for f in schema.fields],
+        "constraints": table_constraints(warehouse_dir, name),
+    }
+
+
+def describe_warehouse(warehouse_dir: str) -> dict[str, dict[str, object]]:
+    """describe_table over every provisioned table."""
+    return {
+        name: describe_table(warehouse_dir, name)
+        for name in WAREHOUSE_TABLES
+        if os.path.isdir(table_path(warehouse_dir, name))
+    }
+
+
 def validate_table(
     spark: SparkSession, warehouse_dir: str, name: str
 ) -> dict[str, int]:

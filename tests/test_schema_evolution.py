@@ -248,3 +248,28 @@ def test_validate_table_reports_history_violations(spark, warehouse):
     assert report["not_null:device_name"] == 0
     # a null in a NULLABLE column does not count against anything
     assert all(v == 0 for k, v in report.items() if k != "check:nonneg_area")
+
+
+def test_describe_table_reflects_lifecycle(spark, warehouse):
+    d0 = sinks.describe_table(warehouse, "cleaning_records")
+    assert d0["batch_count"] == 0 and d0["schema_version"] == 0
+    assert d0["retention_point_ns"] is None
+    sinks.append_rows(_rec_df(spark, 1), warehouse, "cleaning_records")
+    sinks.append_rows(_rec_df(spark, 2), warehouse, "cleaning_records")
+    sinks.add_table_column(
+        warehouse, "cleaning_records",
+        T.StructField("water_level", T.StringType(), True),
+    )
+    sinks.add_table_constraint(
+        warehouse, "cleaning_records", "nonneg_area", "area_sqm >= 0"
+    )
+    sinks.vacuum_table(spark, warehouse, "cleaning_records", 0)
+    d = sinks.describe_table(warehouse, "cleaning_records")
+    assert d["batch_count"] == 1 and d["vacuum_bases"] == 1
+    assert d["retention_point_ns"] is not None
+    assert d["schema_version"] == 2
+    assert d["columns"][-1] == "water_level"
+    assert d["constraints"] == {"nonneg_area": "area_sqm >= 0"}
+    # the warehouse-wide form covers every provisioned table
+    everything = sinks.describe_warehouse(warehouse)
+    assert "cleaning_records" in everything and "daily_summary" in everything
