@@ -233,6 +233,22 @@ def setup_warehouse(spark: SparkSession, warehouse_dir: str) -> None:
             _write_schema_manifest(warehouse_dir, name, schema, 0)
 
 
+_last_stamp_ns = 0
+
+
+def _publish_stamp_ns() -> int:
+    """A strictly-increasing publish timestamp (ns). time_ns() alone
+    is already ns-resolution, but two publishes in the same process
+    could in principle observe the same tick — and the incremental
+    refreshes compare stamps with a strict ``>`` against their
+    watermark, so a tie would silently skip a batch. Monotonicity
+    within the process closes that; across processes a same-ns tie
+    would need two directory renames inside one nanosecond."""
+    global _last_stamp_ns
+    _last_stamp_ns = max(_last_stamp_ns + 1, time.time_ns())
+    return _last_stamp_ns
+
+
 def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     """S6/S7: append a batch to a table — job-level atomic.
 
@@ -320,14 +336,23 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
             )
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
-    # batch ids encode publish time (ns) so the batch log is ordered:
-    # time-travel (read_table_as_of) and compaction cut on this
-    # prefix; the uuid suffix keeps concurrent writers collision-free
-    batch_id = f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
-    staged = os.path.join(staging_root, f"{name}-{batch_id}")
+    staged = os.path.join(staging_root, f"{name}-{uuid.uuid4().hex}")
     try:
         df.write.mode("overwrite").parquet(staged)
         os.makedirs(table_dir, exist_ok=True)
+        # batch ids encode PUBLISH time (ns) so the batch log is
+        # ordered: time-travel (read_table_as_of) and compaction cut
+        # on this prefix; the uuid suffix keeps concurrent writers
+        # collision-free. The stamp is taken AFTER the Spark write,
+        # immediately before the atomic rename (ADVICE r6 high): a
+        # staging-time stamp let a slow write publish an id BELOW a
+        # watermark an incremental refresh (refresh_daily_summary /
+        # refresh_device_lifetime) had already advanced past — the
+        # batch would then be <= watermark forever and never folded.
+        # With a publish-time stamp, any batch not yet visible to a
+        # refresh's listing necessarily publishes with a LATER stamp
+        # than every batch the listing saw.
+        batch_id = f"{_publish_stamp_ns():020d}-{uuid.uuid4().hex[:8]}"
         os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
     finally:
         if os.path.exists(staged):  # job failed before publish
