@@ -376,11 +376,8 @@ def _refresh_daily_summary_locked(
     ]
     if not new:
         return {"new_batches": 0, "dates_refreshed": 0}
-    table_dir = sinks.table_path(warehouse, "cleaning_records")
     touched = (
-        spark.read.schema(sinks.table_schema(warehouse, "cleaning_records"))
-        .option("recursiveFileLookup", "true")
-        .parquet(*[os.path.join(table_dir, b) for b in new])
+        sinks.read_batch_dirs(spark, warehouse, "cleaning_records", new)
         .select(F.date_format("start_time", "yyyy-MM-dd").alias("d"))
         .distinct()
     )
@@ -461,7 +458,6 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
                 F.sum("duration_minutes").alias("time_sum"),
             )
 
-        src_dir = sinks.table_path(warehouse, "cleaning_records")
         vacuum_base_arrived = any(
             b.endswith(sinks.VACUUM_BASE_SUFFIX) for b in new
         )
@@ -473,11 +469,7 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
         else:
             mode = "delta"
             delta = _partial(
-                spark.read.schema(
-                    sinks.table_schema(warehouse, "cleaning_records")
-                )
-                .option("recursiveFileLookup", "true")
-                .parquet(*[os.path.join(src_dir, b) for b in new])
+                sinks.read_batch_dirs(spark, warehouse, "cleaning_records", new)
             )
             prior = spark.read.parquet(table_dir)
             merged = (

@@ -79,11 +79,19 @@ def test_stale_lock_from_dead_holder_is_stolen(spark, warehouse):
     assert not os.path.exists(_lock_path(warehouse, "cleaning_records"))
 
 
-def test_unreadable_lock_is_treated_as_stale(spark, warehouse):
+def test_unreadable_lock_is_treated_as_live(spark, warehouse):
+    """VERDICT r7 #1 flip: pid publish is atomic (temp-file + link),
+    so a lock with no parsable pid CANNOT come from this writer —
+    treating it as stale would reintroduce the steal-a-live-lease
+    race. It must refuse loudly, and steal nothing."""
     _append_n(spark, warehouse, 2)
     with open(_lock_path(warehouse, "cleaning_records"), "w") as fh:
         fh.write("not-a-pid")
-    assert sinks.vacuum_table(spark, warehouse, "cleaning_records", 0) == 2
+    with pytest.raises(ConcurrentWriterError, match="no parsable pid"):
+        sinks.vacuum_table(spark, warehouse, "cleaning_records", 0)
+    # nothing stolen, nothing merged
+    assert os.path.exists(_lock_path(warehouse, "cleaning_records"))
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 2
 
 
 def test_gold_refresh_is_leased(spark, warehouse):
