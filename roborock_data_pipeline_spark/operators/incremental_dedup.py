@@ -181,6 +181,7 @@ def probe_minhash_index(
     docs: DataFrame,
     index_dir: str,
     threshold: float = 0.5,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """READ-ONLY near-dup lookup: which indexed documents does each
     probe doc near-duplicate? Returns (probe_id, index_id, jaccard)
@@ -190,13 +191,15 @@ def probe_minhash_index(
     band-join + jaccard-verify as update_minhash_index, but candidates
     come from the INDEX side only (probe-probe pairs are not this
     query), and no state changes. Probe ids are EXTERNAL to the index
-    namespace (ADVICE r5): no id-equality filter is applied, so a
-    probe whose id happens to collide with an indexed id still
-    surfaces its (likely exact) match — in the dedup-before-ingest
-    and contamination use cases that collision is precisely the
-    duplicate that matters. Callers re-probing documents that are
-    ALREADY in the index should drop ``probe_id == index_id`` rows
-    themselves. Concurrency contract (ADVICE r5,
+    namespace by default (ADVICE r5): no id-equality filter is
+    applied, so a probe whose id happens to collide with an indexed
+    id still surfaces its (likely exact) match — in the
+    dedup-before-ingest and contamination use cases that collision is
+    precisely the duplicate that matters. Callers RE-PROBING
+    documents that are already in the index share the namespace and
+    would otherwise get one trivial jaccard-1.0 self row per doc
+    (VERDICT r7 #5) — pass ``exclude_self=True`` to drop
+    ``probe_id == index_id`` rows. Concurrency contract (ADVICE r5,
     stated precisely): the read set is ONE ``live_segments`` snapshot,
     manifest-consistent across a compaction COMMIT; superseded
     segments stay on disk until the NEXT maintenance pass's GC, so a
@@ -215,12 +218,16 @@ def probe_minhash_index(
     idx_post = spark.read.schema(POST_SCHEMA).parquet(*post_paths)
     idx_sig = spark.read.schema(SIG_SCHEMA).parquet(*sig_paths)
     a, b = probe_post.alias("a"), idx_post.alias("b")
+    cond = (F.col("a.band_id") == F.col("b.band_id")) & (
+        F.col("a.band_hash") == F.col("b.band_hash")
+    )
+    if exclude_self:
+        # filtered at candidate generation, not post-verify: the self
+        # pair would otherwise survive banding with probability 1 and
+        # pay the verify join for a row the caller throws away
+        cond = cond & (F.col("a.doc_id") != F.col("b.doc_id"))
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("probe_id"),
             F.col("b.doc_id").alias("index_id"),

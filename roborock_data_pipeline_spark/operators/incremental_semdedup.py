@@ -269,6 +269,7 @@ def probe_semantic_index(
     emb: DataFrame,
     index_dir: str,
     threshold: float = 0.9,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """READ-ONLY semantic lookup: which indexed vectors does each
     probe embedding near-duplicate (cosine ≥ threshold)? Returns
@@ -276,10 +277,12 @@ def probe_semantic_index(
     twin of probe_minhash_index. Probes assign into the frozen cell
     space (broadcast centroids), join only against indexed vectors of
     the same cell, and change no state. Probe ids are EXTERNAL to the
-    index namespace (ADVICE r5): no id-equality filter, so an id
-    collision with an indexed vector still surfaces its (likely
-    exact) match; callers re-probing already-indexed vectors drop
-    ``probe_id == index_id`` rows themselves. Concurrency contract (ADVICE
+    index namespace by default (ADVICE r5): no id-equality filter, so
+    an id collision with an indexed vector still surfaces its (likely
+    exact) match; callers RE-PROBING already-indexed vectors would
+    get one trivial cosine-1.0 self row per vector (VERDICT r7 #5) —
+    pass ``exclude_self=True`` to drop ``probe_id == index_id``
+    rows. Concurrency contract (ADVICE
     r5): one ``live_segments`` snapshot, manifest-consistent across a
     compaction commit; superseded segments survive until the NEXT
     maintenance pass's GC, so probes finishing within one maintenance
@@ -295,8 +298,13 @@ def probe_semantic_index(
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
+    cond = F.col("a.cell") == F.col("b.cell")
+    if exclude_self:
+        # pre-join filter: the self pair always shares a cell and
+        # always clears the threshold — drop it before the dot product
+        cond = cond & (F.col("a.vec_id") != F.col("b.vec_id"))
     return (
-        a.join(b, F.col("a.cell") == F.col("b.cell"))
+        a.join(b, cond)
         .where(cos >= threshold)
         .select(
             F.col("a.vec_id").alias("probe_id"),

@@ -145,6 +145,61 @@ def test_probe_id_collision_still_surfaces_match(spark, sf_dir, tmp_path):
     assert sself == {r.vec_id for r in some_e.select("vec_id").collect()}
 
 
+def test_probe_exclude_self_drops_only_self_rows(spark, sf_dir, tmp_path):
+    """VERDICT r7 #5: a caller re-probing docs that are ALREADY in the
+    index shares the id namespace — by default every probe doc comes
+    back as its own trivial jaccard/cosine-1.0 match. exclude_self
+    drops exactly the probe_id == index_id rows and nothing else,
+    for both the text and semantic probes."""
+    from roborock_data_pipeline_spark.operators.incremental_dedup import (
+        probe_minhash_index,
+        update_minhash_index,
+    )
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        probe_semantic_index,
+        update_semantic_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    some = docs.where(F.col("doc_id") < 80)
+    mh = str(tmp_path / "mh")
+    update_minhash_index(spark, some, mh, batch_id="b1")
+    dflt = {
+        (r.probe_id, r.index_id)
+        for r in probe_minhash_index(spark, some, mh, threshold=0.5).collect()
+    }
+    noself = {
+        (r.probe_id, r.index_id)
+        for r in probe_minhash_index(
+            spark, some, mh, threshold=0.5, exclude_self=True
+        ).collect()
+    }
+    assert noself == {(p, i) for p, i in dflt if p != i}
+    assert all(p != i for p, i in noself)
+    assert len(dflt) > len(noself)  # the self rows existed by default
+
+    sem = str(tmp_path / "sem")
+    some_e = emb.where(F.col("vec_id") < 80)
+    create_semantic_index(spark, emb, sem)
+    update_semantic_index(spark, some_e, sem, threshold=0.5, batch_id="b1")
+    sdflt = {
+        (r.probe_id, r.index_id)
+        for r in probe_semantic_index(
+            spark, some_e, sem, threshold=0.5
+        ).collect()
+    }
+    snoself = {
+        (r.probe_id, r.index_id)
+        for r in probe_semantic_index(
+            spark, some_e, sem, threshold=0.5, exclude_self=True
+        ).collect()
+    }
+    assert snoself == {(p, i) for p, i in sdflt if p != i}
+    assert len(sdflt) > len(snoself)
+
+
 def test_rebuild_semantic_index_fresh_epoch(spark, sf_dir, tmp_path):
     """Offline rebuild: retrained centroids over the live vectors,
     everything republished as one batch with an empty pair set, fresh

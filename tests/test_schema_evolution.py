@@ -171,8 +171,8 @@ def test_register_warehouse_views_sql_roundtrip(spark, warehouse):
     assert "cleaning_records" in names and "daily_summary" in names
     n = spark.sql("SELECT COUNT(*) AS n FROM cleaning_records").collect()[0]["n"]
     assert n == 1
-    # a view snapshots the batch listing — re-register after appends
-    # (one directory listing) to see the new batch
+    # views are fresh-resolving since r8 (re-registering is harmless;
+    # tests/test_warehouse_views.py pins the no-re-register freshness)
     sinks.append_rows(_rec_df(spark, 2), warehouse, "cleaning_records")
     sinks.register_warehouse_views(spark, warehouse)
     n = spark.sql("SELECT COUNT(*) AS n FROM cleaning_records").collect()[0]["n"]
