@@ -77,31 +77,24 @@ def _snapshot_paths(index_dir: str, *tables: str) -> tuple[list[str], ...]:
     return tuple([os.path.join(s, t) for s in segs] for t in tables)
 
 
-def update_minhash_index(
+def stage_minhash_update(
     spark: SparkSession,
     new_docs: DataFrame,
     index_dir: str,
     threshold: float = 0.5,
     batch_id: str | None = None,
-) -> DataFrame:
-    """Ingest a batch into the persisted MinHash index and return the
-    verified near-dup pairs (doc_id_1, doc_id_2, jaccard) involving at
-    least one new document. See module docstring for the protocol.
-
-    Replay contract (same as update_semantic_index): each committed
-    batch stores the pairs it emitted (batch-{id}/pairs, part of the
-    one atomic rename); replaying a committed ``batch_id`` — latest
-    or not — returns the stored set verbatim instead of recomputing
-    against batches published after it (which would re-emit their
-    pairs). Without an explicit batch_id each call is a fresh batch
-    and replay protection is the caller's commit point (e.g. the
-    curation funnel's publish directory)."""
+) -> str:
+    """Compute a batch's index segment WITHOUT publishing it: the full
+    update_minhash_index compute (signatures, postings, band-join,
+    jaccard verify), materialized under a writer-unique staging dir
+    (``{index_dir}/.staging/batch-{id}-{uuid}/{signatures,postings,
+    pairs}``) that no reader can see. Returns the staged path; the
+    CALLER owns the commit (``publish_segment`` for a standalone
+    single-surface ingest, or the funnel's single-record transaction
+    — operators/funnel_txn — when the segment must commit atomically
+    WITH the semantic segment and the curated output) and the cleanup
+    of the staged dir on failure."""
     batch_id = batch_id or uuid.uuid4().hex
-    batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
-    stored = stored_pairs_path(index_dir, batch_id)
-    if stored is not None:  # committed replay (batch dir or compacted)
-        return spark.read.parquet(stored)
-
     new_sig = _signatures(new_docs).persist()
     new_post = _postings(new_sig).persist()
 
@@ -152,14 +145,11 @@ def update_minhash_index(
     pairs = verified.where(jac >= threshold).select(
         "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
     )
-    # The staged pair write materializes the pair set BEFORE the
-    # rename (a failure never leaves the index advanced past an
-    # unemitted pair set) and commits it WITH the batch — the replay
-    # source. Nothing stays cached after publish: the returned frame
-    # reads the committed parquet.
-    # writer-unique staging: a same-batch-id race is decided by the
-    # publish rename (ConcurrentWriterError), never by two writers
-    # clobbering one staging dir
+    # The staged pair write materializes the pair set BEFORE any
+    # commit (a failure never leaves the index advanced past an
+    # unemitted pair set); it commits WITH the batch — the replay
+    # source. The persisted frames are released here: after the
+    # writes everything lives in the staged parquet.
     staged = os.path.join(
         index_dir, ".staging", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
     )
@@ -167,10 +157,49 @@ def update_minhash_index(
         new_sig.write.mode("overwrite").parquet(f"{staged}/signatures")
         new_post.write.mode("overwrite").parquet(f"{staged}/postings")
         pairs.write.mode("overwrite").parquet(f"{staged}/pairs")
-        publish_segment(staged, batch_dir)  # loud on a same-id race
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     finally:
         new_sig.unpersist()
         new_post.unpersist()
+    return staged
+
+
+def update_minhash_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.5,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Ingest a batch into the persisted MinHash index and return the
+    verified near-dup pairs (doc_id_1, doc_id_2, jaccard) involving at
+    least one new document. See module docstring for the protocol.
+
+    Replay contract (same as update_semantic_index): each committed
+    batch stores the pairs it emitted (batch-{id}/pairs, part of the
+    one atomic rename); replaying a committed ``batch_id`` — latest
+    or not — returns the stored set verbatim instead of recomputing
+    against batches published after it (which would re-emit their
+    pairs). Without an explicit batch_id each call is a fresh batch
+    and replay protection is the caller's commit point (e.g. the
+    curation funnel's transaction record — operators/funnel_txn).
+    Commit is ONE atomic rename of the staged segment (writer-unique
+    staging: a same-batch-id race is decided by the rename,
+    ConcurrentWriterError, never by two writers clobbering one
+    staging dir)."""
+    batch_id = batch_id or uuid.uuid4().hex
+    batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
+    stored = stored_pairs_path(index_dir, batch_id)
+    if stored is not None:  # committed replay (batch dir or compacted)
+        return spark.read.parquet(stored)
+    staged = stage_minhash_update(
+        spark, new_docs, index_dir, threshold, batch_id
+    )
+    try:
+        publish_segment(staged, batch_dir)  # loud on a same-id race
+    finally:
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)
     return spark.read.parquet(os.path.join(batch_dir, "pairs"))

@@ -116,32 +116,23 @@ def _assign(spark: SparkSession, emb: DataFrame, index_dir: str) -> DataFrame:
     )
 
 
-def update_semantic_index(
+def stage_semantic_update(
     spark: SparkSession,
     new_emb: DataFrame,
     index_dir: str,
     threshold: float = 0.9,
     cap: int = BLOCK_CAP,
     batch_id: str | None = None,
-) -> DataFrame:
-    """Ingest an embedding batch and return the cosine>=threshold
-    near-dup pairs (vec_id_1 < vec_id_2, cosine) involving at least
-    one new vector — each pair returned by exactly one update.
-
-    Replay contract: each published batch stores THE PAIRS IT EMITTED
-    alongside its vectors (batch-{id}/{vectors,pairs}, one atomic
-    rename). Replaying a committed batch_id — latest or not — returns
-    the stored pair set verbatim, never a recompute against index
-    state that did not exist when the batch first ran (recomputing a
-    non-latest batch against later batches would re-emit pairs those
-    later updates already returned, breaking exactly-once). See
-    module docstring for the rest of the protocol."""
+) -> str:
+    """Compute a batch's index segment WITHOUT publishing it — the
+    semantic twin of stage_minhash_update: the full
+    update_semantic_index compute (centroid assignment, capped cell
+    block join, cosine verify) materialized under a writer-unique
+    ``.staging`` dir (``{vectors,pairs}``) invisible to readers.
+    Returns the staged path; the CALLER owns the commit
+    (``publish_segment``, or the funnel's single-record transaction in
+    operators/funnel_txn) and failure cleanup."""
     batch_id = batch_id or uuid.uuid4().hex
-    batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
-    stored = stored_pairs_path(index_dir, batch_id)
-    if stored is not None:  # committed replay (batch dir or compacted)
-        return spark.read.parquet(stored)
-
     new_vec = _assign(spark, new_emb, index_dir).persist()
     batches = _vector_paths(index_dir)
     if batches:
@@ -198,24 +189,61 @@ def update_semantic_index(
             F.round(cos, 4).alias("cosine"),
         )
     )
-    # The staged write MATERIALIZES the pairs before the rename, so a
+    # The staged write MATERIALIZES the pairs before any commit, so a
     # failure never advances the index past an unemitted pair set —
     # and the pair set itself becomes part of the committed batch
-    # (the replay source). No caching: the returned frame reads the
-    # published parquet, so nothing is pinned in executor storage
-    # across a long-running ingest session (r4 review: the old
-    # per-batch persists accumulated unboundedly).
-    # writer-unique staging: a same-batch-id race is decided by the
-    # publish rename, never by two writers clobbering one staging dir
+    # (the replay source). No caching survives staging: after the
+    # writes everything lives in the staged parquet, so nothing is
+    # pinned in executor storage across a long-running ingest session
+    # (r4 review: the old per-batch persists accumulated unboundedly).
     staged = os.path.join(
         index_dir, ".staging", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
     )
     try:
         new_vec.write.mode("overwrite").parquet(os.path.join(staged, "vectors"))
         pairs.write.mode("overwrite").parquet(os.path.join(staged, "pairs"))
-        publish_segment(staged, batch_dir)  # loud on a same-id race
+    except BaseException:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     finally:
         new_vec.unpersist()
+    return staged
+
+
+def update_semantic_index(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    threshold: float = 0.9,
+    cap: int = BLOCK_CAP,
+    batch_id: str | None = None,
+) -> DataFrame:
+    """Ingest an embedding batch and return the cosine>=threshold
+    near-dup pairs (vec_id_1 < vec_id_2, cosine) involving at least
+    one new vector — each pair returned by exactly one update.
+
+    Replay contract: each published batch stores THE PAIRS IT EMITTED
+    alongside its vectors (batch-{id}/{vectors,pairs}, one atomic
+    rename). Replaying a committed batch_id — latest or not — returns
+    the stored pair set verbatim, never a recompute against index
+    state that did not exist when the batch first ran (recomputing a
+    non-latest batch against later batches would re-emit pairs those
+    later updates already returned, breaking exactly-once). Commit is
+    ONE atomic rename of the staged segment (writer-unique staging: a
+    same-batch-id race is decided by the rename, never by two writers
+    clobbering one staging dir). See module docstring for the rest of
+    the protocol."""
+    batch_id = batch_id or uuid.uuid4().hex
+    batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
+    stored = stored_pairs_path(index_dir, batch_id)
+    if stored is not None:  # committed replay (batch dir or compacted)
+        return spark.read.parquet(stored)
+    staged = stage_semantic_update(
+        spark, new_emb, index_dir, threshold, cap, batch_id
+    )
+    try:
+        publish_segment(staged, batch_dir)  # loud on a same-id race
+    finally:
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)
     return spark.read.parquet(os.path.join(batch_dir, "pairs"))

