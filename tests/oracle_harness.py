@@ -37,8 +37,13 @@ TABLE_NAMES = [
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
+        # testdata ships single-file tables; Spark-generated scale
+        # dirs (scripts/make_scale_data.py) are directories of parts
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 
