@@ -36,6 +36,7 @@ becomes a table scan; everything downstream is identical semantics.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 from collections.abc import Callable
@@ -249,20 +250,137 @@ def _rollup_watermark_path(warehouse: str) -> str:
     return os.path.join(warehouse, ".rollup", f"{GOLD_PART_TABLE}.watermark")
 
 
-def _read_rollup_watermark(warehouse: str) -> str:
+# How far below the watermark a refresh keeps re-listing for late
+# publishes. _publish_stamp_ns is taken AFTER the Spark write,
+# immediately before the publish rename (sinks.append_rows), so a
+# batch's stamp can only lag its visibility by the stamp->rename gap
+# — microseconds normally, longer only if the OS preempts the writer
+# between those two calls. Re-listing a 5-minute band below the
+# watermark and deduplicating by batch id therefore folds every such
+# late batch EXACTLY ONCE (ADVICE r7: this closes the stamp->rename
+# race structurally for any preemption shorter than the grace; a
+# writer frozen longer than 5 minutes between two adjacent syscalls
+# is the one case left, and that is a machine to fence, not a race
+# to schedule around).
+FOLD_GRACE_NS = 300 * 10**9
+
+
+def _parse_fold_state(raw: str) -> dict:
+    """Fold-state file: JSON ``{"wm": stamp, "folded": [batch ids
+    within the grace band]}``. A legacy plain-stamp file (pre-grace
+    vintage) carries no folded set — treat its whole grace band as
+    already folded (``legacy``), else a delta-merge refresh would
+    re-fold pre-migration batches and double-count."""
+    raw = raw.strip()
+    if not raw:
+        return {"wm": "", "folded": [], "legacy": False}
+    if raw.startswith("{"):
+        d = json.loads(raw)
+        return {
+            "wm": d.get("wm", ""),
+            "folded": list(d.get("folded", [])),
+            "legacy": False,
+        }
+    return {"wm": raw, "folded": [], "legacy": True}
+
+
+def _grace_floor(wm: str) -> str:
+    return f"{max(0, int(wm) - FOLD_GRACE_NS):020d}"
+
+
+def _base_provably_folded(
+    table_dir: str, base: str, folded: set[str], lo: str
+) -> bool:
+    """A vacuum base holds no unfolded rows iff every batch it
+    absorbed is itself folded — in the folded set, or stamped at or
+    below the grace floor (the floor IS the fold invariant: anything
+    below it was folded, recursively so for absorbed bases, whose
+    stamp equals their newest absorbed stamp). An unreadable manifest
+    or an in-band absorbed id outside the folded set is conservative:
+    the base is selected and recompute-from-base / the lifetime full
+    fallback keep the fold correct, just not delta-sized once."""
+    absorbed = sinks._base_absorbed(os.path.join(table_dir, base))  # noqa: SLF001
+    if not absorbed:
+        return False
+    return all(
+        a in folded or sinks._batch_ns_prefix(a) <= lo  # noqa: SLF001
+        for a in absorbed
+    )
+
+
+def _select_unfolded(
+    batches: list[str], state: dict, table_dir: str | None = None
+) -> tuple[list[str], list[str]]:
+    """(to_fold, implicitly_folded): anything stamped above the grace
+    floor that has not been folded yet. Strictly newer-than-watermark
+    batches are never in the folded set (the set only holds ids at or
+    below the watermark), so one predicate covers both the normal
+    case and a late grace-band publish. A vacuum base that lands in
+    the band holding only already-folded content (the normal
+    refresh-before-vacuum cadence) is recognized via its absorbed
+    manifest and skipped — returned as implicitly folded so the state
+    advance records it and later runs stay delta-sized."""
+    wm = state["wm"]
+    if not wm:
+        return list(batches), []
+    lo = wm if state["legacy"] else _grace_floor(wm)
+    folded = set(state["folded"])
+    new: list[str] = []
+    implicit: list[str] = []
+    for b in batches:
+        if sinks._batch_ns_prefix(b) <= lo or b in folded:  # noqa: SLF001
+            continue
+        if (
+            table_dir is not None
+            and b.endswith(sinks.VACUUM_BASE_SUFFIX)
+            and _base_provably_folded(table_dir, b, folded, lo)
+        ):
+            implicit.append(b)
+            continue
+        new.append(b)
+    return new, implicit
+
+
+def _advance_fold_state(
+    state: dict, new: list[str], implicit: list[str] = ()
+) -> dict:
+    """Post-fold state: watermark = max stamp seen (never regresses —
+    a late grace-band batch must not pull it back), folded set pruned
+    to the new grace band (ids below the floor can never be
+    re-selected, so the set stays O(grace-window publish rate), not
+    O(history)). ``implicit`` = in-band vacuum bases proven folded by
+    their absorbed manifest; recording them saves re-proving (and,
+    once they are absorbed by a later base, a conservative refold)."""
+    wm = max(
+        [state["wm"]]
+        + [sinks._batch_ns_prefix(b) for b in new]  # noqa: SLF001
+    )
+    lo = _grace_floor(wm)
+    folded = sorted(
+        b for b in set(state["folded"]) | set(new) | set(implicit)
+        if sinks._batch_ns_prefix(b) > lo  # noqa: SLF001
+    )
+    return {"wm": wm, "folded": folded, "legacy": False}
+
+
+def _dump_fold_state(state: dict) -> str:
+    return json.dumps({"wm": state["wm"], "folded": state["folded"]})
+
+
+def _read_rollup_state(warehouse: str) -> dict:
     p = _rollup_watermark_path(warehouse)
     if not os.path.exists(p):
-        return ""
+        return _parse_fold_state("")
     with open(p) as fh:
-        return fh.read().strip()
+        return _parse_fold_state(fh.read())
 
 
-def _write_rollup_watermark(warehouse: str, batch_ns: str) -> None:
+def _write_rollup_state(warehouse: str, state: dict) -> None:
     p = _rollup_watermark_path(warehouse)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = p + ".tmp"
     with open(tmp, "w") as fh:
-        fh.write(batch_ns)
+        fh.write(_dump_fold_state(state))
     os.replace(tmp, p)
 
 
@@ -316,8 +434,11 @@ def refresh_daily_summary(spark: SparkSession, warehouse: str) -> dict[str, int]
     scan per refresh at warehouse scale. This refresh does
     new-batch-sized work instead:
 
-    1. list cleaning_records batches newer than the stored watermark
-       (batch ids are publish-time-ordered, sinks.list_batches);
+    1. list unfolded cleaning_records batches (_select_unfolded:
+       batch ids are publish-time-ordered, and the selection re-lists
+       a FOLD_GRACE_NS band below the watermark deduplicated by batch
+       id, so a publish that renamed in late after a slow stamp->
+       rename gap is still folded exactly once);
     2. scan ONLY those batch dirs for their distinct event dates
        (driver state = a set of calendar dates, bounded by days of
        history, not rows);
@@ -327,17 +448,19 @@ def refresh_daily_summary(spark: SparkSession, warehouse: str) -> dict[str, int]
        gold table with a dynamic partition overwrite
        (sinks.overwrite_partitions) — untouched dates' files are
        never rewritten;
-    5. advance the watermark (atomic tmp+rename).
+    5. advance the fold state (watermark + grace-band folded ids,
+       atomic tmp+rename).
 
-    Crash-safety: the watermark moves LAST, so a crash after the
+    Crash-safety: the fold state moves LAST, so a crash after the
     partition swap replays the same batches — the recompute is
     deterministic from the base table, so the re-swap publishes
     byte-identical partitions (idempotent convergence, same discipline
     as the funnel's publish-is-the-commit-point). Vacuum interplay:
-    a vacuum base stamped newer than the watermark makes the 'new'
-    scan OVER-approximate touched dates (the base also holds
-    already-folded rows) — recompute-from-base makes any
-    over-approximation safe, never wrong.
+    a vacuum base stamped newer than the grace floor and not yet in
+    the folded set makes the 'new' scan OVER-approximate touched
+    dates (the base also holds already-folded rows) —
+    recompute-from-base makes any over-approximation safe, never
+    wrong, and the base enters the folded set so it costs one pass.
 
     Single-writer: the watermark read → recompute → partition swap →
     watermark write sequence is a read-modify-write, so it runs under
@@ -369,12 +492,15 @@ def _refresh_daily_summary_locked(
     spark: SparkSession, warehouse: str
 ) -> dict[str, int]:
     batches = sinks.list_batches(warehouse, "cleaning_records")
-    watermark = _read_rollup_watermark(warehouse)
-    new = [
-        b for b in batches
-        if sinks._batch_ns_prefix(b) > watermark  # noqa: SLF001 - same package
-    ]
+    state = _read_rollup_state(warehouse)
+    new, implicit = _select_unfolded(
+        batches, state, sinks.table_path(warehouse, "cleaning_records")
+    )
     if not new:
+        if implicit:  # record proven-folded bases even on a noop run
+            _write_rollup_state(
+                warehouse, _advance_fold_state(state, [], implicit)
+            )
         return {"new_batches": 0, "dates_refreshed": 0}
     touched = (
         sinks.read_batch_dirs(spark, warehouse, "cleaning_records", new)
@@ -389,9 +515,7 @@ def _refresh_daily_summary_locked(
             GOLD_PART_TABLE,
             ["date"],
         )
-    _write_rollup_watermark(
-        warehouse, max(sinks._batch_ns_prefix(b) for b in new)  # noqa: SLF001
-    )
+    _write_rollup_state(warehouse, _advance_fold_state(state, new, implicit))
     return {"new_batches": len(new), "dates_refreshed": len(dates)}
 
 
@@ -439,16 +563,30 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
     ):
         table_dir = sinks.table_path(warehouse, LIFETIME_TABLE)
         wm_path = os.path.join(table_dir, LIFETIME_WATERMARK)
-        watermark = ""
+        state = _parse_fold_state("")
         if os.path.exists(wm_path):
             with open(wm_path) as fh:
-                watermark = fh.read().strip()
+                state = _parse_fold_state(fh.read())
         batches = sinks.list_batches(warehouse, "cleaning_records")
-        new = [
-            b for b in batches
-            if sinks._batch_ns_prefix(b) > watermark  # noqa: SLF001
-        ]
+        # grace-band re-list + id dedup (see FOLD_GRACE_NS): a batch
+        # whose publish rename landed late — stamp below a watermark
+        # another writer+refresh advanced in the stamp->rename gap —
+        # is still selected here, and the folded set guarantees it is
+        # delta-merged exactly once (replay would double-count).
+        new, implicit = _select_unfolded(
+            batches, state, sinks.table_path(warehouse, "cleaning_records")
+        )
         if not new:
+            if implicit:  # record proven-folded bases (atomic rewrite
+                # of the in-snapshot state file; data untouched)
+                tmp = wm_path + ".tmp"
+                with open(tmp, "w") as fh:
+                    fh.write(
+                        _dump_fold_state(
+                            _advance_fold_state(state, [], implicit)
+                        )
+                    )
+                os.replace(tmp, wm_path)
             return {"new_batches": 0, "mode": "noop"}
 
         def _partial(df: DataFrame) -> DataFrame:
@@ -493,7 +631,9 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
         try:
             merged.write.mode("overwrite").parquet(staged)
             with open(os.path.join(staged, LIFETIME_WATERMARK), "w") as fh:
-                fh.write(max(sinks._batch_ns_prefix(b) for b in new))  # noqa: SLF001
+                fh.write(
+                    _dump_fold_state(_advance_fold_state(state, new, implicit))
+                )
             if os.path.exists(table_dir):
                 os.replace(table_dir, old)
             try:

@@ -509,9 +509,11 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         # The publish-time stamp narrows that race from the whole
         # Spark-write duration to the stamp->rename gap below
         # (microseconds); a writer preempted exactly in that gap can
-        # still in principle publish below a watermark advanced in
-        # the gap — eliminating it entirely needs a shared commit
-        # log, which is the transactional-format seat on a cluster.
+        # still publish below a watermark advanced in the gap — the
+        # refreshes absorb that case by re-listing a grace band below
+        # their watermark and deduplicating by batch id
+        # (pipeline.FOLD_GRACE_NS), so such a batch is folded exactly
+        # once as long as the preemption is shorter than the grace.
         batch_id = f"{_publish_stamp_ns():020d}-{uuid.uuid4().hex[:8]}"
         os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
     finally:

@@ -1,0 +1,219 @@
+"""Grace-band fold selection (pipeline.FOLD_GRACE_NS) — the
+structural closure of the stamp->rename publish race (ADVICE r7).
+
+The hazard: _publish_stamp_ns is taken immediately before the publish
+rename (sinks.append_rows), but a writer preempted between the two
+calls can publish a batch whose stamp is BELOW a watermark that
+another writer + refresh advanced in that gap. A strict
+newer-than-watermark selection would then skip the batch forever
+(silent undercount). The fix pinned here: both incremental refreshes
+re-list a FOLD_GRACE_NS band below their watermark and deduplicate by
+batch id, so a late publish is folded EXACTLY ONCE — at-least-once
+for the recompute-from-base refresh (idempotent anyway) and
+exactly-once for the delta-merge refresh (replay = double count).
+
+The race is simulated deterministically: append a batch normally,
+then rename its directory to a stamp just below the current watermark
+— byte-identical to what a preempted writer would have published.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark import pipeline, schemas
+from roborock_data_pipeline_spark.sources import sinks
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp()
+    sinks.setup_warehouse(spark, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rec(day, device, area, minutes):
+    ts = dt.datetime(2024, 3, day, 9)
+    return (
+        ts, device, ts, float(minutes), float(area),
+        "standard", "vacuum", 0, "ok",
+    )
+
+
+def _append(spark, warehouse, rows):
+    df = spark.createDataFrame(rows, schemas.CLEANING_RECORDS)
+    sinks.append_rows(df, warehouse, "cleaning_records")
+
+
+def _backdate_last_batch(warehouse, below_ns: str) -> str:
+    """Rename the newest cleaning_records batch to a stamp one tick
+    below ``below_ns`` — the on-disk state a writer preempted in the
+    stamp->rename gap would have published."""
+    table_dir = sinks.table_path(warehouse, "cleaning_records")
+    newest = sorted(
+        d for d in os.listdir(table_dir) if d.startswith("batch-")
+    )[-1]
+    suffix = newest[len("batch-") + 20:]
+    late = f"batch-{int(below_ns) - 1:020d}{suffix}"
+    os.rename(
+        os.path.join(table_dir, newest), os.path.join(table_dir, late)
+    )
+    return late
+
+
+# --- unit: selection / state algebra -------------------------------
+
+
+def test_parse_legacy_watermark_treats_band_as_folded():
+    st = pipeline._parse_fold_state("00000000000000000042")
+    assert st["wm"] == "00000000000000000042"
+    assert st["legacy"] is True
+    # legacy state has no folded set: the band below the watermark
+    # must NOT be re-selected (pre-migration batches were folded)
+    batches = ["batch-00000000000000000041-aaaa", "batch-00000000000000000043-bbbb"]
+    assert pipeline._select_unfolded(batches, st) == ([batches[1]], [])
+
+
+def test_select_unfolded_grace_band_dedup():
+    wm = 10**18
+    st = {
+        "wm": f"{wm:020d}",
+        "folded": [f"batch-{wm:020d}-ffff"],
+        "legacy": False,
+    }
+    in_band_new = f"batch-{wm - 5:020d}-aaaa"
+    below_band = f"batch-{wm - pipeline.FOLD_GRACE_NS - 1:020d}-bbbb"
+    newer = f"batch-{wm + 5:020d}-cccc"
+    picked, implicit = pipeline._select_unfolded(
+        [below_band, in_band_new, st["folded"][0], newer], st
+    )
+    assert picked == [in_band_new, newer] and implicit == []
+
+
+def test_in_band_vacuum_base_proven_folded_is_skipped(tmp_path):
+    """A base absorbing only folded/below-floor batches holds no
+    unfolded rows: skipped and returned as implicitly folded. A base
+    absorbing an unknown in-band id is conservatively selected."""
+    wm = 10**18
+    folded_id = f"batch-{wm:020d}-ffff"
+    below = f"batch-{wm - pipeline.FOLD_GRACE_NS - 1:020d}-oldd"
+    unknown = f"batch-{wm - 3:020d}-unkn"
+    st = {"wm": f"{wm:020d}", "folded": [folded_id], "legacy": False}
+
+    def _mk_base(name, absorbed):
+        d = tmp_path / name
+        d.mkdir()
+        (d / sinks.ABSORBED_MANIFEST).write_text(
+            json.dumps({"absorbed": absorbed})
+        )
+        return name
+
+    good = _mk_base(f"batch-{wm:020d}-gggg-vb", [folded_id, below])
+    bad = _mk_base(f"batch-{wm:020d}-hhhh-vb", [folded_id, unknown])
+    new, implicit = pipeline._select_unfolded(
+        [good, bad], st, str(tmp_path)
+    )
+    assert new == [bad] and implicit == [good]
+    # implicit folds are recorded without moving the watermark
+    nxt = pipeline._advance_fold_state(st, [], implicit)
+    assert good in nxt["folded"] and nxt["wm"] == st["wm"]
+
+
+def test_advance_fold_state_never_regresses_and_prunes():
+    wm = 10**18
+    st = {"wm": f"{wm:020d}", "folded": [], "legacy": False}
+    late = f"batch-{wm - 7:020d}-aaaa"
+    nxt = pipeline._advance_fold_state(st, [late])
+    # a late fold must not pull the watermark back
+    assert nxt["wm"] == st["wm"]
+    assert late in nxt["folded"]
+    # ids falling below the grace floor are pruned (bounded state)
+    old = f"batch-{wm - pipeline.FOLD_GRACE_NS - 10:020d}-oooo"
+    nxt2 = pipeline._advance_fold_state(
+        {"wm": st["wm"], "folded": [old, late], "legacy": False}, []
+    )
+    assert old not in nxt2["folded"] and late in nxt2["folded"]
+
+
+# --- integration: the simulated race, both refreshes ----------------
+
+
+def test_daily_refresh_folds_late_publish_exactly_once(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a", 10.0, 20)])
+    pipeline.refresh_daily_summary(spark, warehouse)
+    wm = pipeline._read_rollup_state(warehouse)["wm"]
+
+    _append(spark, warehouse, [_rec(2, "robo-a", 30.0, 40)])
+    late = _backdate_last_batch(warehouse, wm)
+    assert sinks._batch_ns_prefix(late) < wm  # noqa: SLF001
+
+    r = pipeline.refresh_daily_summary(spark, warehouse)
+    assert r["new_batches"] == 1 and r["dates_refreshed"] == 1
+    gold = spark.read.parquet(
+        sinks.table_path(warehouse, pipeline.GOLD_PART_TABLE)
+    )
+    assert gold.where(F.col("date") == "2024-03-02").count() == 1
+    # exactly once: the late batch is now in the folded set, a re-run
+    # is a no-op, and the watermark did not regress
+    st = pipeline._read_rollup_state(warehouse)
+    assert late in st["folded"] and st["wm"] == wm
+    assert pipeline.refresh_daily_summary(spark, warehouse) == {
+        "new_batches": 0,
+        "dates_refreshed": 0,
+    }
+
+
+def test_lifetime_refresh_folds_late_publish_without_double_count(
+    spark, warehouse
+):
+    _append(spark, warehouse, [_rec(1, "robo-a", 10.0, 20)])
+    pipeline.refresh_device_lifetime(spark, warehouse)
+    wm_file = os.path.join(
+        sinks.table_path(warehouse, pipeline.LIFETIME_TABLE),
+        pipeline.LIFETIME_WATERMARK,
+    )
+    with open(wm_file) as fh:
+        wm = pipeline._parse_fold_state(fh.read())["wm"]
+
+    _append(spark, warehouse, [_rec(2, "robo-a", 30.0, 40)])
+    _backdate_last_batch(warehouse, wm)
+
+    assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "delta"
+    # replay protection: a third refresh must be a noop, not a refold
+    assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "noop"
+    row = pipeline.read_device_lifetime(spark, warehouse).collect()[0]
+    assert row["total_clean_count"] == 2
+    assert row["total_clean_area"] == 40.0
+    assert row["total_clean_time"] == 60
+
+
+def test_lifetime_legacy_watermark_file_migrates(spark, warehouse):
+    """A pre-grace plain-stamp watermark file reads as legacy state
+    (whole band folded) and upgrades to JSON on the next refresh."""
+    _append(spark, warehouse, [_rec(1, "robo-a", 10.0, 20)])
+    pipeline.refresh_device_lifetime(spark, warehouse)
+    wm_file = os.path.join(
+        sinks.table_path(warehouse, pipeline.LIFETIME_TABLE),
+        pipeline.LIFETIME_WATERMARK,
+    )
+    with open(wm_file) as fh:
+        wm = pipeline._parse_fold_state(fh.read())["wm"]
+    with open(wm_file, "w") as fh:
+        fh.write(wm)  # rewrite in the legacy plain-stamp format
+
+    # legacy band is treated as folded: no refold, no double count
+    assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "noop"
+    _append(spark, warehouse, [_rec(2, "robo-a", 30.0, 40)])
+    assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "delta"
+    with open(wm_file) as fh:
+        assert json.loads(fh.read())["folded"]  # upgraded format
+    row = pipeline.read_device_lifetime(spark, warehouse).collect()[0]
+    assert row["total_clean_count"] == 2
