@@ -362,7 +362,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = counts[0]
     for df in counts[1:]:
-        out = out.crossJoin(df)
+        out = out.crossJoin(F.broadcast(df))  # 1-row aggregates
     return out.withColumn(
         "conversion",
         F.round(F.col("n_purchase") * 1.0 / F.col("n_signup"), 6),

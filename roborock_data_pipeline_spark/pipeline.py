@@ -355,6 +355,8 @@ def _advance_fold_state(
         [state["wm"]]
         + [sinks._batch_ns_prefix(b) for b in new]  # noqa: SLF001
     )
+    if not wm:  # nothing ever folded: the algebra stays total
+        return {"wm": "", "folded": [], "legacy": False}
     lo = _grace_floor(wm)
     folded = sorted(
         b for b in set(state["folded"]) | set(new) | set(implicit)

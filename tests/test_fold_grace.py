@@ -217,3 +217,95 @@ def test_lifetime_legacy_watermark_file_migrates(spark, warehouse):
         assert json.loads(fh.read())["folded"]  # upgraded format
     row = pipeline.read_device_lifetime(spark, warehouse).collect()[0]
     assert row["total_clean_count"] == 2
+
+
+# --- property: exactly-once under arbitrary in-contract schedules ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+BASE_NS = 10**18
+
+
+@st.composite
+def _schedules(draw):
+    """A publish/refresh interleaving. Each publish carries a lag
+    (how far below the max stamp seen so far it lands — the
+    stamp->rename preemption), drawn within FOLD_GRACE_NS: the
+    contract the grace band promises to absorb."""
+    n = draw(st.integers(2, 30))
+    events = []
+    for i in range(n):
+        if draw(st.booleans()):
+            lag = draw(
+                st.integers(0, pipeline.FOLD_GRACE_NS - 1)
+                if draw(st.booleans()) else st.just(0)
+            )
+            events.append(("publish", lag))
+        else:
+            events.append(("refresh", None))
+    events.append(("refresh", None))  # quiescence: drain the tail
+    return events
+
+
+@given(_schedules())
+@settings(max_examples=300, deadline=None)
+def test_every_in_contract_publish_folds_exactly_once(events):
+    """Model-based: replay an arbitrary interleaving of publishes
+    (each possibly stamped up to FOLD_GRACE_NS below the newest stamp
+    already visible — the preempted-writer case) and refreshes
+    against the fold-state algebra. Every batch must be selected
+    EXACTLY once across all refreshes, and the watermark must never
+    regress."""
+    state = pipeline._parse_fold_state("")
+    live: list[str] = []
+    fold_counts: dict[str, int] = {}
+    hi = BASE_NS
+    prev_wm = ""
+    for i, (kind, lag) in enumerate(events):
+        if kind == "publish":
+            hi += 1  # the stamp the writer WOULD have published at
+            b = f"batch-{hi - (lag or 0):020d}-{i:08x}"
+            live.append(b)
+            fold_counts[b] = 0
+        else:
+            new, implicit = pipeline._select_unfolded(sorted(live), state)
+            for b in new:
+                fold_counts[b] += 1
+            state = pipeline._advance_fold_state(state, new, implicit)
+            assert state["wm"] >= prev_wm, "watermark regressed"
+            prev_wm = state["wm"]
+    assert all(c == 1 for c in fold_counts.values()), fold_counts
+
+
+def test_noop_refresh_records_proven_folded_base(spark, warehouse):
+    """Vacuum after a fold puts a base in the grace band holding only
+    folded content: the next refresh must prove it folded via the
+    absorbed manifest (no refold — daily stays a noop, lifetime stays
+    delta-property-clean) AND record it, so later runs skip even the
+    manifest read and, once the base is itself absorbed, no
+    conservative refold cascades."""
+    _append(spark, warehouse, [_rec(1, "robo-a", 10.0, 20)])
+    _append(spark, warehouse, [_rec(2, "robo-a", 30.0, 40)])
+    pipeline.refresh_daily_summary(spark, warehouse)
+    pipeline.refresh_device_lifetime(spark, warehouse)
+    sinks.vacuum_table(spark, warehouse, "cleaning_records", 0)
+    base = [
+        b for b in sinks.list_batches(warehouse, "cleaning_records")
+        if b.endswith(sinks.VACUUM_BASE_SUFFIX)
+    ][0]
+
+    assert pipeline.refresh_daily_summary(spark, warehouse) == {
+        "new_batches": 0,
+        "dates_refreshed": 0,
+    }
+    assert base in pipeline._read_rollup_state(warehouse)["folded"]
+
+    assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "noop"
+    wm_file = os.path.join(
+        sinks.table_path(warehouse, pipeline.LIFETIME_TABLE),
+        pipeline.LIFETIME_WATERMARK,
+    )
+    with open(wm_file) as fh:
+        assert base in pipeline._parse_fold_state(fh.read())["folded"]
+    row = pipeline.read_device_lifetime(spark, warehouse).collect()[0]
+    assert row["total_clean_count"] == 2
