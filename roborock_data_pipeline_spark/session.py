@@ -29,6 +29,15 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas interchange (Pandas UDFs, toPandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark's Hive-compat default writes timestamps as parquet INT96,
+    # which carries NO min/max statistics — every warehouse table the
+    # engine itself writes (append_rows, vacuum bases, gold tables)
+    # would silently lose timestamp predicate pushdown and file
+    # skipping. INT64 micros carries full stats (and is what DuckDB
+    # and the testdata use); with it, clustered vacuum bases
+    # (vacuum_table cluster_by) get footer-level file pruning on
+    # time-range scans.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
