@@ -1103,7 +1103,8 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(23,8))), 2) AS DOUBLE) AS revenue
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1126,7 +1127,17 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied after both paths join, so the plan quality question is
     whether the fact is scanned once and both nation joins broadcast —
     nation is 25 rows, both sides broadcast; the date filter pushes to
-    the lineitem scan."""
+    the lineitem scan.
+
+    Revenue sums as DECIMAL(23,8) in both engines: decimal addition
+    is exact and associative, so the sum is order-independent —
+    float64 sums over 10×-the-terms drifted ~1e-10 relative at the
+    sf1 probe and ROUND(,2) flipped the last penny on a few groups.
+    Decimal is the money-rollup posture at any scale (and measured
+    no slower than the double sum at sf0.1). The per-row
+    double→decimal cast rounds identically in both engines (a
+    binary fraction can't tie at the 8th decimal: that needs
+    2^n | 10^8)."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") <= F.lit("1996-12-31").cast("timestamp"))
@@ -1159,8 +1170,15 @@ def q_tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(23,8)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
@@ -1619,8 +1637,9 @@ def q_tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.6 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(23,8))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1642,7 +1661,8 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     only fact-fact shuffle (both sides keyed on orderkey). Profit is
     computed map-side post-join; the group-by is tiny (nations ×
     years) so partial aggregation collapses nearly everything before
-    the final exchange."""
+    the final exchange. The profit sum is DECIMAL(23,8) in both
+    engines for order-independence — see q_tpch_q7_shape."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     s = load(spark, sf_dir, "supplier")
@@ -1660,7 +1680,11 @@ def q_tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("profit"))
+        .agg(
+            F.round(F.sum(profit.cast("decimal(23,8)")), 2)
+            .cast("double")
+            .alias("profit")
+        )
     )
 
 

@@ -134,8 +134,8 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
         SELECT event_type,
-               quantile_cont(value, 0.01) AS lo,
-               quantile_cont(value, 0.99) AS hi
+               quantile_disc(value, 0.01) AS lo,
+               quantile_disc(value, 0.99) AS hi
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type,
@@ -153,11 +153,24 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated groupBy to a handful of rows, broadcast back
     onto the scan; the clip is codegen least/greatest. At 100 TB the
     exact percentile becomes approx_percentile (mergeable sketch) —
-    the q_percentiles/q_approx_percentiles ladder applies verbatim."""
+    the q_percentiles/q_approx_percentiles ladder applies verbatim.
+
+    Bounds are DISCRETE percentiles (actual data values, SQL-standard
+    percentile_disc ≡ DuckDB quantile_disc, probed equal on
+    tie/even/odd edge sets): interpolated percentiles put the clip
+    threshold between data points as a float expression whose last
+    digit differs across engines exactly when the data is tied at the
+    cut — the sf1 probe's 10× replication parked p01/p99 on such a
+    knife edge. A value from the data has no interpolation to
+    disagree about, at any scale."""
     ev = load(spark, sf_dir, "events")
     bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("lo"),
-        F.expr("percentile(value, 0.99)").alias("hi"),
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").alias(
+            "lo"
+        ),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias(
+            "hi"
+        ),
     )
     clip = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     return (
