@@ -634,6 +634,159 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
                 shutil.rmtree(leftover, ignore_errors=True)
 
 
+def _rewrite_matching_batches(
+    spark: SparkSession,
+    warehouse_dir: str,
+    name: str,
+    predicate: str,
+    transform,
+    verb: str,
+) -> dict[str, int]:
+    """Shared core of delete_rows / update_rows: find the live batch
+    dirs holding rows matching ``predicate`` in ONE scan (driver
+    state = affected dir names + match counts, never rows), then
+    stage-rewrite only those dirs and swap each atomically (aside +
+    rollback, the overwrite_rows pattern). Untouched batches are
+    never rewritten — at 100 TB a targeted delete (one device, one
+    day) touches the few batches whose footer stats admit the
+    predicate, not the table. A vacuum base's absorbed manifest is
+    carried into its rewrite (losing it would resurrect
+    crashed-vacuum leftovers in list_batches)."""
+    table_dir = table_path(warehouse_dir, name)
+    batches = list_batches(warehouse_dir, name)
+    # root-level part files (provisioning / overwrite_rows snapshots)
+    # are not batch-granular; matches there need a snapshot rebuild
+    root = [
+        os.path.join(table_dir, f)
+        for f in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    if root:
+        hit = (
+            _read_paths(spark, warehouse_dir, name, root)
+            .where(F.expr(predicate))
+            .limit(1)
+            .count()
+        )
+        if hit:
+            raise ValueError(
+                f"{verb} matches rows in {name!r}'s root-level snapshot "
+                "files; snapshot tables are rebuilt wholesale "
+                "(overwrite_rows), not row-rewritten"
+            )
+    if not batches:
+        return {"batches_rewritten": 0, "rows_matched": 0}
+    hits = (
+        read_batch_dirs(spark, warehouse_dir, name, batches)
+        .where(F.expr(predicate))
+        .groupBy(
+            F.element_at(F.split(F.input_file_name(), "/"), -2).alias("_dir")
+        )
+        .count()
+        .collect()
+    )
+    affected = sorted(r["_dir"] for r in hits)
+    rows_matched = sum(r["count"] for r in hits)
+    if not affected:
+        return {"batches_rewritten": 0, "rows_matched": 0}
+    staging_root = os.path.join(warehouse_dir, ".staging")
+    os.makedirs(staging_root, exist_ok=True)
+    for b in affected:
+        src = os.path.join(table_dir, b)
+        new_df = transform(
+            read_batch_dirs(spark, warehouse_dir, name, [b])
+        )
+        token = uuid.uuid4().hex[:8]
+        staged = os.path.join(staging_root, f"{name}-rw-{token}")
+        aside = f"{staged}-old"
+        try:
+            new_df.write.mode("overwrite").parquet(staged)
+            absorbed = os.path.join(src, ABSORBED_MANIFEST)
+            if os.path.exists(absorbed):
+                shutil.copyfile(
+                    absorbed, os.path.join(staged, ABSORBED_MANIFEST)
+                )
+            os.replace(src, aside)
+            try:
+                os.replace(staged, src)
+            except BaseException:
+                if os.path.exists(aside) and not os.path.exists(src):
+                    os.replace(aside, src)  # roll the old batch back
+                raise
+        finally:
+            for leftover in (staged, aside):
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover, ignore_errors=True)
+    return {"batches_rewritten": len(affected), "rows_matched": rows_matched}
+
+
+def delete_rows(
+    spark: SparkSession, warehouse_dir: str, name: str, predicate: str
+) -> dict[str, int]:
+    """Row-level DELETE on a batch-log table (Delta's `DELETE FROM`,
+    the right-to-erasure primitive): rewrite only the live batch dirs
+    containing matching rows, dropping them. SQL three-valued DELETE
+    semantics — rows where the predicate is NULL are KEPT.
+
+    ERASURE, not versioning: the affected batches are rewritten in
+    place under their existing ids, so the rows disappear from
+    current reads AND from every as-of read — a legal erase must not
+    survive in time travel. Crash-safety is per batch (each swap is
+    atomic with rollback); a crash mid-sequence leaves the delete
+    partially applied and a RE-RUN converges (matching rows only
+    shrink). Derived gold tables do not see the delete until their
+    rebuild path runs (mode daily_summary / refresh full fallback) —
+    the watermark refreshes fold NEW batches and a rewrite is
+    deliberately not new; an erasure pipeline runs the rebuild as its
+    propagation step. Runs under the writer lease (a concurrent
+    vacuum merging dirs mid-rewrite would corrupt both)."""
+    with writer_lock(warehouse_dir, name):
+        keep = ~F.coalesce(F.expr(predicate), F.lit(False))
+        out = _rewrite_matching_batches(
+            spark, warehouse_dir, name, predicate,
+            lambda df: df.where(keep), "delete",
+        )
+    out["rows_deleted"] = out.pop("rows_matched")
+    return out
+
+
+def update_rows(
+    spark: SparkSession,
+    warehouse_dir: str,
+    name: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> dict[str, int]:
+    """Row-level UPDATE (Delta's `UPDATE ... SET`): rewrite only the
+    affected live batches, applying ``assignments`` ({column: SQL
+    expr}) to rows matching ``predicate``; other rows pass through
+    byte-identical. The rewritten batch goes back through the
+    door-level contract (_fuse_constraints) — an update cannot
+    violate NOT NULL/CHECK any more than an append can. Same
+    in-place/as-of/crash/propagation semantics as delete_rows."""
+    schema = table_schema(warehouse_dir, name)
+    bad = [c for c in assignments if c not in schema.fieldNames()]
+    if bad:
+        raise ValueError(f"update targets unknown columns on {name!r}: {bad}")
+    with writer_lock(warehouse_dir, name):
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+
+        def _apply(df: DataFrame) -> DataFrame:
+            for col, expr in assignments.items():
+                typ = schema[col].dataType
+                df = df.withColumn(
+                    col,
+                    F.when(hit, F.expr(expr).cast(typ)).otherwise(F.col(col)),
+                )
+            return _fuse_constraints(df, warehouse_dir, name, verb="update")
+
+        out = _rewrite_matching_batches(
+            spark, warehouse_dir, name, predicate, _apply, "update"
+        )
+    out["rows_updated"] = out.pop("rows_matched")
+    return out
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, n_buckets: int = 16
 ) -> None:

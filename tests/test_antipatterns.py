@@ -30,7 +30,8 @@ COLLECT_ALLOW = {
     "operators/clustering.py": 2,  # k x d centroids
     "operators/similarity.py": 6,  # centroids + PQ codebooks
     "sources/export.py": 1,      # shard manifest (one row per shard)
-    "sources/sinks.py": 1,       # audit scalar (violation count)
+    "sources/sinks.py": 2,       # audit scalar; delete/update affected-dir
+                                 # list (dir names + counts, never rows)
     "pipeline.py": 2,            # touched-date list, CLI status rows
 }
 

@@ -1,0 +1,213 @@
+"""Row-level DELETE / UPDATE on batch-log tables (sinks.delete_rows /
+update_rows) — the right-to-erasure and correction primitives.
+
+Contract pinned here:
+- only batches containing matching rows are rewritten (untouched
+  batch dirs keep their mtime-identity: same files, same content);
+- erasure semantics: deleted rows disappear from current reads AND
+  from as-of reads (legal erase must not survive in time travel);
+- SQL three-valued DELETE: predicate-NULL rows are kept;
+- updates re-enter the door-level contract — an update violating a
+  CHECK dies pre-publish with the table unchanged;
+- a vacuum base's absorbed manifest survives its rewrite (else
+  crashed-vacuum leftovers would resurrect);
+- root-level snapshot tables refuse row rewrites (rebuild wholesale).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark import schemas
+from roborock_data_pipeline_spark.sources import sinks
+
+
+@pytest.fixture()
+def warehouse(spark):
+    d = tempfile.mkdtemp()
+    sinks.setup_warehouse(spark, d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rec(day, device, status="ok"):
+    ts = dt.datetime(2024, 3, day, 9)
+    return (ts, device, ts, 30.0, 12.5, "standard", "vacuum", 0, status)
+
+
+def _append(spark, warehouse, rows):
+    df = spark.createDataFrame(rows, schemas.CLEANING_RECORDS)
+    sinks.append_rows(df, warehouse, "cleaning_records")
+
+
+def _snapshot(warehouse):
+    """(batch dir -> sorted file list) for identity checks."""
+    td = sinks.table_path(warehouse, "cleaning_records")
+    return {
+        b: sorted(os.listdir(os.path.join(td, b)))
+        for b in sinks.list_batches(warehouse, "cleaning_records")
+    }
+
+
+def test_delete_erases_from_current_and_asof_reads(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a"), _rec(1, "robo-b")])
+    _append(spark, warehouse, [_rec(2, "robo-a"), _rec(2, "robo-c")])
+    batches = sinks.list_batches(warehouse, "cleaning_records")
+    first_ns = int(sinks._batch_ns_prefix(batches[0]))  # noqa: SLF001
+
+    out = sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "device_name = 'robo-a'"
+    )
+    assert out == {"batches_rewritten": 2, "rows_deleted": 2}
+
+    cur = sinks.read_table(spark, warehouse, "cleaning_records")
+    assert cur.where("device_name = 'robo-a'").count() == 0
+    assert cur.count() == 2  # robo-b, robo-c untouched
+    # erasure: the as-of view of the FIRST batch also lacks robo-a
+    asof = sinks.read_table_as_of(
+        spark, warehouse, "cleaning_records", first_ns
+    )
+    assert asof.where("device_name = 'robo-a'").count() == 0
+    assert asof.count() == 1
+    # batch log structure unchanged: same ids, still 2 live batches
+    assert sinks.list_batches(warehouse, "cleaning_records") == batches
+
+
+def test_delete_rewrites_only_matching_batches(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    _append(spark, warehouse, [_rec(2, "robo-b")])
+    before = _snapshot(warehouse)
+    out = sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "device_name = 'robo-b'"
+    )
+    assert out["batches_rewritten"] == 1
+    after = _snapshot(warehouse)
+    untouched = [b for b in before if before[b] == after[b]]
+    assert len(untouched) == 1  # the robo-a batch kept its exact files
+
+
+def test_delete_null_predicate_rows_are_kept(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a", status=None),
+                               _rec(1, "robo-b", status="bad")])
+    out = sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "task_status = 'bad'"
+    )
+    assert out["rows_deleted"] == 1
+    left = sinks.read_table(spark, warehouse, "cleaning_records").collect()
+    assert len(left) == 1 and left[0]["device_name"] == "robo-a"
+
+
+def test_delete_noop_when_nothing_matches(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    before = _snapshot(warehouse)
+    out = sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "device_name = 'ghost'"
+    )
+    assert out == {"batches_rewritten": 0, "rows_deleted": 0}
+    assert _snapshot(warehouse) == before
+
+
+def test_delete_entire_batch_leaves_empty_readable_batch(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    _append(spark, warehouse, [_rec(2, "robo-b")])
+    sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "device_name = 'robo-a'"
+    )
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 2
+    assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 1
+
+
+def test_delete_from_vacuum_base_preserves_absorbed_manifest(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    _append(spark, warehouse, [_rec(2, "robo-b")])
+    sinks.vacuum_table(spark, warehouse, "cleaning_records", 0)
+    base = sinks.list_batches(warehouse, "cleaning_records")[0]
+    assert base.endswith(sinks.VACUUM_BASE_SUFFIX)
+    sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "device_name = 'robo-a'"
+    )
+    td = sinks.table_path(warehouse, "cleaning_records")
+    assert os.path.exists(
+        os.path.join(td, base, sinks.ABSORBED_MANIFEST)
+    )
+    assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 1
+
+
+def test_update_applies_assignments_and_reenforces_checks(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a"), _rec(1, "robo-b")])
+    out = sinks.update_rows(
+        spark, warehouse, "cleaning_records",
+        "device_name = 'robo-a'",
+        {"area_sqm": "area_sqm * 2", "task_status": "'corrected'"},
+    )
+    assert out == {"batches_rewritten": 1, "rows_updated": 1}
+    rows = {
+        r["device_name"]: r
+        for r in sinks.read_table(
+            spark, warehouse, "cleaning_records"
+        ).collect()
+    }
+    assert rows["robo-a"]["area_sqm"] == 25.0
+    assert rows["robo-a"]["task_status"] == "corrected"
+    assert rows["robo-b"]["area_sqm"] == 12.5  # untouched passes through
+
+    # a CHECK-violating update dies pre-publish, table unchanged
+    sinks.add_table_constraint(
+        warehouse, "cleaning_records", "area_nonneg", "area_sqm >= 0"
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        sinks.update_rows(
+            spark, warehouse, "cleaning_records",
+            "device_name = 'robo-b'", {"area_sqm": "-1.0"},
+        )
+    assert isinstance(exc.value, Py4JJavaError) or "area_nonneg" in str(
+        exc.value
+    )
+    rows2 = {
+        r["device_name"]: r["area_sqm"]
+        for r in sinks.read_table(
+            spark, warehouse, "cleaning_records"
+        ).collect()
+    }
+    assert rows2 == {"robo-a": 25.0, "robo-b": 12.5}
+
+
+def test_update_unknown_column_refused(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    with pytest.raises(ValueError, match="unknown columns"):
+        sinks.update_rows(
+            spark, warehouse, "cleaning_records", "1=1", {"nope": "1"}
+        )
+
+
+def test_rowops_refuse_root_level_snapshot_tables(spark, warehouse):
+    df = spark.createDataFrame(
+        [("2024-03-01", 1, 12.5, 30, 12.5, 30.0)],
+        sinks.WAREHOUSE_TABLES["daily_summary"],
+    )
+    sinks.overwrite_rows(df, warehouse, "daily_summary")
+    with pytest.raises(ValueError, match="snapshot"):
+        sinks.delete_rows(
+            spark, warehouse, "daily_summary", "date = '2024-03-01'"
+        )
+
+
+def test_concurrent_rowop_raises_under_lease(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        ConcurrentWriterError,
+    )
+
+    with sinks.writer_lock(warehouse, "cleaning_records"):
+        with pytest.raises(ConcurrentWriterError):
+            sinks.delete_rows(
+                spark, warehouse, "cleaning_records", "1=1"
+            )
