@@ -638,12 +638,13 @@ def _rewrite_matching_batches(
     spark: SparkSession,
     warehouse_dir: str,
     name: str,
-    predicate: str,
+    find_matches,
     transform,
     verb: str,
 ) -> dict[str, int]:
-    """Shared core of delete_rows / update_rows: find the live batch
-    dirs holding rows matching ``predicate`` in ONE scan (driver
+    """Shared core of delete_rows / update_rows / merge_rows: find
+    the live batch dirs holding matching rows in ONE scan
+    (``find_matches(df) -> DataFrame`` of the matching subset; driver
     state = affected dir names + match counts, never rows), then
     stage-rewrite only those dirs and swap each atomically (aside +
     rollback, the overwrite_rows pattern). Untouched batches are
@@ -663,8 +664,7 @@ def _rewrite_matching_batches(
     ]
     if root:
         hit = (
-            _read_paths(spark, warehouse_dir, name, root)
-            .where(F.expr(predicate))
+            find_matches(_read_paths(spark, warehouse_dir, name, root))
             .limit(1)
             .count()
         )
@@ -677,8 +677,7 @@ def _rewrite_matching_batches(
     if not batches:
         return {"batches_rewritten": 0, "rows_matched": 0}
     hits = (
-        read_batch_dirs(spark, warehouse_dir, name, batches)
-        .where(F.expr(predicate))
+        find_matches(read_batch_dirs(spark, warehouse_dir, name, batches))
         .groupBy(
             F.element_at(F.split(F.input_file_name(), "/"), -2).alias("_dir")
         )
@@ -743,7 +742,8 @@ def delete_rows(
     with writer_lock(warehouse_dir, name):
         keep = ~F.coalesce(F.expr(predicate), F.lit(False))
         out = _rewrite_matching_batches(
-            spark, warehouse_dir, name, predicate,
+            spark, warehouse_dir, name,
+            lambda df: df.where(F.expr(predicate)),
             lambda df: df.where(keep), "delete",
         )
     out["rows_deleted"] = out.pop("rows_matched")
@@ -781,10 +781,111 @@ def update_rows(
             return _fuse_constraints(df, warehouse_dir, name, verb="update")
 
         out = _rewrite_matching_batches(
-            spark, warehouse_dir, name, predicate, _apply, "update"
+            spark, warehouse_dir, name,
+            lambda df: df.where(F.expr(predicate)), _apply, "update",
         )
     out["rows_updated"] = out.pop("rows_matched")
     return out
+
+
+def merge_rows(
+    spark: SparkSession,
+    warehouse_dir: str,
+    name: str,
+    source: DataFrame,
+    on: list[str],
+    insert_unmatched: bool = True,
+) -> dict[str, int]:
+    """Delta-style MERGE INTO (upsert) on a batch-log table: target
+    rows whose key matches a source row take the source's values for
+    every shared non-key column (WHEN MATCHED UPDATE); source rows
+    with no target match append as one new batch (WHEN NOT MATCHED
+    INSERT, through the ordinary door — schema + constraints + a
+    publish-stamped id the incremental refreshes fold).
+
+    Scale shape: the source is a CDC-batch (small) side — its keys
+    broadcast into one target scan that discovers the affected batch
+    dirs (the _rewrite_matching_batches core: only those dirs
+    rewrite), each rewrite is a broadcast left join applying source
+    values, and the unmatched set is a broadcast anti join of the
+    source against the (source-sized) matched-key set. Nothing
+    target-sized ever shuffles or reaches the driver.
+
+    Duplicate source keys are refused (two updates for one key in a
+    single merge has no deterministic winner — pre-dedup the source
+    with its own ordering, e.g. linkage.cdc_merge's latest-wins).
+    The update half and the insert half are each atomic; a crash
+    between them re-runs cleanly: already-updated rows match their
+    source values again, and the insert half appends only
+    still-unmatched keys. Snapshot-table upserts are linkage.cdc_merge
+    / streaming.cdc_upsert; this is the batch-log form."""
+    schema = table_schema(warehouse_dir, name)
+    missing = [c for c in on if c not in schema.fieldNames()]
+    if missing:
+        raise ValueError(f"merge keys not in {name!r} schema: {missing}")
+    shared = [
+        c for c in source.columns
+        if c in schema.fieldNames() and c not in on
+    ]
+    if source.groupBy(*on).count().where("count > 1").limit(1).count():
+        raise ValueError(
+            "merge source has duplicate keys; pre-dedup with an explicit "
+            "ordering (latest-wins) before merging"
+        )
+    src = source.select(
+        *on,
+        *[F.col(c).alias(f"_src_{c}") for c in shared],
+        F.lit(True).alias("_src_hit"),
+    ).cache()
+    try:
+        with writer_lock(warehouse_dir, name):
+            def _find(df: DataFrame) -> DataFrame:
+                return df.join(F.broadcast(src.select(*on)), on, "left_semi")
+
+            def _apply(df: DataFrame) -> DataFrame:
+                j = df.join(F.broadcast(src), on, "left")
+                for c in shared:
+                    typ = schema[c].dataType
+                    j = j.withColumn(
+                        c,
+                        F.when(
+                            F.col("_src_hit"),
+                            F.col(f"_src_{c}").cast(typ),
+                        ).otherwise(F.col(c)),
+                    )
+                j = j.select(*df.columns)
+                return _fuse_constraints(j, warehouse_dir, name, verb="merge")
+
+            out = _rewrite_matching_batches(
+                spark, warehouse_dir, name, _find, _apply, "merge"
+            )
+            inserted = 0
+            if insert_unmatched:
+                # matched keys are a subset of the (small) source keys:
+                # one target scan projects them, then a broadcast anti
+                # join leaves the to-insert source rows
+                batches = list_batches(warehouse_dir, name)
+                matched_keys = (
+                    read_batch_dirs(spark, warehouse_dir, name, batches)
+                    .join(F.broadcast(src.select(*on)), on, "left_semi")
+                    .select(*on)
+                    .distinct()
+                ) if batches else None
+                to_insert = source
+                if matched_keys is not None:
+                    to_insert = source.join(
+                        F.broadcast(matched_keys), on, "left_anti"
+                    )
+                inserted = to_insert.count()
+                if inserted:
+                    append_rows(to_insert, warehouse_dir, name)
+    finally:
+        src.unpersist()
+    return {
+        "batches_rewritten": out["batches_rewritten"],
+        "rows_updated": out["rows_matched"],
+        "rows_inserted": inserted,
+    }
 
 
 def write_bucketed(

@@ -211,3 +211,81 @@ def test_concurrent_rowop_raises_under_lease(spark, warehouse):
             sinks.delete_rows(
                 spark, warehouse, "cleaning_records", "1=1"
             )
+
+
+# --- MERGE INTO (upsert) --------------------------------------------
+
+
+def test_merge_updates_matched_and_inserts_unmatched(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a"), _rec(1, "robo-b")])
+    out = sinks.merge_rows(
+        spark, warehouse, "cleaning_records",
+        spark.createDataFrame(
+            [_rec(5, "robo-a", status="merged"), _rec(5, "robo-new")],
+            schemas.CLEANING_RECORDS,
+        ),
+        on=["device_name"],
+    )
+    assert out["rows_updated"] == 1 and out["rows_inserted"] == 1
+    assert out["batches_rewritten"] == 1
+    rows = {
+        r["device_name"]: r
+        for r in sinks.read_table(
+            spark, warehouse, "cleaning_records"
+        ).collect()
+    }
+    assert set(rows) == {"robo-a", "robo-b", "robo-new"}
+    assert rows["robo-a"]["task_status"] == "merged"
+    # matched row took the SOURCE's non-key values (timestamp day 5)
+    assert rows["robo-a"]["start_time"].day == 5
+    assert rows["robo-b"]["task_status"] == "ok"  # untouched
+    # the insert is an ordinary publish: one new live batch beyond
+    # the (rewritten-in-place) seed batch
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 2
+
+
+def test_merge_rerun_is_idempotent(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    src = spark.createDataFrame(
+        [_rec(5, "robo-a", status="v2"), _rec(5, "robo-new")],
+        schemas.CLEANING_RECORDS,
+    )
+    sinks.merge_rows(spark, warehouse, "cleaning_records", src,
+                     on=["device_name"])
+    out2 = sinks.merge_rows(spark, warehouse, "cleaning_records", src,
+                            on=["device_name"])
+    # second run: both keys now match -> updates only, no insert
+    assert out2["rows_inserted"] == 0 and out2["rows_updated"] == 2
+    t = sinks.read_table(spark, warehouse, "cleaning_records")
+    assert t.count() == 2  # no duplicate robo-new
+
+
+def test_merge_refuses_duplicate_source_keys(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    src = spark.createDataFrame(
+        [_rec(5, "robo-a"), _rec(6, "robo-a")], schemas.CLEANING_RECORDS
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sinks.merge_rows(spark, warehouse, "cleaning_records", src,
+                         on=["device_name"])
+
+
+def test_merge_unknown_key_refused(spark, warehouse):
+    src = spark.createDataFrame([_rec(1, "x")], schemas.CLEANING_RECORDS)
+    with pytest.raises(ValueError, match="merge keys"):
+        sinks.merge_rows(spark, warehouse, "cleaning_records", src,
+                         on=["nope"])
+
+
+def test_merge_insert_half_can_be_disabled(spark, warehouse):
+    _append(spark, warehouse, [_rec(1, "robo-a")])
+    src = spark.createDataFrame(
+        [_rec(5, "robo-a", status="v2"), _rec(5, "robo-ghost")],
+        schemas.CLEANING_RECORDS,
+    )
+    out = sinks.merge_rows(spark, warehouse, "cleaning_records", src,
+                           on=["device_name"], insert_unmatched=False)
+    assert out["rows_inserted"] == 0 and out["rows_updated"] == 1
+    t = sinks.read_table(spark, warehouse, "cleaning_records")
+    assert t.count() == 1
+    assert t.collect()[0]["task_status"] == "v2"
