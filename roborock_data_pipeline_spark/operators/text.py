@@ -469,7 +469,16 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, pos) and the fingerprint collapse is a groupBy on the
     same doc_id key, so the sort-shuffle is paid once and reused —
     never a per-window self-join. The digest column makes the whole
-    set hash-comparable; the count feeds dedup-pair budgets."""
+    set hash-comparable; the count feeds dedup-pair budgets.
+
+    Rejected alternative (measured, not guessed): the oracle's
+    array-level shape — per-doc rolling min via
+    transform+array_min(slice(hs,...)) with no explode/sort at all —
+    is byte-identical but 5× SLOWER here (min-of-6: 10.0 s vs 1.9 s
+    at sf0.1): higher-order-function lambdas evaluate interpreted
+    (outside whole-stage codegen) and each window slices a fresh
+    array, while the window MIN stays fully codegen'd. Map-only is
+    not automatically faster than a shuffle the data already needs."""
     docs = load(spark, sf_dir, "documents")
     # Two deliberate choices in this prologue:
     # - tokenize ONCE per row before the shingle transform: split()
