@@ -113,13 +113,18 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
 
 def test_blocked_pairs_hot_block_bounded(spark):
     """Block-population cap property: one hot label holding 50% of the
-    corpus generates ≤ cap·|block| pairs (hash sub-split), nowhere
-    near the |block|² of uncapped all-pairs; with cap ≥ |block| the
-    output is exactly the complete pair set (each unordered pair
-    exactly once — pair-complete salting)."""
+    corpus generates ≤ n_bands·cap·|block| pairs (banded LSH
+    sub-split — the bands are a constant multiplier on the old
+    cap·|block| bound, the price of near-dup recall), nowhere near
+    the |block|² of uncapped all-pairs; with cap ≥ |block| the output
+    is exactly the complete pair set (each unordered pair exactly
+    once — pair-complete salting, band dedup)."""
     import random
 
-    from roborock_data_pipeline_spark.operators.similarity import blocked_pairs
+    from roborock_data_pipeline_spark.operators.similarity import (
+        N_BANDS,
+        blocked_pairs,
+    )
 
     rng = random.Random(11)
     hot, total, dims = 200, 400, 8
@@ -140,13 +145,56 @@ def test_blocked_pairs_hot_block_bounded(spark):
     hot_pairs = capped.where(
         (F.col("id1") < hot) & (F.col("id2") < hot)
     ).count()
-    assert hot_pairs <= cap * hot  # the scale bound
+    assert hot_pairs <= N_BANDS * cap * hot  # the scale bound
     assert hot_pairs < hot * (hot - 1) // 2  # strictly sub-quadratic
     assert hot_pairs > 0  # sub-blocks still pair internally
 
     # completeness below the cap: every unordered pair exactly once
     exact = hot * (hot - 1) // 2 + 8 * (25 * 24 // 2)
     assert blocked_pairs(df, cap=10**6).count() == exact
+
+
+def test_blocked_pairs_cap_engaged_recall(spark):
+    """The r9 recall property the banded LSH sub-split exists for:
+    with the cap ENGAGED on an oversized block, near-dup pairs
+    (cos ≥ 0.9) survive the sub-split with ≥ 95% recall — the old
+    vec_id-hash split forfeited ~(g-1)/g ≈ 75% of them at g=4. Built
+    as 64 twin-families of 4 near-identical vectors (the true pair
+    set = 6 intra-family pairs each) inside ONE 256-member block,
+    cap=64 → g=4."""
+    import random
+
+    from roborock_data_pipeline_spark.operators.similarity import blocked_pairs
+
+    rng = random.Random(7)
+    fams, fam_size, dims = 64, 4, 16
+    rows = []
+    for f in range(fams):
+        base = [rng.uniform(-1.0, 1.0) for _ in range(dims)]
+        for m in range(fam_size):
+            rows.append(
+                (
+                    f * fam_size + m,
+                    [x + rng.uniform(-0.01, 0.01) for x in base],
+                    0,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+    def near(pairs):
+        return {
+            (r["id1"], r["id2"])
+            for r in pairs.where(F.col("cos") >= 0.9).collect()
+        }
+
+    true_pairs = near(blocked_pairs(df, cap=10**6))
+    assert len(true_pairs) >= fams * 6  # every intra-family pair qualifies
+    got = near(blocked_pairs(df, cap=64))
+    assert got <= true_pairs  # capping only restricts candidates
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.95, f"cap-engaged recall {recall:.3f}"
 
 
 def test_pandas_brute_topk_equals_codegen(spark, sf_dir):
