@@ -1,12 +1,15 @@
-"""Model-based testing of the warehouse DML state machine.
+"""Model-based testing of the warehouse DML + MIGRATION state machine.
 
 Hypothesis drives random op sequences — append, delete, update,
-merge, vacuum, clustered vacuum — against a real warehouse AND a
-plain-Python model of the table contents; after every op the two
-must agree exactly. Single-op semantics are pinned by their own
-suites; what THIS test hunts is interaction bugs (delete after
-vacuum rewrites a base; merge after delete re-inserts; vacuum after
-merge absorbs the upsert batch; ...) that no hand-written pairing
+merge, vacuum, clustered vacuum, and (r9, VERDICT r8 missing-#3) the
+schema-migration alphabet: type widening, chained column renames,
+additive columns, CHECK constraints — against a real warehouse AND a
+plain-Python model of the table contents + logical schema; after
+every op the two must agree exactly. Single-op semantics are pinned
+by their own suites; what THIS test hunts is interaction bugs
+(delete after vacuum rewrites a base; merge through a rename chain;
+an update rewriting batches published under a narrower type; vacuum
+absorbing mixed-schema batches; ...) that no hand-written pairing
 covers exhaustively.
 
 Kept deliberately small (few examples, short sequences) — each op is
@@ -19,10 +22,11 @@ import datetime as dt
 import shutil
 import tempfile
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F  # noqa: F401 (parity with suite style)
+from pyspark.sql import types as T
 
-from roborock_data_pipeline_spark import schemas
 from roborock_data_pipeline_spark.sources import sinks
 
 DEVICES = ["robo-a", "robo-b", "robo-c"]
@@ -64,7 +68,24 @@ _ops = st.one_of(
         ),
     ),
     st.tuples(st.just("vacuum"), st.integers(0, 2), st.booleans()),
+    # migration alphabet (r9): each mutates the logical schema the
+    # DML ops then have to live with
+    st.tuples(st.just("widen")),
+    st.tuples(st.just("rename")),
+    st.tuples(st.just("add_column")),
+    st.tuples(st.just("add_constraint")),
 )
+
+
+def _df_current_schema(spark, wh, rows9):
+    """Build an append/merge source under the CURRENT logical schema:
+    the base 9-tuple padded with nulls for every evolved column
+    (renames and widenings keep field positions, adds append)."""
+    schema = sinks.table_schema(wh, "cleaning_records")
+    extras = len(schema.fields) - 9
+    return spark.createDataFrame(
+        [tuple(r) + (None,) * extras for r in rows9], schema
+    )
 
 
 @given(st.lists(_ops, min_size=2, max_size=6))
@@ -76,13 +97,17 @@ _ops = st.one_of(
 def test_random_dml_interleavings_match_model(spark, ops):
     wh = tempfile.mkdtemp()
     sinks.setup_warehouse(spark, wh)
-    model: list[tuple] = []  # mirrors cleaning_records rows
+    model: list[tuple] = []  # mirrors cleaning_records rows (base 9 cols)
+    widened = False
+    rename_n = 0  # clean_mode -> mode_v1 -> mode_v2 -> ...
+    add_n = 0
+    cons_n = 0
     try:
         for op in ops:
             if op[0] == "append":
                 rows = [_row(d, day, area, "ok") for d, day, area in op[1]]
                 sinks.append_rows(
-                    spark.createDataFrame(rows, schemas.CLEANING_RECORDS),
+                    _df_current_schema(spark, wh, rows),
                     wh,
                     "cleaning_records",
                 )
@@ -111,9 +136,7 @@ def test_random_dml_interleavings_match_model(spark, ops):
                 ]
                 sinks.merge_rows(
                     spark, wh, "cleaning_records",
-                    spark.createDataFrame(
-                        src_rows, schemas.CLEANING_RECORDS
-                    ),
+                    _df_current_schema(spark, wh, src_rows),
                     on=["device_name"],
                 )
                 by_dev = {r[1]: r for r in src_rows}
@@ -132,12 +155,49 @@ def test_random_dml_interleavings_match_model(spark, ops):
                     spark, wh, "cleaning_records", op[1],
                     cluster_by=["start_time"] if op[2] else None,
                 )
-            got = sorted(
-                _key(tuple(r))
+            elif op[0] == "widen":
+                if widened:
+                    # second widen of the same column must refuse
+                    # (bigint has no safe further widening here)
+                    with pytest.raises(ValueError, match="widen"):
+                        sinks.widen_table_column(
+                            wh, "cleaning_records", "error_code",
+                            T.LongType(),
+                        )
+                else:
+                    sinks.widen_table_column(
+                        wh, "cleaning_records", "error_code", T.LongType()
+                    )
+                    widened = True
+            elif op[0] == "rename":
+                cur = "clean_mode" if rename_n == 0 else f"mode_v{rename_n}"
+                rename_n += 1
+                sinks.rename_table_column(
+                    wh, "cleaning_records", cur, f"mode_v{rename_n}"
+                )
+            elif op[0] == "add_column":
+                add_n += 1
+                sinks.add_table_column(
+                    wh, "cleaning_records",
+                    T.StructField(f"extra_{add_n}", T.IntegerType(), True),
+                )
+            elif op[0] == "add_constraint":
+                cons_n += 1
+                sinks.add_table_constraint(
+                    wh, "cleaning_records", f"cons_{cons_n}",
+                    "area_sqm IS NULL OR area_sqm >= 0",
+                )
+            collected = [
+                tuple(r)
                 for r in sinks.read_table(
                     spark, wh, "cleaning_records"
                 ).collect()
-            )
+            ]
+            got = sorted(_key(r) for r in collected)
             assert got == sorted(_key(r) for r in model), (op, ops)
+            # evolved columns read as null through every rewrite path
+            assert all(
+                v is None for r in collected for v in r[9:]
+            ), (op, ops)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
