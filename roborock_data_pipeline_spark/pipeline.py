@@ -666,6 +666,49 @@ def read_device_lifetime(spark: SparkSession, warehouse: str) -> DataFrame:
     )
 
 
+def fold_health(warehouse: str) -> dict[str, dict[str, object]]:
+    """Fencing signals for the incremental gold refreshes (VERDICT r8
+    #7): per gold view, the fold watermark's age (a stuck watermark on
+    a supposedly-scheduled refresh means folding stopped), the
+    grace-band folded-set population (bounded by the grace-window
+    publish rate by construction — unbounded growth would mean the
+    band prune broke), and whether the state is a pre-grace legacy
+    stamp. Pure file reads, no Spark job."""
+    now_ns = time.time_ns()
+    states = {GOLD_PART_TABLE: _read_rollup_state(warehouse)}
+    lt = _parse_fold_state("")
+    wm_path = os.path.join(
+        sinks.table_path(warehouse, LIFETIME_TABLE), LIFETIME_WATERMARK
+    )
+    if os.path.exists(wm_path):
+        with open(wm_path) as fh:
+            lt = _parse_fold_state(fh.read())
+    states[LIFETIME_TABLE] = lt
+    return {
+        t: {
+            "watermark_age_s": (
+                round((now_ns - int(s["wm"])) / 1e9, 3) if s["wm"] else None
+            ),
+            "grace_band_folded": len(s["folded"]),
+            "legacy_state": bool(s["legacy"]),
+        }
+        for t, s in states.items()
+    }
+
+
+def warehouse_health(warehouse: str) -> dict[str, dict[str, object]]:
+    """One operator snapshot: describe_table per table (batch counts,
+    retention, schema, lock holder/age/staleness) merged with the
+    fold-state signals — everything a 100 TB maintenance dashboard
+    polls, with zero Spark jobs."""
+    report = sinks.describe_warehouse(warehouse)
+    for t, f in fold_health(warehouse).items():
+        report.setdefault(t, {}).update(
+            {f"fold_{k}": v for k, v in f.items()}
+        )
+    return report
+
+
 def gold_maintenance(
     spark: SparkSession, warehouse: str, retain_last_n: int = 24
 ) -> dict[str, object]:
