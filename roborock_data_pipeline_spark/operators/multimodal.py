@@ -825,6 +825,16 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     soup gives near-uniform 64-bit hashes (pairwise hamming ~32), so
     zero pairs pass — verified empty-vs-empty against the oracle; the
     recall property test pins non-empty behavior on actual perturbed
-    duplicates."""
+    duplicates.
+
+    Measured recall caveat (r9, scripts/sf1_quadratic_parity.py): the
+    ≥95% figure holds for CLUSTERED perturbation profiles (real image
+    edits, the property test's generator); on sf1's Caesar-rotation
+    twins — uniformly-spread differences concentrated at hamming
+    8-12 — recall vs the exact pair set measured 0.88 (P(no clean
+    band) ≈ 13% at h=12 is the banding math, not a defect). The ≤7
+    radius stays lossless by pigeonhole. When a recall SLA covers the
+    full 12 radius, use q_media_near_dup_guaranteed — that is what
+    the multi-probe variant exists for."""
     fp = ahash_fingerprints(media_table(spark, sf_dir)).persist()
     return media_near_dup_pairs(fp)
