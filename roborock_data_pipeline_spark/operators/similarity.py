@@ -116,11 +116,13 @@ def blocked_pairs(
        each qualifying pair meets exactly once while every block
        spreads over ``n_salts`` tasks (see :func:`_pair_join`).
     2. BLOCK-POPULATION CAP, recall-preserving (r9) — salting fixes
-       parallelism but not pair *count*, which is O(|block|²). Blocks
-       ≤ ``cap`` take the exact path: one band, one sub-block — the
-       complete all-pairs semantics, byte-identical plan to the pre-r9
-       engine (which is why the oracle checks stay green at every test
-       SF with the default cap). A block larger than ``cap`` is
+       parallelism but not pair *count*, which is O(|block|²). A
+       driver-side regime probe (max block population — one number,
+       via a label-only pruned scan) keeps the banded machinery OUT
+       of the plan entirely when no block overflows: blocks ≤ ``cap``
+       take the exact path — the complete all-pairs semantics, the
+       pre-r9 plan shape (which is why the oracle checks stay green
+       at every test SF with the default cap). A block larger than ``cap`` is
        sub-split GEOMETRY-AWARE instead of by vec_id hash: each member
        emits into ``n_bands`` independent bands, band r's sub-block
        key = the low ceil(log2(ceil(n/cap))) bits of a sign-LSH
@@ -158,6 +160,24 @@ def blocked_pairs(
         "nrm", norm(F.col("embedding"))
     )
     sizes = e.groupBy("label").agg(F.count("*").alias("_blk_n"))
+
+    # Regime probe (r9 bench fix): ONE driver-side number — the max
+    # block population, index metadata of the same class as the IVF
+    # centroid count — decides whether the banded machinery enters
+    # the plan at all. Leaving it in unconditionally cost 2.2-2.7×
+    # on every blocked query at sf0.1 (the empty oversized branch
+    # still pays its 24-projection codegen + extra stages); the probe
+    # is a label-only pruned scan, and below the cap the plan is the
+    # exact pre-banding shape.
+    max_blk = sizes.agg(F.max("_blk_n")).first()[0] or 0
+    if max_blk <= cap:
+        exact = (
+            e.withColumn("band", F.lit(0))
+            .withColumn("subblk", F.lit(0))
+            .withColumn("subsub", F.lit(0))
+        )
+        return _pair_join(exact, n_salts)
+
     keyed = e.join(F.broadcast(sizes), "label")
 
     # exact path: whole block is one band/sub-block cell

@@ -436,18 +436,32 @@ def test_udtf_is_maponly_python_surface(spark, sf_dir):
 
 
 def test_near_dup_join_carries_subblock_key(spark, sf_dir):
-    """Block-population cap: the pair self-join's condition carries
-    the subblk hash-split key (alongside label + salt), so an
-    oversized block is sub-split at the join and can never go
-    quadratic — the bounded-explode pin for blocked_pairs."""
+    """Block-population cap, two-regime pin (r9): below the cap the
+    driver-side regime probe keeps the banded machinery OUT of the
+    plan (no LSH projections, no union, no pair-dedup aggregate on
+    the testdata where every block fits); once a block overflows, the
+    pair self-join's condition must carry the banded sub-split keys
+    so an oversized block can never go quadratic."""
     from roborock_data_pipeline_spark.operators.similarity import (
+        blocked_pairs,
         q_embedding_near_dup,
         q_knn_join,
     )
 
     for q in (q_embedding_near_dup, q_knn_join):
         plan = plan_string(q(spark, sf_dir))
-        assert "subblk" in plan, q.__name__
+        # exact regime: the banded branch must NOT be planned (no
+        # two-branch union, no backstop bucket-size aggregate)
+        assert _n_nodes(plan, "Union") == 0, q.__name__
+        assert "_bkt_n" not in plan, q.__name__
+
+    # cap-engaged regime: sub-split keys in the join
+    rows = [(i, [float(i % 7), 1.0], 0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    plan = plan_string(blocked_pairs(df, cap=8))
+    assert "subblk" in plan and "subsub" in plan and "band" in plan
 
 
 def test_semantic_dedup_apply_is_broadcast_anti(spark, sf_dir):
