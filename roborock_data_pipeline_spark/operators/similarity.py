@@ -190,7 +190,15 @@ def blocked_pairs(
     )
     small_pairs = _pair_join(small, n_salts)
 
-    # oversized path: multi-probe banded LSH sub-split + hash backstop
+    # oversized path: multi-probe banded LSH sub-split + hash backstop.
+    # The regime probe already read the max block size, so only the
+    # signature bits the LARGEST block needs are computed (the per-row
+    # pmod masks down further for smaller blocks) — at the sf1 shape
+    # (g=3 → 2 bits) that is 8 hyperplane folds per row, not 24.
+    max_bits = min(
+        _SIG_BITS,
+        max(1, ((max_blk + cap - 1) // cap - 1).bit_length()),
+    )
     big = keyed.where(F.col("_blk_n") > cap)
     n_bits = F.least(
         F.ceil(
@@ -209,7 +217,9 @@ def blocked_pairs(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.pmod(_lsh_sig(F.col("embedding"), band), p2g)
+                        F.pmod(
+                            _lsh_sig(F.col("embedding"), band, max_bits), p2g
+                        )
                         .cast("int")
                         .alias("subblk"),
                     )
