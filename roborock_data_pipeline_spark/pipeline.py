@@ -258,11 +258,13 @@ def _rollup_watermark_path(warehouse: str) -> str:
 # between those two calls. Re-listing a 5-minute band below the
 # watermark and deduplicating by batch id therefore folds every such
 # late batch EXACTLY ONCE (ADVICE r7: this closes the stamp->rename
-# race structurally for any preemption shorter than the grace; a
-# writer frozen longer than 5 minutes between two adjacent syscalls
-# is the one case left, and that is a machine to fence, not a race
-# to schedule around).
-FOLD_GRACE_NS = 300 * 10**9
+# race structurally for any preemption shorter than the grace). The
+# publish side adds a freeze FENCE (r9, sinks.append_rows): a writer
+# whose stamp aged past half this grace before it reached the rename
+# re-stamps first, so even a multi-minute freeze cannot publish
+# below the floor — the authoritative constant lives in sinks, next
+# to that fence.
+FOLD_GRACE_NS = sinks.FOLD_GRACE_NS
 
 
 def _parse_fold_state(raw: str) -> dict:

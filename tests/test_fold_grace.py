@@ -341,3 +341,32 @@ def test_warehouse_health_surfaces_fold_and_lock_signals(spark, warehouse):
         h2 = pipeline.warehouse_health(warehouse)
         assert h2["cleaning_records"]["lock_holder_pid"] == os.getpid()
         assert h2["cleaning_records"]["lock_stale"] is False
+
+
+def test_publish_freeze_fence_restamps_stale_ids(spark, warehouse, monkeypatch):
+    """VERDICT r8 wrong-#3: a writer frozen between stamping and the
+    publish rename for longer than half the fold grace must RE-STAMP
+    before publishing — a stale id could land below an advanced
+    watermark's grace floor and never fold. Simulated by a stamp
+    source whose first answer is 200 s in the past."""
+    import time as _time
+
+    real = sinks._publish_stamp_ns
+    state = {"stale_served": False}
+
+    def frozen_once():
+        if not state["stale_served"]:
+            state["stale_served"] = True
+            return _time.time_ns() - 200 * 10**9
+        return real()
+
+    monkeypatch.setattr(sinks, "_publish_stamp_ns", frozen_once)
+    _append(spark, warehouse, [_rec(1, "robo-a", 10, 30)])
+    assert state["stale_served"]  # the stale stamp was offered...
+    (batch,) = sinks.list_batches(warehouse, "cleaning_records")
+    age_ns = _time.time_ns() - int(batch.split("-")[1])
+    # ...and rejected: the published id is fresh, well inside the band
+    assert 0 <= age_ns < sinks.FOLD_GRACE_NS // 2
+    # the batch folds normally
+    out = pipeline.refresh_daily_summary(spark, warehouse)
+    assert out["new_batches"] == 1
