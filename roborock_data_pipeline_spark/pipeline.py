@@ -1384,6 +1384,10 @@ def run_mode(spark: SparkSession, args: argparse.Namespace) -> None:
         print(refresh_daily_summary(spark, args.warehouse))
     elif args.mode == "curate":
         print(mode_curate(spark, args.cloud, args.warehouse))
+    elif args.mode == "health":
+        # operator dashboard tick: lock + fold fencing signals per
+        # table, file reads only (no Spark job; spark unused)
+        print(json.dumps(warehouse_health(args.warehouse), indent=1))
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -1394,6 +1398,7 @@ def main(argv: list[str] | None = None) -> None:
         choices=[
             "setup", "status", "log", "smart", "schedule", "record_sync",
             "monitor", "history", "daily_summary", "daily_refresh", "curate",
+            "health",
         ],
     )
     p.add_argument("--cloud", help="telemetry parquet dir (device stand-in)")

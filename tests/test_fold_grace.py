@@ -370,3 +370,21 @@ def test_publish_freeze_fence_restamps_stale_ids(spark, warehouse, monkeypatch):
     # the batch folds normally
     out = pipeline.refresh_daily_summary(spark, warehouse)
     assert out["new_batches"] == 1
+
+
+def test_health_cli_mode_prints_snapshot(spark, warehouse, capsys):
+    """--mode health: the warehouse_health snapshot is a CLI surface
+    (operator dashboard tick, no Spark job)."""
+    import argparse
+
+    pipeline.run_mode(
+        spark,
+        argparse.Namespace(
+            mode="health", warehouse=warehouse, cloud=None,
+            checkpoint=None, limit=10,
+        ),
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert "cleaning_records" in out
+    assert out["cleaning_records"]["lock_stale"] is False
+    assert "fold_watermark_age_s" in out[pipeline.GOLD_PART_TABLE]
