@@ -58,7 +58,6 @@ def _replica_mapped_equal(base, sf1, id_cols, off):
     Returns (ok, detail). Also proves zero cross-replica rows (all id
     columns of a row must sit in the SAME replica)."""
     other = [c for c in sf1.columns if c not in id_cols]
-    reps = [F.col(c).cast("long") / F.lit(off) for c in id_cols]
     cross = sf1
     for c in id_cols[1:]:
         cross = cross.where(
