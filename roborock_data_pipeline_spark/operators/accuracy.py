@@ -447,7 +447,10 @@ def q_knn_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roborock_data_pipeline_spark.operators.similarity import knn_join
 
     aug = _augmented(spark, sf_dir)
-    exact = knn_join(aug).select(
+    # the truth side must be UNCAPPED (cap high enough that the exact
+    # regime holds on any corpus) — at the default cap a large-enough
+    # block would silently make this capped-vs-capped and vacuous
+    exact = knn_join(aug, cap=10**9).select(
         "vec_id", "rk", F.col("cosine").alias("ec")
     )
     capped = knn_join(aug, cap=GATE_CAP).select(

@@ -103,6 +103,7 @@ def blocked_pairs(
     cap: int = BLOCK_CAP,
     n_salts: int = N_SALTS,
     n_bands: int = N_BANDS,
+    force_banded: bool = False,
 ) -> DataFrame:
     """All within-block unordered vector pairs (id1 < id2) with their
     raw cosine — the shared engine behind q_embedding_near_dup and
@@ -168,9 +169,16 @@ def blocked_pairs(
     # on every blocked query at sf0.1 (the empty oversized branch
     # still pays its 24-projection codegen + extra stages); the probe
     # is a label-only pruned scan, and below the cap the plan is the
-    # exact pre-banding shape.
-    max_blk = sizes.agg(F.max("_blk_n")).first()[0] or 0
-    if max_blk <= cap:
+    # exact pre-banding shape. The probe is EAGER and bakes the
+    # regime into the returned plan — a caller that holds the plan
+    # while the source GROWS past the cap (or passes a streaming
+    # DataFrame, where an eager action is illegal) must pass
+    # ``force_banded=True`` to get the lazily-split union form whose
+    # cap guard holds at every execution.
+    max_blk = (
+        0 if force_banded else sizes.agg(F.max("_blk_n")).first()[0] or 0
+    )
+    if not force_banded and max_blk <= cap:
         exact = (
             e.withColumn("band", F.lit(0))
             .withColumn("subblk", F.lit(0))
@@ -195,9 +203,13 @@ def blocked_pairs(
     # signature bits the LARGEST block needs are computed (the per-row
     # pmod masks down further for smaller blocks) — at the sf1 shape
     # (g=3 → 2 bits) that is 8 hyperplane folds per row, not 24.
-    max_bits = min(
-        _SIG_BITS,
-        max(1, ((max_blk + cap - 1) // cap - 1).bit_length()),
+    max_bits = (
+        _SIG_BITS  # sizes unknown ahead of execution: full width
+        if force_banded
+        else min(
+            _SIG_BITS,
+            max(1, ((max_blk + cap - 1) // cap - 1).bit_length()),
+        )
     )
     big = keyed.where(F.col("_blk_n") > cap)
     n_bits = F.least(

@@ -527,6 +527,19 @@ LIFETIME_TABLE = "device_lifetime"
 LIFETIME_WATERMARK = "_folded_watermark"
 
 
+def _read_lifetime_state(warehouse: str) -> dict:
+    """The lifetime rollup's fold state (committed INSIDE the snapshot
+    dir so data+watermark publish atomically) — shared by the refresh
+    and the health snapshot so the location/format cannot drift."""
+    wm_path = os.path.join(
+        sinks.table_path(warehouse, LIFETIME_TABLE), LIFETIME_WATERMARK
+    )
+    if not os.path.exists(wm_path):
+        return _parse_fold_state("")
+    with open(wm_path) as fh:
+        return _parse_fold_state(fh.read())
+
+
 def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, object]:
     """EXT: KEYED incremental view maintenance — the delta-merge twin
     of refresh_daily_summary's partition swap. A per-device lifetime
@@ -567,10 +580,7 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
     ):
         table_dir = sinks.table_path(warehouse, LIFETIME_TABLE)
         wm_path = os.path.join(table_dir, LIFETIME_WATERMARK)
-        state = _parse_fold_state("")
-        if os.path.exists(wm_path):
-            with open(wm_path) as fh:
-                state = _parse_fold_state(fh.read())
+        state = _read_lifetime_state(warehouse)
         batches = sinks.list_batches(warehouse, "cleaning_records")
         # grace-band re-list + id dedup (see FOLD_GRACE_NS): a batch
         # whose publish rename landed late — stamp below a watermark
@@ -677,15 +687,10 @@ def fold_health(warehouse: str) -> dict[str, dict[str, object]]:
     band prune broke), and whether the state is a pre-grace legacy
     stamp. Pure file reads, no Spark job."""
     now_ns = time.time_ns()
-    states = {GOLD_PART_TABLE: _read_rollup_state(warehouse)}
-    lt = _parse_fold_state("")
-    wm_path = os.path.join(
-        sinks.table_path(warehouse, LIFETIME_TABLE), LIFETIME_WATERMARK
-    )
-    if os.path.exists(wm_path):
-        with open(wm_path) as fh:
-            lt = _parse_fold_state(fh.read())
-    states[LIFETIME_TABLE] = lt
+    states = {
+        GOLD_PART_TABLE: _read_rollup_state(warehouse),
+        LIFETIME_TABLE: _read_lifetime_state(warehouse),
+    }
     return {
         t: {
             "watermark_age_s": (

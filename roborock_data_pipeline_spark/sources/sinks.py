@@ -952,14 +952,24 @@ def describe_table(warehouse_dir: str, name: str) -> dict[str, object]:
     bases = [b for b in batches if b.endswith(VACUUM_BASE_SUFFIX)]
     schema = table_schema(warehouse_dir, name)
     lock_age_s = lock_holder = None
+    holder_alive = False
     try:
         lock = os.path.join(warehouse_dir, f".lock-{name}")
-        st = os.stat(lock)
-        lock_age_s = round(time.time() - st.st_mtime, 3)
         with open(lock) as fh:
             lock_holder = int(fh.read().strip() or 0) or None
+        lock_age_s = round(time.time() - os.stat(lock).st_mtime, 3)
+        if lock_holder:
+            try:
+                os.kill(lock_holder, 0)
+                holder_alive = True
+            except ProcessLookupError:
+                holder_alive = False
+            except PermissionError:
+                holder_alive = True
     except (FileNotFoundError, ValueError):
-        pass
+        # released (or replaced) mid-snapshot: report a consistent
+        # "no lock" row rather than a half-read one
+        lock_age_s = lock_holder = None
     return {
         "batch_count": len(batches),
         "vacuum_bases": len(bases),
@@ -971,8 +981,15 @@ def describe_table(warehouse_dir: str, name: str) -> dict[str, object]:
         "constraints": table_constraints(warehouse_dir, name),
         "lock_holder_pid": lock_holder,
         "lock_age_s": lock_age_s,
+        # mirrors writer_lock's ACTUAL takeover rule: a dead holder is
+        # stealable immediately; a live one only once the heartbeat
+        # has been silent past the TTL
         "lock_stale": (
-            lock_age_s is not None and lock_age_s > LOCK_TTL_S
+            lock_holder is not None
+            and (
+                not holder_alive
+                or (lock_age_s is not None and lock_age_s > LOCK_TTL_S)
+            )
         ),
     }
 
@@ -1291,12 +1308,29 @@ def writer_lock(warehouse_dir: str, name: str):
         hb_stop.set()
         if hb_thread is not None:
             hb_thread.join(timeout=5)
-        if hb_fd is not None:
-            os.close(hb_fd)
+        # OWNERSHIP-CHECKED release: a holder fenced out by the TTL
+        # takeover (frozen past LOCK_TTL_S, then resumed) must not
+        # unlink its SUCCESSOR's lease — that would re-open the
+        # double-vacuum corruption the lease exists to prevent. The
+        # held fd pins our inode, so the lock path is ours iff the
+        # inodes match; with no fd (open raced a release), the pid
+        # content is the proof. A steal landing inside the
+        # check→unlink gap itself would still lose its new lock —
+        # but that requires the TTL takeover to fire in exactly that
+        # instant, i.e. this process was already frozen 15+ minutes.
         try:
-            os.unlink(lock)
+            if hb_fd is not None:
+                if os.stat(lock).st_ino == os.fstat(hb_fd).st_ino:
+                    os.unlink(lock)
+            else:
+                with open(lock) as fh:
+                    if fh.read().strip() == str(os.getpid()):
+                        os.unlink(lock)
         except FileNotFoundError:
             pass
+        finally:
+            if hb_fd is not None:
+                os.close(hb_fd)
 
 
 def _batch_ns_prefix(batch_dirname: str) -> str:

@@ -58,12 +58,17 @@ def _replica_mapped_equal(base, sf1, id_cols, off):
     Returns (ok, detail). Also proves zero cross-replica rows (all id
     columns of a row must sit in the SAME replica)."""
     other = [c for c in sf1.columns if c not in id_cols]
-    cross = sf1
-    for c in id_cols[1:]:
-        cross = cross.where(
-            F.floor(F.col(id_cols[0]) / off) != F.floor(F.col(c) / off)
-        )
-    n_cross = cross.count() if len(id_cols) > 1 else 0
+    n_cross = 0
+    if len(id_cols) > 1:
+        # ANY id column in a different replica than the first — OR of
+        # the pairwise tests (an AND-chain would undercount rows that
+        # mix replicas in only some columns)
+        mixed = F.lit(False)
+        for c in id_cols[1:]:
+            mixed = mixed | (
+                F.floor(F.col(id_cols[0]) / off) != F.floor(F.col(c) / off)
+            )
+        n_cross = sf1.where(mixed).count()
     mapped = sf1.select(
         F.floor(F.col(id_cols[0]) / off).alias("_rep"),
         *[F.pmod(F.col(c), F.lit(off)).alias(c) for c in id_cols],

@@ -234,3 +234,40 @@ def test_describe_table_reports_lock_health(spark, warehouse):
     stale = sinks.describe_table(warehouse, "cleaning_records")
     assert stale["lock_stale"] is True and stale["lock_holder_pid"] == 1
     os.unlink(lock)
+
+
+def test_fenced_zombie_release_spares_successor_lock(warehouse):
+    """r9 review: a holder fenced out by the TTL takeover must not,
+    on resume, unlink its SUCCESSOR's lease — release verifies inode
+    ownership through the heartbeat fd before unlinking."""
+    lock = _lock_path(warehouse, "cleaning_records")
+    with sinks.writer_lock(warehouse, "cleaning_records"):
+        # simulate the takeover happening while we are 'frozen':
+        # the stealer renames our lock aside (here: unlink) and a
+        # successor publishes its own lease at the same path
+        os.unlink(lock)
+        with open(lock, "w") as fh:
+            fh.write("1")
+    # our release ran - the successor's lease must have survived it
+    assert os.path.exists(lock)
+    with open(lock) as fh:
+        assert fh.read() == "1"
+    os.unlink(lock)
+
+
+def test_describe_table_dead_holder_is_stale_immediately(spark, warehouse):
+    """lock_stale mirrors writer_lock's actual rule: a dead holder is
+    stealable NOW, not after the TTL."""
+    import subprocess
+
+    _append_n(spark, warehouse, 1)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    lock = _lock_path(warehouse, "cleaning_records")
+    with open(lock, "w") as fh:
+        fh.write(str(proc.pid))
+    d = sinks.describe_table(warehouse, "cleaning_records")
+    assert d["lock_holder_pid"] == proc.pid
+    assert d["lock_age_s"] < 60  # fresh mtime...
+    assert d["lock_stale"] is True  # ...but the pid is dead
+    os.unlink(lock)
