@@ -423,9 +423,13 @@ def _fuse_constraints(
                 ),
             )
     for cn, expr in table_constraints(warehouse_dir, name).items():
+        # SQL three-valued CHECK (r9 review): a NULL predicate result
+        # SATISFIES the constraint (SQL standard / Delta semantics) —
+        # only FALSE rejects. Without the coalesce, `area >= 0` on a
+        # nullable column refused every batch carrying a NULL.
         df = df.filter(
             F.assert_true(
-                F.expr(expr),
+                F.coalesce(F.expr(expr), F.lit(True)),
                 F.lit(
                     f"{verb} to {name!r}: CHECK constraint {cn!r} "
                     f"violated ({expr})"
@@ -673,6 +677,22 @@ def _rewrite_matching_batches(
     carried into its rewrite (losing it would resurrect
     crashed-vacuum leftovers in list_batches)."""
     table_dir = table_path(warehouse_dir, name)
+    # partition-overwrite layout (gold tables): no batch dirs, data
+    # under key=value version dirs — a row rewrite here would
+    # otherwise report 0 matches and silently erase NOTHING (r9
+    # review: unacceptable for the right-to-erasure primitive)
+    if os.path.isdir(table_dir) and (
+        os.path.exists(os.path.join(table_dir, "_partitions.json"))
+        or any(
+            "=" in d and os.path.isdir(os.path.join(table_dir, d))
+            for d in os.listdir(table_dir)
+        )
+    ):
+        raise ValueError(
+            f"{verb} targets partition-overwrite table {name!r}: row "
+            "rewrites do not apply to the partitioned gold layout — "
+            "rebuild the affected partitions via overwrite_partitions"
+        )
     batches = list_batches(warehouse_dir, name)
     # root-level part files (provisioning / overwrite_rows snapshots)
     # are not batch-granular; matches there need a snapshot rebuild
@@ -796,13 +816,22 @@ def update_rows(
         hit = F.coalesce(F.expr(predicate), F.lit(False))
 
         def _apply(df: DataFrame) -> DataFrame:
-            for col, expr in assignments.items():
-                typ = schema[col].dataType
-                df = df.withColumn(
-                    col,
-                    F.when(hit, F.expr(expr).cast(typ)).otherwise(F.col(col)),
-                )
-            return _fuse_constraints(df, warehouse_dir, name, verb="update")
+            # ONE select, not sequential withColumns (r9 review): SQL
+            # UPDATE evaluates the predicate and every assignment RHS
+            # against the PRE-UPDATE row — chained withColumns made a
+            # later assignment see an earlier one's new value (and a
+            # predicate on an assigned column stop matching mid-way)
+            out = [
+                F.when(
+                    hit, F.expr(assignments[f.name]).cast(f.dataType)
+                ).otherwise(F.col(f.name)).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+            return _fuse_constraints(
+                df.select(*out), warehouse_dir, name, verb="update"
+            )
 
         out = _rewrite_matching_batches(
             spark, warehouse_dir, name,
@@ -848,15 +877,35 @@ def merge_rows(
     missing = [c for c in on if c not in schema.fieldNames()]
     if missing:
         raise ValueError(f"merge keys not in {name!r} schema: {missing}")
-    shared = [
-        c for c in source.columns
-        if c in schema.fieldNames() and c not in on
-    ]
+    undeclared = [c for c in source.columns if c not in schema.fieldNames()]
+    if undeclared:
+        # refused BEFORE the update half (r9 review): the door would
+        # reject the insert append anyway, but only after the batch
+        # rewrites had committed — leaving the merge half-applied on
+        # every re-run
+        raise ValueError(
+            f"merge source carries columns not on {name!r}: {undeclared}"
+        )
     if source.groupBy(*on).count().where("count > 1").limit(1).count():
         raise ValueError(
             "merge source has duplicate keys; pre-dedup with an explicit "
             "ordering (latest-wins) before merging"
         )
+    null_key = F.lit(False)
+    for c in on:
+        null_key = null_key | F.col(c).isNull()
+    if source.where(null_key).limit(1).count():
+        # a NULL key never equals anything in SQL joins, so such a row
+        # would re-insert on EVERY run — breaking the documented
+        # idempotent re-run contract (r9 review)
+        raise ValueError(
+            f"merge source has NULL in merge key(s) {on}; NULL keys can "
+            "never match and would duplicate on re-run"
+        )
+    shared = [
+        c for c in source.columns
+        if c in schema.fieldNames() and c not in on
+    ]
     src = source.select(
         *on,
         *[F.col(c).alias(f"_src_{c}") for c in shared],
@@ -901,9 +950,15 @@ def merge_rows(
                     .select(*on)
                     .distinct()
                 ) if affected else None
-                to_insert = source
+                # rebuilt from the CACHED src (r9 review): a live /
+                # non-deterministic `source` recomputed here could
+                # diverge from the snapshot the dup-key check and the
+                # update half saw
+                to_insert = src.select(
+                    *on, *[F.col(f"_src_{c}").alias(c) for c in shared]
+                )
                 if matched_keys is not None:
-                    to_insert = source.join(
+                    to_insert = to_insert.join(
                         F.broadcast(matched_keys), on, "left_anti"
                     )
                 inserted = to_insert.count()
@@ -1022,7 +1077,8 @@ def validate_table(
         if not f.nullable
     }
     for cn, expr in table_constraints(warehouse_dir, name).items():
-        checks[f"check:{cn}"] = ~F.coalesce(F.expr(expr), F.lit(False))
+        # same three-valued rule as the door: NULL satisfies CHECK
+        checks[f"check:{cn}"] = ~F.coalesce(F.expr(expr), F.lit(True))
     if not checks:
         return {}
     row = (
@@ -1143,6 +1199,41 @@ LOCK_TTL_S = 900.0
 LOCK_HEARTBEAT_S = LOCK_TTL_S / 10
 
 
+def _steal_stale(lock: str, stale_ino: int | None, name: str) -> None:
+    """Remove a lock judged stale — verifying it is STILL the judged
+    one. The rename-aside is atomic (exactly one concurrent stealer
+    wins it), but by itself it would remove whatever sits at the
+    path: a contender that lost the judge→steal race to a faster
+    stealer WHO ALREADY RE-ACQUIRED would rename the successor's live
+    lease aside and break the single-writer guarantee. So the stolen
+    file's inode is compared against the one captured when the lock
+    was judged; on mismatch the live lease is restored (os.link —
+    refuses if a third writer re-created the path, in which case the
+    aside file is left for forensics and the error names it) and the
+    race is lost loudly."""
+    aside = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+    try:
+        os.replace(lock, aside)
+    except FileNotFoundError:
+        raise ConcurrentWriterError(
+            f"table {name!r}: another writer took over the stale lock "
+            "first; rerun if still needed"
+        ) from None
+    if stale_ino is None or os.stat(aside).st_ino != stale_ino:
+        try:
+            os.link(aside, lock)  # restore the successor's live lease
+            os.unlink(aside)
+        except FileExistsError:
+            pass  # third writer already re-created the path
+        raise ConcurrentWriterError(
+            f"table {name!r}: the stale lock was stolen and re-acquired "
+            "by another writer during this one's takeover attempt "
+            f"(restored; see {aside!r} if it remains); rerun if still "
+            "needed"
+        )
+    os.unlink(aside)
+
+
 @contextmanager
 def writer_lock(warehouse_dir: str, name: str):
     """Single-writer lease for a table's MUTATING maintenance
@@ -1207,9 +1298,14 @@ def writer_lock(warehouse_dir: str, name: str):
             os.unlink(tmp)
 
     if not _try_acquire():
+        stale_ino = None
         try:
             with open(lock) as fh:
                 raw = fh.read().strip()
+                # pin the identity of the lock we are judging: a steal
+                # must only ever remove THIS file, never a successor's
+                # re-acquired lease at the same path
+                stale_ino = os.fstat(fh.fileno()).st_ino
         except FileNotFoundError:
             # holder released between our failed acquire and the read
             raw = None
@@ -1266,17 +1362,13 @@ def writer_lock(warehouse_dir: str, name: str):
                         f"(lease heartbeat {age:.0f}s ago); rerun this "
                         "maintenance after the holder finishes"
                     )
-            # stale lock: steal by renaming it aside — atomic, exactly
-            # one concurrent stealer wins the rename
-            aside = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
-            try:
-                os.replace(lock, aside)
-                os.unlink(aside)
-            except FileNotFoundError:
-                raise ConcurrentWriterError(
-                    f"table {name!r}: another writer took over the "
-                    "stale lock first; rerun if still needed"
-                ) from None
+            # stale lock: steal by renaming it aside — atomic, and
+            # identity-checked (r9 review): the rename could otherwise
+            # land on a SUCCESSOR's live lease if another contender
+            # stole first and re-acquired inside our judge→steal gap —
+            # the loser would then remove a live lock and two mutators
+            # would run concurrently
+            _steal_stale(lock, stale_ino, name)
             if not _try_acquire():
                 raise ConcurrentWriterError(
                     f"table {name!r}: lost the lock race after stealing "
