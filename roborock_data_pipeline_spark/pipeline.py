@@ -713,6 +713,18 @@ def warehouse_health(warehouse: str) -> dict[str, dict[str, object]]:
         report.setdefault(t, {}).update(
             {f"fold_{k}": v for k, v in f.items()}
         )
+    # Blocked-pairs regime telemetry (r10, VERDICT r9 #8): which path
+    # the last blocked_pairs plan took (exact vs banded), the probed
+    # max block vs the cap, and whether the banded form was forced
+    # (streaming / explicit). An operator sees an exact→banded regime
+    # flip — the moment recall becomes probabilistic and cost becomes
+    # cap-bounded — on the dashboard instead of in a Spark plan diff.
+    # Driver-local by design: the regime decision is made driver-side
+    # at plan-build time, the same place this snapshot runs.
+    from roborock_data_pipeline_spark.operators import similarity
+
+    if similarity.LAST_REGIME:
+        report["_blocked_pairs_regime"] = dict(similarity.LAST_REGIME)
     return report
 
 

@@ -114,6 +114,7 @@ def _write_schema_manifest(
     tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as fh:
         json.dump(m, fh)
+    _check_fence()  # abort a TTL-fenced migration before commit
     os.replace(tmp, p)
 
 
@@ -643,6 +644,7 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         manifest = os.path.join(table_dir, SCHEMA_MANIFEST)
         if os.path.exists(manifest):
             shutil.copyfile(manifest, os.path.join(staged, SCHEMA_MANIFEST))
+        _check_fence()  # abort a TTL-fenced writer before the swap
         if os.path.exists(table_dir):
             os.replace(table_dir, old)
         try:
@@ -677,15 +679,28 @@ def _rewrite_matching_batches(
     carried into its rewrite (losing it would resurrect
     crashed-vacuum leftovers in list_batches)."""
     table_dir = table_path(warehouse_dir, name)
+    batches = list_batches(warehouse_dir, name)
     # partition-overwrite layout (gold tables): no batch dirs, data
     # under key=value version dirs — a row rewrite here would
     # otherwise report 0 matches and silently erase NOTHING (r9
-    # review: unacceptable for the right-to-erasure primitive)
+    # review: unacceptable for the right-to-erasure primitive).
+    # Decided from the AUTHORITATIVE signals (r10, advisor item):
+    # the manifest's declared layout or the committed
+    # _partitions.json — never by scanning dirnames for '=', which
+    # let one stray key=value directory inside a normal batch-log
+    # table permanently block its DML/erasure path. The structural
+    # scan survives ONLY for the legacy pre-manifest gold layout,
+    # gated on the table having no batch log at all (a batch-log
+    # table is proven non-partitioned by its batches).
     if os.path.isdir(table_dir) and (
-        os.path.exists(os.path.join(table_dir, "_partitions.json"))
-        or any(
-            "=" in d and os.path.isdir(os.path.join(table_dir, d))
-            for d in os.listdir(table_dir)
+        _manifest(warehouse_dir, name).get("layout") == "partition-overwrite"
+        or os.path.exists(os.path.join(table_dir, PARTITIONS_MANIFEST))
+        or (
+            not batches
+            and any(
+                "=" in d and os.path.isdir(os.path.join(table_dir, d))
+                for d in os.listdir(table_dir)
+            )
         )
     ):
         raise ValueError(
@@ -693,7 +708,6 @@ def _rewrite_matching_batches(
             "rewrites do not apply to the partitioned gold layout — "
             "rebuild the affected partitions via overwrite_partitions"
         )
-    batches = list_batches(warehouse_dir, name)
     # root-level part files (provisioning / overwrite_rows snapshots)
     # are not batch-granular; matches there need a snapshot rebuild
     root = [
@@ -744,6 +758,7 @@ def _rewrite_matching_batches(
                 shutil.copyfile(
                     absorbed, os.path.join(staged, ABSORBED_MANIFEST)
                 )
+            _check_fence()  # abort a TTL-fenced writer before the swap
             os.replace(src, aside)
             try:
                 os.replace(staged, src)
@@ -1199,6 +1214,84 @@ LOCK_TTL_S = 900.0
 LOCK_HEARTBEAT_S = LOCK_TTL_S / 10
 
 
+class FencedWriterError(ConcurrentWriterError):
+    """Raised at a mutation's atomic publish point when the writer's
+    lease was TTL-fenced mid-flight (frozen past LOCK_TTL_S, a
+    contender took over, and this process resumed): committing would
+    interleave with the successor — the exact corruption the lease
+    exists to prevent. The aborted mutation's staged state rolls back
+    through the caller's existing rollback path; rerun it."""
+
+
+class WriterLease:
+    """The held lease `writer_lock` yields: carries the fence signal
+    the TTL takeover creates (r10, advisor item — pre-r10 the
+    ownership check only stopped a fenced zombie from unlinking its
+    successor's lock; its in-flight batch rewrites could still
+    PUBLISH concurrently with the successor's). ``is_fenced`` is a
+    synchronous inode comparison (lock path vs the pinned heartbeat
+    fd), not just a cached flag, so a publish that runs before the
+    resumed heartbeat thread gets scheduled still sees the fence."""
+
+    def __init__(self, name: str, lock: str, hb_fd: int | None):
+        self.name = name
+        self._lock = lock
+        self._hb_fd = hb_fd
+        self._fenced = threading.Event()
+
+    def is_fenced(self) -> bool:
+        if self._fenced.is_set():
+            return True
+        try:
+            if self._hb_fd is not None:
+                mine = os.stat(self._lock).st_ino == os.fstat(
+                    self._hb_fd
+                ).st_ino
+            else:
+                # no inode pin (open raced a release): pid content is
+                # the ownership proof, as in the release path
+                with open(self._lock) as fh:
+                    mine = fh.read().strip() == str(os.getpid())
+        except FileNotFoundError:
+            # we only probe while holding; a missing lock means a
+            # stealer renamed ours aside (its re-acquire may be
+            # mid-flight) — fenced either way
+            mine = False
+        except OSError:
+            return False  # can't prove fencing; don't block a live writer
+        if not mine:
+            self._fenced.set()
+        return not mine
+
+
+_ACTIVE_LEASES = threading.local()
+
+
+def _lease_stack() -> list[WriterLease]:
+    stack = getattr(_ACTIVE_LEASES, "stack", None)
+    if stack is None:
+        stack = _ACTIVE_LEASES.stack = []
+    return stack
+
+
+def _check_fence() -> None:
+    """Abort-before-commit guard called immediately before each
+    atomic publish (os.replace) on the mutating paths. Driver-side
+    mutations run on the thread that holds the lease, so the
+    thread-local stack is the right scope; outside any lease this is
+    a no-op (appends are writer-unique and commute — they need no
+    lease and no fence)."""
+    for lease in _lease_stack():
+        if lease.is_fenced():
+            raise FencedWriterError(
+                f"table {lease.name!r}: this writer's lease was "
+                f"TTL-fenced mid-mutation (frozen past {LOCK_TTL_S:.0f}s "
+                "and taken over) — aborting before publish so the "
+                "successor's writes are not interleaved; rerun this "
+                "maintenance"
+            )
+
+
 def _steal_stale(lock: str, stale_ino: int | None, name: str) -> None:
     """Remove a lock judged stale — verifying it is STILL the judged
     one. The rename-aside is atomic (exactly one concurrent stealer
@@ -1382,10 +1475,18 @@ def writer_lock(warehouse_dir: str, name: str):
         hb_fd: int | None = os.open(lock, os.O_RDONLY)
     except OSError:
         hb_fd = None
+    lease = WriterLease(name, lock, hb_fd)
     hb_thread = None
     if hb_fd is not None:
         def _beat() -> None:
             while not hb_stop.wait(LOCK_HEARTBEAT_S):
+                # fence probe each beat: after a >TTL freeze the
+                # resumed thread discovers the successor's inode at
+                # the lock path and latches the fence — publishes on
+                # the main thread also probe synchronously, so this
+                # is belt (early latch) to that suspenders
+                if lease.is_fenced():
+                    return
                 try:
                     os.utime(hb_fd)
                 except OSError:
@@ -1394,9 +1495,13 @@ def writer_lock(warehouse_dir: str, name: str):
             target=_beat, daemon=True, name=f"lease-heartbeat-{name}"
         )
         hb_thread.start()
+    _lease_stack().append(lease)
     try:
-        yield
+        yield lease
     finally:
+        stack = _lease_stack()
+        if lease in stack:
+            stack.remove(lease)
         hb_stop.set()
         if hb_thread is not None:
             hb_thread.join(timeout=5)
@@ -1528,6 +1633,7 @@ def _merge_batches(
         df.write.mode("overwrite").parquet(staged)
         with open(os.path.join(staged, ABSORBED_MANIFEST), "w") as fh:
             json.dump({"absorbed": sorted(set(absorbed))}, fh)
+        _check_fence()  # abort a TTL-fenced vacuum before base publish
         os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
         for b in old:
             shutil.rmtree(os.path.join(table_dir, b), ignore_errors=True)
@@ -1704,6 +1810,28 @@ def overwrite_partitions(
     df = _fuse_constraints(df, warehouse_dir, name, verb="overwrite")
     table_dir = table_path(warehouse_dir, name)
     os.makedirs(table_dir, exist_ok=True)
+    # declare the layout in the schema manifest (r10): the
+    # AUTHORITATIVE signal _rewrite_matching_batches refuses DML on —
+    # structural dirname scanning is reserved for legacy tables that
+    # predate this declaration
+    m = _manifest(warehouse_dir, name)
+    if m.get("layout") != "partition-overwrite":
+        m["layout"] = "partition-overwrite"
+        # a fresh manifest must be COMPLETE: every consumer of
+        # _schema.json (table_schema, _fuse_constraints' door check)
+        # expects a schema key — pin the declared schema when the
+        # table has one, else the published frame's
+        if "schema" not in m:
+            m["schema"] = (
+                WAREHOUSE_TABLES[name].jsonValue()
+                if name in WAREHOUSE_TABLES
+                else df.schema.jsonValue()
+            )
+        mp0 = os.path.join(table_dir, SCHEMA_MANIFEST)
+        tmp0 = f"{mp0}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp0, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp0, mp0)
     committed = _partitions_manifest(table_dir)
     if committed is None:
         committed = _migrate_legacy_partitions(table_dir)
@@ -1740,6 +1868,7 @@ def overwrite_partitions(
             new_pointers[rel.replace(os.sep, "/")] = vseg
         # THE commit point: one rename publishes every touched
         # partition's new version together
+        _check_fence()  # abort a TTL-fenced refresh before commit
         merged = {**committed, **new_pointers}
         mp = os.path.join(table_dir, PARTITIONS_MANIFEST)
         tmp = f"{mp}.tmp-{uuid.uuid4().hex[:8]}"

@@ -289,3 +289,63 @@ def test_merge_insert_half_can_be_disabled(spark, warehouse):
     t = sinks.read_table(spark, warehouse, "cleaning_records")
     assert t.count() == 1
     assert t.collect()[0]["task_status"] == "v2"
+
+
+def test_stray_partition_dirname_does_not_block_dml(spark, warehouse):
+    """r10 (advisor): layout detection is decided from the
+    AUTHORITATIVE signals (manifest layout / _partitions.json), not
+    by scanning dirnames for '=' — a stray key=value directory inside
+    a normal batch-log table must not permanently block the
+    right-to-erasure path."""
+    _append(spark, warehouse, [_rec(1, "dev-a"), _rec(2, "dev-b")])
+    td = sinks.table_path(warehouse, "cleaning_records")
+    os.makedirs(os.path.join(td, "stray=debris"))
+    out = sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "device_name = 'dev-a'"
+    )
+    assert out["rows_deleted"] == 1
+    left = sinks.read_table(spark, warehouse, "cleaning_records")
+    assert [r["device_name"] for r in left.collect()] == ["dev-b"]
+
+
+def test_partition_layout_refused_via_declared_manifest(spark, warehouse):
+    """overwrite_partitions declares its layout in the schema
+    manifest; DML refuses on that authoritative signal (and the
+    _partitions.json it commits), no dirname heuristics involved."""
+    df = spark.createDataFrame(
+        [("2024-03-01", "dev-a", 1)], "date string, device_id string, n int"
+    )
+    sinks.overwrite_partitions(df, warehouse, "daily_summary", ["date"])
+    assert (
+        sinks._manifest(warehouse, "daily_summary").get("layout")
+        == "partition-overwrite"
+    )
+    with pytest.raises(ValueError, match="partition-overwrite"):
+        sinks.delete_rows(
+            spark, warehouse, "daily_summary", "device_id = 'dev-a'"
+        )
+
+
+def test_legacy_partition_dirs_without_batches_still_refused(spark, warehouse):
+    """The structural fallback survives ONLY for the legacy
+    pre-manifest gold layout: key=value dirs and no batch log at
+    all. DML still refuses there rather than silently erasing
+    nothing."""
+    td = sinks.table_path(warehouse, "daily_summary")
+    leaf = os.path.join(td, "date=2024-03-01")
+    os.makedirs(leaf, exist_ok=True)
+    spark.createDataFrame(
+        [("dev-a", 1)], "device_id string, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(td, ".tmp-legacy")
+    )
+    for f in os.listdir(os.path.join(td, ".tmp-legacy")):
+        if f.endswith(".parquet"):
+            os.replace(
+                os.path.join(td, ".tmp-legacy", f), os.path.join(leaf, f)
+            )
+    shutil.rmtree(os.path.join(td, ".tmp-legacy"), ignore_errors=True)
+    with pytest.raises(ValueError, match="partition-overwrite"):
+        sinks.delete_rows(
+            spark, warehouse, "daily_summary", "device_id = 'dev-a'"
+        )

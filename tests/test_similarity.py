@@ -420,3 +420,52 @@ def test_rebuild_ivfpq_index_retrains_and_swaps_atomically(
     again = S.ivfpq_probe_indexed(spark, idx, q2, k=5, nprobe=1, rerank=20,
                                   exclude_vec_id=10_000).collect()
     assert [r["label"] for r in again] == [0] * 5
+
+
+def test_blocked_pairs_streaming_auto_banded(spark):
+    """r10 (VERDICT r9 missing #3): a STREAMING caller cannot reach
+    the eager regime probe — blocked_pairs auto-selects the lazily
+    split banded form when the input is streaming (an eager .first()
+    would throw at plan time, and a growing source invalidates a
+    baked-in exact regime anyway), and records the decision in the
+    driver-side regime telemetry."""
+    from roborock_data_pipeline_spark.operators import similarity
+
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        .select(
+            F.col("value").alias("vec_id"),
+            (F.col("value") % 3).cast("int").alias("label"),
+            F.array(
+                *[(F.col("value") % (i + 2)).cast("float") for i in range(8)]
+            ).alias("embedding"),
+        )
+    )
+    pairs = similarity.blocked_pairs(sdf)  # must NOT run an eager probe
+    assert pairs.isStreaming
+    assert similarity.LAST_REGIME["path"] == "banded"
+    assert similarity.LAST_REGIME["forced"] is True
+    assert similarity.LAST_REGIME["streaming"] is True
+
+
+def test_regime_telemetry_in_warehouse_health(spark, sf_dir, tmp_path):
+    """VERDICT r9 #8: after a blocked_pairs plan is built, the
+    warehouse health snapshot surfaces which path it took and the
+    probed max-block/cap — regime flips visible without reading
+    Spark plans."""
+    from roborock_data_pipeline_spark import pipeline
+    from roborock_data_pipeline_spark.operators import similarity
+    from roborock_data_pipeline_spark.sources import sinks as _sinks
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    wh = str(tmp_path / "wh")
+    _sinks.setup_warehouse(spark, wh)
+    emb = load(spark, sf_dir, "embeddings")
+    similarity.blocked_pairs(emb)  # exact regime at test SF
+    health = pipeline.warehouse_health(wh)
+    reg = health["_blocked_pairs_regime"]
+    assert reg["path"] == "exact"
+    assert reg["max_block"] <= reg["cap"]
+    similarity.blocked_pairs(emb, cap=4)  # force the banded regime
+    reg2 = pipeline.warehouse_health(wh)["_blocked_pairs_regime"]
+    assert reg2["path"] == "banded" and reg2["cap"] == 4

@@ -271,3 +271,131 @@ def test_describe_table_dead_holder_is_stale_immediately(spark, warehouse):
     assert d["lock_age_s"] < 60  # fresh mtime...
     assert d["lock_stale"] is True  # ...but the pid is dead
     os.unlink(lock)
+
+
+def test_fenced_lease_blocks_in_flight_publish(spark, warehouse):
+    """r10 (advisor, medium): the TTL fence must stop the MUTATION,
+    not just the release. A holder whose lease was taken over
+    mid-flight (simulated: lock unlinked + successor lease published
+    while 'frozen') must abort at its next atomic publish point with
+    FencedWriterError instead of interleaving its rewrites with the
+    successor's."""
+    _append_n(spark, warehouse, 2)
+    lock = _lock_path(warehouse, "cleaning_records")
+    with sinks.writer_lock(warehouse, "cleaning_records") as lease:
+        assert lease.is_fenced() is False
+        sinks._check_fence()  # held and unfenced: publishes proceed
+        # takeover while frozen: successor's lease at the same path
+        os.unlink(lock)
+        with open(lock, "w") as fh:
+            fh.write("1")
+        assert lease.is_fenced() is True
+        with pytest.raises(sinks.FencedWriterError, match="TTL-fenced"):
+            sinks._check_fence()
+        # a real mutation aborts BEFORE its swap: both batches stay
+        # exactly as published
+        before = sorted(sinks.list_batches(warehouse, "cleaning_records"))
+        with pytest.raises(sinks.FencedWriterError):
+            sinks._rewrite_matching_batches(
+                spark, warehouse, "cleaning_records",
+                lambda df: df, lambda df: df.limit(0), "delete",
+            )
+        assert sorted(
+            sinks.list_batches(warehouse, "cleaning_records")
+        ) == before
+    # successor's lease survived the fenced holder's release
+    assert os.path.exists(lock)
+    os.unlink(lock)
+
+
+def test_check_fence_noop_outside_lease(spark, warehouse):
+    """Appends are writer-unique and commute — no lease, no fence:
+    _check_fence outside any writer_lock must be a no-op so the
+    unleased publish paths keep working."""
+    sinks._check_fence()  # no active lease: must not raise
+    _append_n(spark, warehouse, 1)
+    assert len(sinks.list_batches(warehouse, "cleaning_records")) == 1
+
+
+_SIGSTOP_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, sys.argv[3])
+from roborock_data_pipeline_spark.sources import sinks
+sinks.LOCK_TTL_S = 2.0
+sinks.LOCK_HEARTBEAT_S = 0.2
+wh, flag_dir = sys.argv[1], sys.argv[2]
+res = os.path.join(flag_dir, "result")
+try:
+    with sinks.writer_lock(wh, "cleaning_records") as lease:
+        open(os.path.join(flag_dir, "acquired"), "w").write(str(os.getpid()))
+        # hold the lease until the parent says go (SIGSTOP lands here)
+        deadline = time.time() + 60
+        while not os.path.exists(os.path.join(flag_dir, "go")):
+            if time.time() > deadline:
+                open(res, "w").write("timeout")
+                sys.exit(1)
+            time.sleep(0.05)
+        # resumed after the freeze: attempt the publish-point check
+        try:
+            sinks._check_fence()
+            open(res, "w").write("published")
+        except sinks.FencedWriterError:
+            open(res, "w").write("fenced")
+except Exception as e:  # noqa: BLE001
+    open(res, "w").write("error:" + repr(e))
+"""
+
+
+def test_live_sigstop_holder_is_fenced_and_spares_successor(
+    warehouse, monkeypatch, tmp_path
+):
+    """VERDICT r9 #7 — the takeover under a REAL multi-process race:
+    a holder process is SIGSTOPped past the TTL, the parent takes
+    over the lease, the holder resumes mid-flight. The resumed
+    holder must (a) abort its publish via the fence and (b) leave
+    the successor's lease intact on release — asserted against live
+    processes, not simulated mtimes."""
+    import signal
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setattr(sinks, "LOCK_TTL_S", 2.0)
+    monkeypatch.setattr(sinks, "LOCK_HEARTBEAT_S", 0.2)
+    flag_dir = str(tmp_path)
+    child_src = str(tmp_path / "child.py")
+    with open(child_src, "w") as fh:
+        fh.write(_SIGSTOP_CHILD)
+    proc = subprocess.Popen(
+        [_sys.executable, child_src, warehouse, flag_dir, repo]
+    )
+    try:
+        deadline = _time.time() + 30
+        while not os.path.exists(os.path.join(flag_dir, "acquired")):
+            assert _time.time() < deadline, "child never acquired"
+            assert proc.poll() is None, "child died early"
+            _time.sleep(0.05)
+        # freeze the live holder past the TTL (heartbeat frozen too)
+        os.kill(proc.pid, signal.SIGSTOP)
+        _time.sleep(sinks.LOCK_TTL_S + 0.7)
+        # contender: live pid + silent heartbeat -> TTL takeover
+        lock = _lock_path(warehouse, "cleaning_records")
+        with sinks.writer_lock(warehouse, "cleaning_records"):
+            with open(lock) as fh:
+                assert fh.read().strip() == str(os.getpid())
+            # resume the zombie mid-successor-lease; it must fence
+            open(os.path.join(flag_dir, "go"), "w").close()
+            os.kill(proc.pid, signal.SIGCONT)
+            assert proc.wait(timeout=30) in (0, 1)
+            # (a) the zombie aborted its publish
+            with open(os.path.join(flag_dir, "result")) as fh:
+                assert fh.read() == "fenced"
+            # (b) its release spared OUR live lease
+            assert os.path.exists(lock)
+            with open(lock) as fh:
+                assert fh.read().strip() == str(os.getpid())
+    finally:
+        if proc.poll() is None:
+            os.kill(proc.pid, signal.SIGCONT)
+            proc.terminate()
+            proc.wait(timeout=10)
