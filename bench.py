@@ -156,6 +156,9 @@ HEADLINE = [
     "q_media_near_dup_guaranteed",
     # round-6 additions: two-phase domain cap (the 100 TB skew form)
     "q_source_cap_two_phase",
+    # round-10 additions: lexical retrieval + ML feature block
+    "q_bm25_search",
+    "q_lag_features",
 ]
 
 

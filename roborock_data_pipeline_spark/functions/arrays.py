@@ -33,3 +33,14 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# NOTE (r10 negative result, kept so it is not retried): unrolling the
+# dot product for a known dimension (64 GetArrayItem multiply-adds in
+# place of the zip_with/aggregate fold) measured 5x SLOWER at sf1
+# (67-80 s vs 13 s for the blocked pair join) - the 320-node literal
+# expression tree exceeds what whole-stage codegen will compile in a
+# join condition and falls back to per-node interpreted eval, which
+# loses badly to the HOF fold's tight interpreted loop. Same failure
+# class as the PQ encoder's rejected literal form
+# (operators/similarity._pq_codes_udf docstring).

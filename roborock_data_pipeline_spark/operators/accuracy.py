@@ -379,13 +379,11 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _augmented(spark, sf_dir)
     exact = (
-        blocked_pairs(aug, cap=10**9)
-        .where(F.col("cos") >= 0.9)
+        blocked_pairs(aug, cap=10**9, min_cos=0.9)
         .select("id1", "id2")
     )
     capped = (
-        blocked_pairs(aug, cap=GATE_CAP)
-        .where(F.col("cos") >= 0.9)
+        blocked_pairs(aug, cap=GATE_CAP, min_cos=0.9)
         .select("id1", "id2", F.lit(1).alias("hit"))
     )
     j = exact.join(capped, ["id1", "id2"], "left")

@@ -136,3 +136,69 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n_pairs"),
         F.round(F.corr("value", "prev"), 6).alias("lag1_autocorr"),
     )
+
+
+@query(
+    "q_lag_features",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(d AS VARCHAR) AS date,
+           n_events, total_value,
+           LAG(n_events, 1) OVER w AS n_events_lag1,
+           LAG(n_events, 7) OVER w AS n_events_lag7,
+           n_events - LAG(n_events, 1) OVER w AS n_events_delta,
+           ROUND(AVG(n_events) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 6) AS n_events_ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY d)
+    ORDER BY user_id, d
+    """,
+)
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT (r10): supervised-learning lag features over per-user
+    daily activity — lag-1 / lag-7 counts, day-over-day delta, and a
+    7-row trailing mean. The feature block every churn/forecast
+    training set starts from, expressed as ONE pass of window
+    functions over a pre-aggregated daily frame.
+
+    Plan shape: the daily aggregate shuffles once on (user_id, day)
+    with map-side partials; all four features share a single
+    (user_id ORDER BY day) sort — Spark computes the whole block in
+    one Window operator, no self-joins (the naive formulation joins
+    the daily frame to itself once per lag; at 100 TB that is three
+    extra shuffles for zero information). Row-frame ROWS BETWEEN is
+    deliberate: day gaps mean a calendar lag needs a RANGE frame,
+    but training pipelines want observation lags, and rows-frames
+    are rank-stable across engines."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    ma = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("date"),
+            "n_events",
+            "total_value",
+            F.lag("n_events", 1).over(w).alias("n_events_lag1"),
+            F.lag("n_events", 7).over(w).alias("n_events_lag7"),
+            (F.col("n_events") - F.lag("n_events", 1).over(w)).alias(
+                "n_events_delta"
+            ),
+            F.round(F.avg("n_events").over(ma), 6).alias("n_events_ma7"),
+        )
+        .orderBy("user_id", "date")
+    )

@@ -523,3 +523,93 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.array_sort(F.collect_set("mh")))
         ).alias("fp_digest"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_DOCS = 10
+_BM25_QUERY_TERMS = 3
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), qterms AS (
+        SELECT term, df FROM dfreq
+        ORDER BY df DESC, term LIMIT {_BM25_QUERY_TERMS}
+    ), dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n, AVG(dl) AS avgdl
+        FROM dl
+    ), parts AS (
+        SELECT tf.doc_id,
+               ln((stats.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / stats.avgdl)) AS part
+        FROM tf JOIN qterms q USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, ROUND(SUM(part), 6) AS bm25
+    FROM parts GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_DOCS}
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ (r10): BM25 relevance ranking — the lexical-retrieval
+    scorer a curation pipeline uses for contamination screens, seed
+    expansion, and quality-by-query filtering (the retrieval half of
+    every "find training docs like these benchmark questions" step).
+    The query is self-contained and corpus-independent: the 3
+    highest-document-frequency terms stand in for a user query, so
+    both engines derive identical query terms.
+
+    Plan shape: one exploded token table persisted (TF and DF both
+    read it), the query-term table is LIMIT-3 tiny and BROADCAST,
+    the per-doc length joins on doc_id, corpus stats are a 1-row
+    broadcast cross join, and the final top-10 is TakeOrdered —
+    postings-shaped and linear in Σ tokens at 100 TB, like
+    q_tfidf_top_terms. Scores use the standard smoothed idf
+    ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75, rounded to 6dp before
+    the (score, doc_id) order so ranking is bit-stable across
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).persist()
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(_BM25_QUERY_TERMS)
+    dl = d.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    part = (
+        F.log(
+            (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf") * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP_DOCS)
+    )
