@@ -469,3 +469,56 @@ def test_regime_telemetry_in_warehouse_health(spark, sf_dir, tmp_path):
     similarity.blocked_pairs(emb, cap=4)  # force the banded regime
     reg2 = pipeline.warehouse_health(wh)["_blocked_pairs_regime"]
     assert reg2["path"] == "banded" and reg2["cap"] == 4
+
+
+def test_blocked_pairs_streaming_executes_end_to_end(spark, tmp_path):
+    """The streaming banded form doesn't just plan — it RUNS as a
+    continuous query (stream-stream self-join, no post-join
+    aggregate, append mode) and produces within-label pairs. Pinned
+    because the r10 first-collision design is exactly what makes an
+    aggregate-free streaming plan possible."""
+    import time as _time
+
+    from roborock_data_pipeline_spark.operators import similarity
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sdf = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "200")
+            .load()
+            .select(
+                F.col("value").alias("vec_id"),
+                (F.col("value") % 2).cast("int").alias("label"),
+                F.array(
+                    *[
+                        ((F.col("value") + i) % 7).cast("float")
+                        for i in range(8)
+                    ]
+                ).alias("embedding"),
+            )
+        )
+        pairs = similarity.blocked_pairs(sdf)
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName("bp_stream_exec")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="5 seconds")
+            .start()
+        )
+        try:
+            deadline = _time.time() + 120
+            rows = 0
+            while _time.time() < deadline and rows == 0:
+                _time.sleep(5)
+                assert q.exception() is None, str(q.exception())
+                rows = spark.sql(
+                    "select count(*) from bp_stream_exec"
+                ).first()[0]
+            assert rows > 0, "streaming banded form produced no pairs"
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
