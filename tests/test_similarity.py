@@ -522,3 +522,40 @@ def test_blocked_pairs_streaming_executes_end_to_end(spark, tmp_path):
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def test_pair_kernel_matches_join_form_exactly(spark, sf_dir):
+    """The Arrow/BLAS pair kernel must stay BIT-IDENTICAL to the
+    salted-join form — same pair set, same cos to the last bit —
+    across the exact regime, an engaged cap, and an in-join
+    threshold. This is the invariant that lets the kernel inherit
+    every committed parity record; if the kernel's accumulation
+    order ever drifts from the fold's (e.g. someone swaps the
+    rank-1 loop for np.dot), this catches it."""
+    from roborock_data_pipeline_spark.operators import similarity
+    from roborock_data_pipeline_spark.sources.tables import load, spread
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+
+    def via(kernel, cap, min_cos=None):
+        old = similarity._KERNEL_MAX_CELL
+        similarity._KERNEL_MAX_CELL = 4096 if kernel else 0
+        try:
+            return similarity.blocked_pairs(emb, cap=cap, min_cos=min_cos)
+        finally:
+            similarity._KERNEL_MAX_CELL = old
+
+    for cap, mc in ((4096, None), (16, None), (1024, 0.9)):
+        k, j = via(True, cap, mc), via(False, cap, mc)
+        nk, nj = k.count(), j.count()
+        assert nk == nj, f"cap={cap} min_cos={mc}: {nk} vs {nj} rows"
+        # exact (unrounded) value equality: every (id1, id2, cos)
+        # row must appear in BOTH frames
+        diff = (
+            k.unionByName(j)
+            .groupBy("id1", "id2", "cos")
+            .count()
+            .where(F.col("count") != 2)
+            .count()
+        )
+        assert diff == 0, f"cap={cap} min_cos={mc}: {diff} value diffs"
