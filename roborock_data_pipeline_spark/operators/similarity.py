@@ -182,12 +182,16 @@ def _pair_join(
     )
 
 
-# Largest cell the Arrow/BLAS pair kernel will materialize as a
-# dense n×n cosine matrix (8 MB at the default cap; 134 MB here).
-# Callers with a larger cap (the uncapped exact-truth runs in the
-# accuracy gates and parity scripts) take the join path, whose
-# memory is O(1) per candidate.
-_KERNEL_MAX_CELL = 4096
+# Largest cell the Arrow/BLAS pair kernel will materialize densely.
+# Honest peak per task (r10 review): TWO n×n float64 buffers coexist
+# (the accumulator and a reused scratch) plus the n×n bool mask —
+# ~17 MB/task at the default cap (1024), ~71 MB at this bound. Kept
+# at 2× the default cap so a generic 4-8 GB executor running 8-16
+# concurrent cells stays comfortably inside memory; callers with a
+# larger cap (the uncapped exact-truth runs in the accuracy gates
+# and parity scripts) take the join path, whose memory is O(1) per
+# candidate.
+_KERNEL_MAX_CELL = 2048
 
 
 def _cell_pairs_kernel(
@@ -226,6 +230,9 @@ def _cell_pairs_kernel(
             )
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # exactly two n×n float64 buffers live at once: `acc` and a
+        # reused scratch (`tmp` hosts each outer product, then the
+        # nrm outer, and the divide lands back in `acc` in place)
         acc = np.zeros((n, n), dtype=np.float64)
         tmp = np.empty_like(acc)
         for j in range(A.shape[1]):
@@ -233,7 +240,9 @@ def _cell_pairs_kernel(
             np.outer(col, col, out=tmp)
             np.add(acc, tmp, out=acc)
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        cos = acc / np.outer(nrm, nrm)
+        np.outer(nrm, nrm, out=tmp)
+        np.divide(acc, tmp, out=acc)
+        cos = acc
         keep = np.triu(np.ones((n, n), dtype=bool), k=1)
         if first_collision_bands > 0:
             band = int(pdf["band"].iloc[0])
@@ -406,6 +415,19 @@ def blocked_pairs(
         # BATCH form inside foreachBatch (the curation funnel's
         # pattern). First-collision (below) keeps the plan free of
         # post-join aggregates, so it executes under append mode.
+        #
+        # STATE CAVEAT (r10 review): a stream-stream inner self-join
+        # without a watermark retains every input row in the join
+        # state store for the life of the query (×bands ×salt
+        # replicas). This form is therefore for BOUNDED probe
+        # streams — a finite backfill, a windowed replay — not an
+        # unbounded production feed; the unbounded-feed pattern is
+        # foreachBatch over the batch form against a persisted index
+        # (operators/incremental_semdedup), which carries no join
+        # state at all. A caller who needs continuous mode on a
+        # time-keyed stream should withWatermark both sides and add
+        # a time-range join predicate BEFORE calling (Spark can then
+        # evict state); nothing in this function prevents that.
         sigd = e.withColumn(
             "_projs",
             _lsh_projs(F.col("embedding"), n_bands, _SIG_BITS_STREAM),

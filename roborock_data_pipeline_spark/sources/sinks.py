@@ -102,6 +102,28 @@ def table_schema(warehouse_dir: str, name: str) -> T.StructType:
         return WAREHOUSE_TABLES[name]
 
 
+def _publish_manifest(warehouse_dir: str, name: str, m: dict) -> None:
+    """Atomic, FENCE-CHECKED schema-manifest publish (tmp + replace)
+    — the one door every manifest mutation goes through (r10 review:
+    an inline copy in overwrite_partitions had skipped the fence).
+    The tmp file is removed on any abort so a fenced writer leaves
+    no junk in the table dir."""
+    p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    _check_fence()  # abort a TTL-fenced migration before staging
+    tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        _check_fence()  # …and immediately before the atomic commit
+        os.replace(tmp, p)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+
 def _write_schema_manifest(
     warehouse_dir: str, name: str, schema: T.StructType, version: int
 ) -> None:
@@ -110,12 +132,7 @@ def _write_schema_manifest(
     m = _manifest(warehouse_dir, name)
     m["version"] = version
     m["schema"] = schema.jsonValue()
-    p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
-    tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        json.dump(m, fh)
-    _check_fence()  # abort a TTL-fenced migration before commit
-    os.replace(tmp, p)
+    _publish_manifest(warehouse_dir, name, m)
 
 
 def _schema_version(warehouse_dir: str, name: str) -> int:
@@ -689,18 +706,32 @@ def _rewrite_matching_batches(
     # _partitions.json — never by scanning dirnames for '=', which
     # let one stray key=value directory inside a normal batch-log
     # table permanently block its DML/erasure path. The structural
-    # scan survives ONLY for the legacy pre-manifest gold layout,
-    # gated on the table having no batch log at all (a batch-log
-    # table is proven non-partitioned by its batches).
+    # fallback survives ONLY for the legacy pre-manifest gold layout
+    # and only counts key=value dirs that actually HOLD DATA
+    # (parquet files or a version segment, at any depth) — an empty
+    # junk dir is ignored, while a legacy partitioned table that
+    # somehow also grew a batch dir is still refused rather than
+    # silently erasing nothing from its partition files (r10 review:
+    # the first cut gated on `not batches`, which let exactly that
+    # mixed state through).
+    def _partition_dir_holds_data(d: str) -> bool:
+        for root, _dirs, files in os.walk(os.path.join(table_dir, d)):
+            if any(
+                f.endswith(".parquet") and not f.startswith((".", "_"))
+                for f in files
+            ):
+                return True
+        return False
+
     if os.path.isdir(table_dir) and (
         _manifest(warehouse_dir, name).get("layout") == "partition-overwrite"
         or os.path.exists(os.path.join(table_dir, PARTITIONS_MANIFEST))
-        or (
-            not batches
-            and any(
-                "=" in d and os.path.isdir(os.path.join(table_dir, d))
-                for d in os.listdir(table_dir)
-            )
+        or any(
+            "=" in d
+            and not d.startswith("batch-")
+            and os.path.isdir(os.path.join(table_dir, d))
+            and _partition_dir_holds_data(d)
+            for d in os.listdir(table_dir)
         )
     ):
         raise ValueError(
@@ -1810,28 +1841,16 @@ def overwrite_partitions(
     df = _fuse_constraints(df, warehouse_dir, name, verb="overwrite")
     table_dir = table_path(warehouse_dir, name)
     os.makedirs(table_dir, exist_ok=True)
-    # declare the layout in the schema manifest (r10): the
-    # AUTHORITATIVE signal _rewrite_matching_batches refuses DML on —
-    # structural dirname scanning is reserved for legacy tables that
-    # predate this declaration
-    m = _manifest(warehouse_dir, name)
-    if m.get("layout") != "partition-overwrite":
-        m["layout"] = "partition-overwrite"
-        # a fresh manifest must be COMPLETE: every consumer of
-        # _schema.json (table_schema, _fuse_constraints' door check)
-        # expects a schema key — pin the declared schema when the
-        # table has one, else the published frame's
-        if "schema" not in m:
-            m["schema"] = (
-                WAREHOUSE_TABLES[name].jsonValue()
-                if name in WAREHOUSE_TABLES
-                else df.schema.jsonValue()
-            )
-        mp0 = os.path.join(table_dir, SCHEMA_MANIFEST)
-        tmp0 = f"{mp0}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp0, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp0, mp0)
+    # a table with a live batch log is a batch-log table — refusing
+    # here prevents a mistaken call from stamping the partition
+    # layout onto it and bricking its DML/erasure path (r10 review)
+    if list_batches(warehouse_dir, name):
+        raise ValueError(
+            f"overwrite_partitions targets batch-log table {name!r} "
+            "(live batch dirs present): partitioned gold layout and "
+            "the batch log cannot share a table — use append_rows/"
+            "delete_rows there, or a separate gold table here"
+        )
     committed = _partitions_manifest(table_dir)
     if committed is None:
         committed = _migrate_legacy_partitions(table_dir)
@@ -1866,6 +1885,25 @@ def overwrite_partitions(
             os.makedirs(dst_parent, exist_ok=True)
             os.replace(root, os.path.join(dst_parent, vseg))
             new_pointers[rel.replace(os.sep, "/")] = vseg
+        # declare the layout in the schema manifest (r10): the
+        # AUTHORITATIVE signal _rewrite_matching_batches refuses DML
+        # on. Stamped only now — after the staged data write
+        # succeeded — so a failed or mistaken call leaves no
+        # persistent layout marker; published through the fenced
+        # manifest door, not an inline copy (r10 review).
+        m = _manifest(warehouse_dir, name)
+        if m.get("layout") != "partition-overwrite":
+            m["layout"] = "partition-overwrite"
+            # a fresh manifest must be COMPLETE: every consumer of
+            # _schema.json (table_schema, _fuse_constraints' door
+            # check) expects a schema key
+            if "schema" not in m:
+                m["schema"] = (
+                    WAREHOUSE_TABLES[name].jsonValue()
+                    if name in WAREHOUSE_TABLES
+                    else df.schema.jsonValue()
+                )
+            _publish_manifest(warehouse_dir, name, m)
         # THE commit point: one rename publishes every touched
         # partition's new version together
         _check_fence()  # abort a TTL-fenced refresh before commit

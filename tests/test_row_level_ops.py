@@ -349,3 +349,52 @@ def test_legacy_partition_dirs_without_batches_still_refused(spark, warehouse):
         sinks.delete_rows(
             spark, warehouse, "daily_summary", "device_id = 'dev-a'"
         )
+
+
+def test_overwrite_partitions_refuses_batch_log_table(spark, warehouse):
+    """r10 review: a mistaken overwrite_partitions on a batch-log
+    table must refuse up front — not stamp the partition layout onto
+    it and permanently brick its DML/erasure path."""
+    _append(spark, warehouse, [_rec(1, "dev-a")])
+    df = spark.createDataFrame(
+        [("2024-03-01", 1)], "date string, n int"
+    )
+    with pytest.raises(ValueError, match="batch-log"):
+        sinks.overwrite_partitions(
+            df, warehouse, "cleaning_records", ["date"]
+        )
+    # no layout marker leaked; DML still works
+    assert sinks._manifest(warehouse, "cleaning_records").get("layout") is None
+    out = sinks.delete_rows(
+        spark, warehouse, "cleaning_records", "device_name = 'dev-a'"
+    )
+    assert out["rows_deleted"] == 1
+
+
+def test_legacy_partition_data_with_stray_batch_still_refused(
+    spark, warehouse
+):
+    """r10 review: a legacy partitioned table (data under date=X, no
+    manifests) that also grew a stray batch dir must STILL refuse row
+    DML — the partition files would be silently skipped otherwise.
+    Conversely an EMPTY key=value dir keeps not blocking (covered by
+    test_stray_partition_dirname_does_not_block_dml)."""
+    td = sinks.table_path(warehouse, "daily_summary")
+    leaf = os.path.join(td, "date=2024-03-01")
+    os.makedirs(leaf, exist_ok=True)
+    spark.createDataFrame(
+        [("dev-a", 1)], "device_id string, n int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(td, ".tmp-leg2")
+    )
+    for f in os.listdir(os.path.join(td, ".tmp-leg2")):
+        if f.endswith(".parquet"):
+            os.replace(
+                os.path.join(td, ".tmp-leg2", f), os.path.join(leaf, f)
+            )
+    shutil.rmtree(os.path.join(td, ".tmp-leg2"), ignore_errors=True)
+    os.makedirs(os.path.join(td, "batch-00000000000000000001-x"), exist_ok=True)
+    with pytest.raises(ValueError, match="partition-overwrite"):
+        sinks.delete_rows(
+            spark, warehouse, "daily_summary", "device_id = 'dev-a'"
+        )
