@@ -379,11 +379,15 @@ def q_semantic_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     aug = _augmented(spark, sf_dir)
     exact = (
-        blocked_pairs(aug, cap=10**9, min_cos=0.9)
+        blocked_pairs(
+            aug, cap=10**9, min_cos=0.9, tag="gate_exact_truth"
+        )
         .select("id1", "id2")
     )
     capped = (
-        blocked_pairs(aug, cap=GATE_CAP, min_cos=0.9)
+        blocked_pairs(
+            aug, cap=GATE_CAP, min_cos=0.9, tag="gate_capped"
+        )
         .select("id1", "id2", F.lit(1).alias("hit"))
     )
     j = exact.join(capped, ["id1", "id2"], "left")

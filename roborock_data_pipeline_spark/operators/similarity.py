@@ -12,6 +12,8 @@ scan by the bucket selectivity.
 from __future__ import annotations
 
 import os
+import threading
+from collections import deque
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -49,12 +51,26 @@ _SIG_BITS_STREAM = 3
 # `--mode health` so a 100 TB operator sees exact↔banded regime flips
 # without reading Spark plans. Driver-local by design — the decision
 # itself is made on the driver.
+#
+# r11 (ADVICE): last-call-wins alone misleads when one logical query
+# builds multiple plans — the accuracy gates call blocked_pairs twice
+# (exact truth at cap=1e9, then the capped production form), so a
+# health poll could surface the truth run's "exact" regime as the
+# production query's. The record is now (a) thread-safe, (b) a
+# bounded per-process HISTORY so concurrent/multi-plan callers are
+# all visible, and (c) identity-carrying: callers pass ``tag`` so
+# each entry names the plan it describes.
 LAST_REGIME: dict = {}
+_REGIME_HISTORY_LEN = 16
+REGIME_HISTORY: deque = deque(maxlen=_REGIME_HISTORY_LEN)
+_REGIME_LOCK = threading.Lock()
 
 
 def _record_regime(**kw) -> None:
-    LAST_REGIME.clear()
-    LAST_REGIME.update(kw)
+    with _REGIME_LOCK:
+        LAST_REGIME.clear()
+        LAST_REGIME.update(kw)
+        REGIME_HISTORY.append(dict(kw))
 
 
 def _lsh_projs(vec, n_bands: int, n_bits: int):
@@ -286,6 +302,7 @@ def blocked_pairs(
     n_bands: int = N_BANDS,
     force_banded: bool = False,
     min_cos: float | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """All within-block unordered vector pairs (id1 < id2) with their
     raw cosine — the shared engine behind q_embedding_near_dup and
@@ -353,8 +370,20 @@ def blocked_pairs(
     0.93 s) — and at 100 TB persisting a corpus-wide projection is
     not an option anyway; cheap rebuilds from pruned scans are the
     scale posture."""
-    e = emb.select("vec_id", "label", "embedding").withColumn(
-        "nrm", norm(F.col("embedding"))
+    e = (
+        emb.select("vec_id", "label", "embedding")
+        .withColumn("nrm", norm(F.col("embedding")))
+        # ONE degenerate-input semantics for BOTH execution forms
+        # (r11, ADVICE): a zero-norm/null embedding makes cosine NaN,
+        # which numpy's `>= min_cos` drops while Spark SQL's
+        # NaN-greater ordering keeps; and a null label pairs under
+        # the kernel's groupBy but never under the join's null-unsafe
+        # label equality. Both classes are meaningless for cosine
+        # blocking, so they are excluded here, upstream of either
+        # form — the pinned kernel↔join bit-equivalence now holds on
+        # degenerate inputs too (tests/test_pair_kernel.py).
+        .where(F.col("nrm") > 0)
+        .where(F.col("label").isNotNull())
     )
     sizes = e.groupBy("label").agg(F.count("*").alias("_blk_n"))
 
@@ -385,6 +414,7 @@ def blocked_pairs(
     # candidate at any block size)
     use_kernel = not emb.isStreaming and cap <= _KERNEL_MAX_CELL
     _record_regime(
+        tag=tag,
         path="banded" if (force_banded or max_blk > cap) else "exact",
         max_block=None if force_banded else max_blk,
         cap=cap,
@@ -684,7 +714,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from roborock_data_pipeline_spark.sources.tables import spread
 
     pairs = blocked_pairs(
-        spread(load(spark, sf_dir, "embeddings")), min_cos=0.9
+        spread(load(spark, sf_dir, "embeddings")),
+        min_cos=0.9,
+        tag="q_embedding_near_dup",
     )
     return (
         pairs.select(
@@ -1021,7 +1053,7 @@ def knn_join(emb: DataFrame, cap: int = BLOCK_CAP, k: int = KNN_K) -> DataFrame:
     pair list (|block|·k rows, never the corpus²). Cosine is rounded
     to 6dp BEFORE ranking so the (cos, nbr_id) order is bit-stable
     across engines."""
-    pairs = blocked_pairs(emb, cap=cap).select(
+    pairs = blocked_pairs(emb, cap=cap, tag="knn_join").select(
         "id1", "id2", F.round(F.col("cos"), 6).alias("cos")
     )
     both = pairs.select(

@@ -721,10 +721,22 @@ def warehouse_health(warehouse: str) -> dict[str, dict[str, object]]:
     # cap-bounded — on the dashboard instead of in a Spark plan diff.
     # Driver-local by design: the regime decision is made driver-side
     # at plan-build time, the same place this snapshot runs.
+    #
+    # r11 (ADVICE): last-call-wins alone is ambiguous — the accuracy
+    # gates build two plans per query (exact truth at cap=1e9, then
+    # the capped production form), so the snapshot could surface the
+    # truth run's "exact" regime as the production query's. Each
+    # entry now carries its caller ``tag``, and the snapshot includes
+    # the recent bounded history so multi-plan callers are all
+    # visible, not just whoever planned last.
     from roborock_data_pipeline_spark.operators import similarity
 
-    if similarity.LAST_REGIME:
-        report["_blocked_pairs_regime"] = dict(similarity.LAST_REGIME)
+    with similarity._REGIME_LOCK:
+        last = dict(similarity.LAST_REGIME)
+        history = [dict(r) for r in similarity.REGIME_HISTORY]
+    if last:
+        report["_blocked_pairs_regime"] = last
+        report["_blocked_pairs_regime_history"] = history
     return report
 
 

@@ -1885,12 +1885,27 @@ def overwrite_partitions(
             os.makedirs(dst_parent, exist_ok=True)
             os.replace(root, os.path.join(dst_parent, vseg))
             new_pointers[rel.replace(os.sep, "/")] = vseg
-        # declare the layout in the schema manifest (r10): the
-        # AUTHORITATIVE signal _rewrite_matching_batches refuses DML
-        # on. Stamped only now — after the staged data write
-        # succeeded — so a failed or mistaken call leaves no
-        # persistent layout marker; published through the fenced
-        # manifest door, not an inline copy (r10 review).
+        # THE commit point: one rename publishes every touched
+        # partition's new version together
+        _check_fence()  # abort a TTL-fenced refresh before commit
+        merged = {**committed, **new_pointers}
+        mp = os.path.join(table_dir, PARTITIONS_MANIFEST)
+        tmp = f"{mp}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"partitions": merged}, fh)
+        os.replace(tmp, mp)
+        # declare the layout in the schema manifest: one of the two
+        # signals _rewrite_matching_batches refuses row DML on.
+        # Stamped AFTER the _partitions.json commit (r11, ADVICE) — a
+        # crash/fence between the two leaves a first-time conversion
+        # un-stamped but POINTER-COMMITTED, and the committed
+        # _partitions.json is itself an authoritative refusal signal
+        # (the `or` arm of the door check), so no protection window
+        # opens; the pre-r11 order could instead stamp the layout on
+        # a table whose conversion never committed, refusing DML on a
+        # table that is still batch-log shaped until a rerun healed
+        # it. Published through the fenced manifest door, not an
+        # inline copy (r10 review).
         m = _manifest(warehouse_dir, name)
         if m.get("layout") != "partition-overwrite":
             m["layout"] = "partition-overwrite"
@@ -1904,15 +1919,6 @@ def overwrite_partitions(
                     else df.schema.jsonValue()
                 )
             _publish_manifest(warehouse_dir, name, m)
-        # THE commit point: one rename publishes every touched
-        # partition's new version together
-        _check_fence()  # abort a TTL-fenced refresh before commit
-        merged = {**committed, **new_pointers}
-        mp = os.path.join(table_dir, PARTITIONS_MANIFEST)
-        tmp = f"{mp}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"partitions": merged}, fh)
-        os.replace(tmp, mp)
     finally:
         if os.path.exists(staged):
             shutil.rmtree(staged, ignore_errors=True)

@@ -351,6 +351,43 @@ def test_legacy_partition_dirs_without_batches_still_refused(spark, warehouse):
         )
 
 
+def test_first_conversion_crash_leaves_no_layout_stamp(
+    spark, warehouse, monkeypatch
+):
+    """r11 (ADVICE): the layout marker is stamped AFTER the
+    _partitions.json commit point. A crash/fence in the commit window
+    of a FIRST-TIME conversion must leave the table un-stamped (no
+    persistent 'partition-overwrite' marker on a table whose
+    conversion never committed); a rerun then converges to a fully
+    stamped, pointer-committed table."""
+    df = spark.createDataFrame(
+        [("2024-03-01", "dev-a", 1)], "date string, device_id string, n int"
+    )
+
+    def _boom():
+        raise sinks.FencedWriterError("simulated fence at commit point")
+
+    monkeypatch.setattr(sinks, "_check_fence", _boom)
+    with pytest.raises(sinks.FencedWriterError):
+        sinks.overwrite_partitions(df, warehouse, "daily_summary", ["date"])
+    # neither commit artifact exists: the table never converted
+    assert sinks._manifest(warehouse, "daily_summary").get("layout") is None
+    assert not os.path.exists(
+        os.path.join(
+            sinks.table_path(warehouse, "daily_summary"),
+            sinks.PARTITIONS_MANIFEST,
+        )
+    )
+    monkeypatch.undo()
+    sinks.overwrite_partitions(df, warehouse, "daily_summary", ["date"])
+    assert (
+        sinks._manifest(warehouse, "daily_summary").get("layout")
+        == "partition-overwrite"
+    )
+    got = sinks.read_partitioned(spark, warehouse, "daily_summary")
+    assert got.count() == 1
+
+
 def test_overwrite_partitions_refuses_batch_log_table(spark, warehouse):
     """r10 review: a mistaken overwrite_partitions on a batch-log
     table must refuse up front — not stamp the partition layout onto

@@ -466,9 +466,18 @@ def test_regime_telemetry_in_warehouse_health(spark, sf_dir, tmp_path):
     reg = health["_blocked_pairs_regime"]
     assert reg["path"] == "exact"
     assert reg["max_block"] <= reg["cap"]
-    similarity.blocked_pairs(emb, cap=4)  # force the banded regime
-    reg2 = pipeline.warehouse_health(wh)["_blocked_pairs_regime"]
+    similarity.blocked_pairs(emb, cap=4, tag="probe")  # banded regime
+    h2 = pipeline.warehouse_health(wh)
+    reg2 = h2["_blocked_pairs_regime"]
     assert reg2["path"] == "banded" and reg2["cap"] == 4
+    # r11 (ADVICE): each entry carries its caller identity, and the
+    # snapshot includes a bounded history so a gate's two plan builds
+    # (exact truth + capped) are both visible — not just whoever
+    # planned last
+    assert reg2["tag"] == "probe"
+    hist = h2["_blocked_pairs_regime_history"]
+    assert hist[-1]["tag"] == "probe" and hist[-1]["path"] == "banded"
+    assert any(r["path"] == "exact" for r in hist[:-1])
 
 
 def test_blocked_pairs_streaming_executes_end_to_end(spark, tmp_path):
@@ -559,3 +568,65 @@ def test_pair_kernel_matches_join_form_exactly(spark, sf_dir):
             .count()
         )
         assert diff == 0, f"cap={cap} min_cos={mc}: {diff} value diffs"
+
+
+def test_pair_kernel_join_equivalence_on_degenerate_inputs(spark, sf_dir):
+    """r11 (ADVICE): zero-norm embeddings (NaN cosine — numpy drops
+    under `>= t`, Spark SQL's NaN-greater ordering keeps) and null
+    labels (kernel's groupBy pairs them, join's null-unsafe equality
+    never does) used to give the two execution forms DIFFERENT pair
+    sets. blocked_pairs now excludes both classes upstream of either
+    form, so the bit-equivalence must hold on a corpus salted with
+    exactly those degenerate rows — and neither form may emit a pair
+    touching a degenerate vec_id."""
+    from pyspark.sql import types as T
+
+    from roborock_data_pipeline_spark.operators import similarity
+    from roborock_data_pipeline_spark.sources.tables import load, spread
+
+    base = spread(load(spark, sf_dir, "embeddings"))
+    dim = len(base.select("embedding").first()[0])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    lbl = base.select("label").first()[0]
+    degen = spark.createDataFrame(
+        [
+            # two zero vectors sharing a real label: cos = 0/0 = NaN
+            (10**9 + 1, lbl, [0.0] * dim),
+            (10**9 + 2, lbl, [0.0] * dim),
+            # two null-label rows with valid embeddings
+            (10**9 + 3, None, [1.0] + [0.0] * (dim - 1)),
+            (10**9 + 4, None, [1.0] + [0.0] * (dim - 1)),
+        ],
+        schema,
+    )
+    emb = base.select("vec_id", "label", "embedding").unionByName(degen)
+
+    def via(kernel, min_cos):
+        old = similarity._KERNEL_MAX_CELL
+        similarity._KERNEL_MAX_CELL = 4096 if kernel else 0
+        try:
+            return similarity.blocked_pairs(emb, min_cos=min_cos)
+        finally:
+            similarity._KERNEL_MAX_CELL = old
+
+    for mc in (None, 0.9):
+        k, j = via(True, mc), via(False, mc)
+        assert k.count() == j.count(), f"min_cos={mc}: row counts differ"
+        diff = (
+            k.unionByName(j)
+            .groupBy("id1", "id2", "cos")
+            .count()
+            .where(F.col("count") != 2)
+            .count()
+        )
+        assert diff == 0, f"min_cos={mc}: {diff} value diffs"
+        touched = k.where(
+            (F.col("id1") > 10**9) | (F.col("id2") > 10**9)
+        ).count()
+        assert touched == 0, "degenerate rows leaked into the pair set"
