@@ -753,7 +753,7 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("pmi"),
         )
-        .orderBy(F.col("pmi").desc(), "type_a", "type_b")
+        # no terminal orderBy (r11): presentation-only global sort
     )
 
 
@@ -841,7 +841,7 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
+        # no terminal orderBy (r11): presentation-only global sort
     )
 
 
@@ -913,7 +913,7 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 3,
             ).alias("z_score"),
         )
-        .orderBy("event_type")
+        # no terminal orderBy (r11): presentation-only global sort
     )
 
 
@@ -1087,7 +1087,7 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.lag("n_active").over(cw), F.lit(0))
             - F.col("n_retained")
         ).alias("n_churned"),
-    ).orderBy("week")
+    )  # no terminal orderBy (r11): presentation-only global sort
 
 
 # ---------------------------------------------------------------------------

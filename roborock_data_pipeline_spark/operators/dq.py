@@ -301,7 +301,7 @@ def q_lang_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(corpus), "lang")
         .groupBy("source")
         .agg(F.round(F.sum(p * F.log(p / F.col("q"))), 6).alias("kl"))
-        .orderBy("source")
+        # no terminal orderBy (r11): presentation-only global sort
     )
 
 
@@ -369,5 +369,5 @@ def q_numeric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ct))
         .groupBy("event_type")
         .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
-        .orderBy("event_type")
+        # no terminal orderBy (r11): presentation-only global sort
     )

@@ -428,7 +428,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("va") + F.col("vb") - F.col("n_common")).cast("double")
             ).alias("vocab_jaccard"),
         )
-        .orderBy("src_a", "src_b")
+        # no terminal orderBy (r11): presentation-only global sort
     )
 
 

@@ -32,7 +32,11 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # Operator modules that register queries on import. Order is the
-# SURVEY §7 milestone order; it only affects listing order.
+# SURVEY §7 milestone order. Listing order MATTERS for the driver,
+# which checks a fixed-size prefix sample of queries(): all_queries()
+# therefore pulls each accuracy gate (``X_check``) directly behind its
+# base query ``X`` so any prefix that contains a rows-only sketch also
+# contains its oracle-checked gate (VERDICT r10 directive #7).
 _OPERATOR_MODULES = [
     "roborock_data_pipeline_spark.operators.aggregates",
     "roborock_data_pipeline_spark.operators.projections",
@@ -80,8 +84,23 @@ def _load_all() -> None:
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    """Registry in driver-facing order: registration order, except that
+    every ``X_check`` accuracy gate is emitted immediately after its
+    base query ``X``. The driver verifies a prefix sample, so a
+    rows-only sketch (oracle=None) is always sampled together with the
+    oracle-green gate that bounds its error."""
     _load_all()
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name, spec in _REGISTRY.items():
+        if name.endswith("_check") and name[: -len("_check")] in _REGISTRY:
+            continue  # emitted right after its base query below
+        ordered[name] = spec
+        gate = _REGISTRY.get(f"{name}_check")
+        if gate is not None:
+            ordered[gate.name] = gate
+    # gates whose base name is not itself a registered query (none
+    # today) keep their natural position via the loop above
+    return ordered
 
 
 def get_query(name: str) -> QuerySpec:
