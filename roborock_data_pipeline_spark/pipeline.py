@@ -304,8 +304,13 @@ def _base_provably_folded(
     absorbed = sinks._base_absorbed(os.path.join(table_dir, base))  # noqa: SLF001
     if not absorbed:
         return False
+    # membership by LOGICAL batch id (batch_fold_id): a v2 row rewrite
+    # republishes a batch under a versioned physical name, and a later
+    # vacuum's absorbed list records that versioned name — the fold
+    # proof must still recognize it as the batch that was folded
     return all(
-        a in folded or sinks._batch_ns_prefix(a) <= lo  # noqa: SLF001
+        sinks.batch_fold_id(a) in folded
+        or sinks._batch_ns_prefix(a) <= lo  # noqa: SLF001
         for a in absorbed
     )
 
@@ -330,7 +335,14 @@ def _select_unfolded(
     new: list[str] = []
     implicit: list[str] = []
     for b in batches:
-        if sinks._batch_ns_prefix(b) <= lo or b in folded:  # noqa: SLF001
+        # fold membership by LOGICAL id: a v2 DML rewrite changes a
+        # batch's physical dirname (`.rw` version segment) but not its
+        # identity — an in-band batch folded before a rewrite must not
+        # be re-selected (double-count) after it
+        if (
+            sinks._batch_ns_prefix(b) <= lo  # noqa: SLF001
+            or sinks.batch_fold_id(b) in folded
+        ):
             continue
         if (
             table_dir is not None
@@ -360,10 +372,14 @@ def _advance_fold_state(
     if not wm:  # nothing ever folded: the algebra stays total
         return {"wm": "", "folded": [], "legacy": False}
     lo = _grace_floor(wm)
-    folded = sorted(
-        b for b in set(state["folded"]) | set(new) | set(implicit)
+    # stored as LOGICAL ids (batch_fold_id) so a later v2 DML rewrite
+    # of an in-band batch — which changes its physical dirname — still
+    # matches the fold record
+    folded = sorted({
+        sinks.batch_fold_id(b)
+        for b in set(state["folded"]) | set(new) | set(implicit)
         if sinks._batch_ns_prefix(b) > lo  # noqa: SLF001
-    )
+    })
     return {"wm": wm, "folded": folded, "legacy": False}
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import time
@@ -457,6 +458,236 @@ def _fuse_constraints(
     return df
 
 
+# ------------------------------------------------------------------ #
+# Batch-log layout v2 (VERDICT r10 #1): manifest-committed batch log. #
+#                                                                      #
+# The legacy layout commits every mutation with a DIRECTORY rename —   #
+# atomic on POSIX/HDFS, NOT on object storage, where a dir rename is a #
+# non-atomic copy+delete. Layout v2 moves the commit point to ONE      #
+# single-file swap of `_batches.json` (a generation-numbered manifest  #
+# naming the live batch dirs) — the local-FS form of an object store's #
+# atomic/conditional PUT of a manifest object, i.e. the same commit    #
+# primitive the partitioned gold tables already use (_partitions.json) #
+# and the same one Delta/Iceberg commit through. Data dirs are written #
+# fully INVISIBLE (readers resolve the manifest, never the listing) so #
+# their placement needs no atomicity at all: a crash before the        #
+# manifest swap leaves an orphan dir no reader ever sees, GC'd by the  #
+# next vacuum. Reads are one manifest read + pruned scans — no         #
+# recursive listing.                                                   #
+#                                                                      #
+# Row-level rewrites (DELETE/UPDATE/MERGE) get an upgrade the rename   #
+# layout could not express: ALL affected batches swap in ONE manifest  #
+# commit (cross-batch atomic DML), by publishing each rewritten batch  #
+# under a VERSIONED physical name (`.rw<8hex>` segment) that preserves #
+# the batch's stamp prefix, vacuum-base suffix, and — via              #
+# batch_fold_id — its logical identity to the incremental refreshes'   #
+# fold state.                                                          #
+#                                                                      #
+# Concurrency: every manifest commit (appends included) serializes on  #
+# a millisecond-scale naming lock (_manifest_lock) held only for       #
+# stamp→rename→manifest-swap — the Spark write itself stays unlocked.  #
+# On a real deployment this seat is the conditional-PUT/transaction    #
+# service every table format needs on object storage.                  #
+# ------------------------------------------------------------------ #
+
+BATCHES_MANIFEST = "_batches.json"
+
+# New tables bootstrap straight into the manifest layout; existing
+# rename-layout tables keep legacy semantics until
+# migrate_batch_manifest upgrades them in place. Tests pin the legacy
+# paths by monkeypatching this to False.
+BATCH_MANIFEST_DEFAULT = True
+
+# A manifest-lock holder silent past this is dead or frozen (the held
+# section is stamp + one rename + one json swap — milliseconds); a
+# contender steals through the same inode-checked rename-aside the
+# writer lease uses.
+MANIFEST_LOCK_TTL_S = 60.0
+
+_RW_SEG = re.compile(r"\.rw[0-9a-f]{8}")
+
+
+def batch_fold_id(batch_dirname: str) -> str:
+    """Logical batch identity across row-level rewrites: a v2
+    DELETE/UPDATE/MERGE republishes a batch under a versioned physical
+    name (`batch-<stamp>-<uuid>.rw<8hex>[-vb]`), and anything that
+    remembers batches ACROSS mutations — the fold state of the
+    incremental refreshes, a vacuum base's absorbed list — must key on
+    the stamp+uuid identity, not the physical dirname, or a rewrite
+    inside the fold grace band would be re-folded as a "new" batch and
+    double-counted. Identity = the dirname with any `.rw` version
+    segment stripped; on the rename layout (no rewrites under new
+    names) this is the dirname itself."""
+    return _RW_SEG.sub("", batch_dirname)
+
+
+def _bump_rw(batch_dirname: str) -> str:
+    """Next versioned physical name for a rewritten batch: fresh
+    `.rw<8hex>` segment spliced BEFORE the vacuum-base suffix so
+    `endswith(VACUUM_BASE_SUFFIX)` and the 20-digit stamp prefix both
+    survive the rewrite."""
+    token = f".rw{uuid.uuid4().hex[:8]}"
+    base = batch_fold_id(batch_dirname)
+    if base.endswith(VACUUM_BASE_SUFFIX):
+        return base[: -len(VACUUM_BASE_SUFFIX)] + token + VACUUM_BASE_SUFFIX
+    return base + token
+
+
+def _batches_manifest(table_dir: str) -> dict | None:
+    """The committed batch manifest, or None for the rename layout.
+    A PRESENT-but-unreadable manifest raises loudly: falling back to
+    the directory listing would promote uncommitted orphan dirs to
+    live data — worse than failing the read."""
+    path = os.path.join(table_dir, BATCHES_MANIFEST)
+    try:
+        with open(path) as fh:
+            m = json.load(fh)
+        return {"generation": int(m["generation"]), "live": list(m["live"])}
+    except FileNotFoundError:
+        return None
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt batch manifest {path!r}: {exc} — refusing the "
+            "directory-listing fallback (it would resurrect "
+            "uncommitted orphan dirs); restore the manifest from the "
+            "previous generation"
+        ) from exc
+
+
+@contextmanager
+def _manifest_lock(table_dir: str, name: str):
+    """Serializes [stamp → naming rename → manifest swap] across every
+    v2 mutator of one table — appends included (v2 appends are no
+    longer commutative: each commit rewrites the shared manifest).
+    Unlike writer_lock this WAITS (the section it guards is
+    milliseconds, so contention resolves in kind) instead of raising,
+    and steals a holder silent past MANIFEST_LOCK_TTL_S through the
+    same inode-checked rename-aside. Yields an ownership probe the
+    commit point re-checks so a frozen-then-stolen holder cannot
+    publish over its successor."""
+    lock = os.path.join(table_dir, ".lock-batches")
+    deadline = time.monotonic() + 2 * MANIFEST_LOCK_TTL_S
+
+    def _try_acquire() -> bool:
+        tmp = f"{lock}.acq-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
+        try:
+            os.link(tmp, lock)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    while not _try_acquire():
+        try:
+            st = os.stat(lock)
+            if time.time() - st.st_mtime > MANIFEST_LOCK_TTL_S:
+                try:
+                    _steal_stale(lock, st.st_ino, name)
+                except ConcurrentWriterError:
+                    pass  # a faster contender stole it; re-race
+        except FileNotFoundError:
+            pass  # released between attempts; re-race immediately
+        if time.monotonic() > deadline:
+            raise ConcurrentWriterError(
+                f"table {name!r}: batch-manifest lock held past "
+                f"{2 * MANIFEST_LOCK_TTL_S:.0f}s — a commit section "
+                "this long means a wedged writer; investigate "
+                f"{lock!r}"
+            )
+        time.sleep(0.005)
+    try:
+        fd: int | None = os.open(lock, os.O_RDONLY)
+    except OSError:
+        fd = None
+
+    def _still_mine() -> bool:
+        try:
+            if fd is not None:
+                return os.stat(lock).st_ino == os.fstat(fd).st_ino
+            with open(lock) as fh:
+                return fh.read().strip() == str(os.getpid())
+        except OSError:
+            return False
+
+    try:
+        yield _still_mine
+    finally:
+        try:
+            if _still_mine():
+                os.unlink(lock)
+        except OSError:
+            pass
+        if fd is not None:
+            os.close(fd)
+
+
+def _commit_batches(
+    table_dir: str,
+    name: str,
+    live: list[str],
+    generation: int,
+    still_mine=None,
+) -> None:
+    """THE v2 commit point: stage the next manifest generation to a
+    temp file (fsync'd) and publish it with ONE single-file
+    ``os.replace`` — on an object store this line is one atomic
+    manifest PUT. Guarded by the writer-lease fence (a TTL-fenced
+    vacuum/DML must not commit over its successor) and by the
+    manifest-lock ownership probe (same property for the naming
+    lock)."""
+    _check_fence()
+    if still_mine is not None and not still_mine():
+        raise FencedWriterError(
+            f"table {name!r}: batch-manifest lock was stolen "
+            "mid-commit (holder frozen past the TTL) — aborting the "
+            "manifest publish so the successor's commit is not "
+            "overwritten; rerun this mutation"
+        )
+    tmp = os.path.join(
+        table_dir, f".{BATCHES_MANIFEST}.{uuid.uuid4().hex[:8]}"
+    )
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"generation": generation, "live": sorted(set(live))}, fh
+        )
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.replace(tmp, os.path.join(table_dir, BATCHES_MANIFEST))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def migrate_batch_manifest(warehouse_dir: str, name: str) -> int:
+    """In-place upgrade of a legacy rename-committed table to the
+    manifest layout; idempotent (returns the current generation if
+    already migrated). Runs under the writer lease so no vacuum/DML
+    interleaves, and takes the manifest lock for the [final legacy
+    listing → first commit] so an append racing the migration is
+    linearized: it either publishes before the listing (and is named
+    by generation 0) or blocks on the lock and re-reads the manifest
+    (and commits generation 1). The legacy listing is the
+    absorbed-filtered one, so crashed-vacuum leftovers do not get
+    promoted to live."""
+    table_dir = table_path(warehouse_dir, name)
+    os.makedirs(table_dir, exist_ok=True)
+    with writer_lock(warehouse_dir, name):
+        m = _batches_manifest(table_dir)
+        if m is not None:
+            return m["generation"]
+        with _manifest_lock(table_dir, name) as still_mine:
+            m = _batches_manifest(table_dir)
+            if m is not None:
+                return m["generation"]
+            live = list_batches(warehouse_dir, name)
+            _commit_batches(table_dir, name, live, 0, still_mine)
+        return 0
+
+
 def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     """S6/S7: append a batch to a table — job-level atomic.
 
@@ -553,13 +784,70 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         # the check→rename gap itself — two adjacent operations with
         # no syscall between, vs the multi-syscall stamp→rename path
         # this narrows.
-        batch_id = f"{_publish_stamp_ns():020d}-{uuid.uuid4().hex[:8]}"
-        while time.time_ns() - int(batch_id.split("-")[0]) > FOLD_GRACE_NS // 2:
-            batch_id = f"{_publish_stamp_ns():020d}-{uuid.uuid4().hex[:8]}"
-        os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+        use_manifest = _batches_manifest(table_dir) is not None or (
+            BATCH_MANIFEST_DEFAULT
+            and not any(
+                d.startswith("batch-") for d in os.listdir(table_dir)
+            )
+        )
+        # EVERY append takes the (millisecond) naming lock, both
+        # layouts: v2 needs it to serialize manifest commits; a
+        # LEGACY append needs it to linearize with a concurrent
+        # migrate_batch_manifest — without it, a dir renamed in
+        # between the migration's final listing and its generation-0
+        # commit would be orphaned by the new manifest (silent data
+        # loss). Inside the lock the manifest is re-read, so an
+        # append that lost that race simply commits generation 1.
+        with _manifest_lock(table_dir, name) as still_mine:
+            m = _batches_manifest(table_dir)
+            if m is None and not use_manifest:
+                # legacy rename layout: the directory rename IS the
+                # commit
+                batch_id = _fresh_batch_id()
+                os.replace(
+                    staged, os.path.join(table_dir, f"batch-{batch_id}")
+                )
+            else:
+                # layout v2: the naming rename below is NOT the
+                # commit — the batch stays invisible (readers resolve
+                # the manifest) until _commit_batches swaps
+                # _batches.json. A crash in between leaves an orphan
+                # dir no reader sees, GC'd by the next vacuum —
+                # except on the very first append to a fresh table
+                # (no manifest yet): there a post-rename crash
+                # degrades the table to the legacy layout (the dir is
+                # complete, legacy listing sees it — v1 semantics),
+                # and migrate_batch_manifest upgrades it later. The
+                # lock spans stamp→rename→commit so stamps stay
+                # monotone with commit order (the as-of/fold
+                # invariant).
+                batch_id = _fresh_batch_id()
+                os.replace(
+                    staged, os.path.join(table_dir, f"batch-{batch_id}")
+                )
+                m = m or {"generation": -1, "live": []}
+                _commit_batches(
+                    table_dir,
+                    name,
+                    m["live"] + [f"batch-{batch_id}"],
+                    m["generation"] + 1,
+                    still_mine,
+                )
     finally:
         if os.path.exists(staged):  # job failed before publish
             shutil.rmtree(staged, ignore_errors=True)
+
+
+def _fresh_batch_id() -> str:
+    """Publish-stamped batch id with the freeze fence (see the long
+    comment in append_rows): re-stamp until the id is younger than
+    half the fold grace, so a writer frozen between stamping and
+    publishing cannot commit below an advanced watermark's grace
+    floor."""
+    batch_id = f"{_publish_stamp_ns():020d}-{uuid.uuid4().hex[:8]}"
+    while time.time_ns() - int(batch_id.split("-")[0]) > FOLD_GRACE_NS // 2:
+        batch_id = f"{_publish_stamp_ns():020d}-{uuid.uuid4().hex[:8]}"
+    return batch_id
 
 
 def _read_paths(
@@ -774,6 +1062,71 @@ def _rewrite_matching_batches(
         return {"batches_rewritten": 0, "rows_matched": 0, "_affected": []}
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
+    if _batches_manifest(table_dir) is not None:
+        # layout v2: every rewritten batch publishes under a fresh
+        # VERSIONED name (`.rw<8hex>` — same stamp prefix, same -vb
+        # suffix, same fold identity via batch_fold_id) while staying
+        # invisible, then ALL affected batches swap in ONE manifest
+        # commit. That makes row DML cross-batch ATOMIC — a reader
+        # sees the whole delete/update or none of it — which the
+        # rename layout's per-dir swap sequence could not express
+        # (its crash mid-sequence left the DML half-applied; re-run
+        # converged but readers could observe the partial state).
+        renames: list[tuple[str, str]] = []
+        committed = False
+        try:
+            for b in affected:
+                src = os.path.join(table_dir, b)
+                new_df = transform(
+                    read_batch_dirs(spark, warehouse_dir, name, [b])
+                )
+                staged = os.path.join(
+                    staging_root, f"{name}-rw-{uuid.uuid4().hex[:8]}"
+                )
+                try:
+                    new_df.write.mode("overwrite").parquet(staged)
+                    absorbed = os.path.join(src, ABSORBED_MANIFEST)
+                    if os.path.exists(absorbed):
+                        shutil.copyfile(
+                            absorbed,
+                            os.path.join(staged, ABSORBED_MANIFEST),
+                        )
+                    new_name = _bump_rw(b)
+                    os.replace(
+                        staged, os.path.join(table_dir, new_name)
+                    )  # invisible until the manifest commit
+                except BaseException:
+                    if os.path.exists(staged):
+                        shutil.rmtree(staged, ignore_errors=True)
+                    raise
+                renames.append((b, new_name))
+            with _manifest_lock(table_dir, name) as still_mine:
+                cur = _batches_manifest(table_dir)
+                olds = {o for o, _ in renames}
+                live = [x for x in cur["live"] if x not in olds]
+                live.extend(n for _, n in renames)
+                _commit_batches(
+                    table_dir, name, live, cur["generation"] + 1, still_mine
+                )
+            committed = True
+        finally:
+            if not committed:
+                # pre-commit fault: the versioned dirs were never
+                # live — remove them so the table is EXACTLY unchanged
+                for _, n in renames:
+                    shutil.rmtree(
+                        os.path.join(table_dir, n), ignore_errors=True
+                    )
+        for o, _ in renames:  # post-commit GC of the replaced versions
+            shutil.rmtree(os.path.join(table_dir, o), ignore_errors=True)
+        return {
+            "batches_rewritten": len(affected),
+            "rows_matched": rows_matched,
+            # the LIVE (post-rewrite, versioned) names — consumers
+            # re-reading the affected dirs (merge_rows' insert half)
+            # must read what the manifest now names
+            "_affected": sorted(n for _, n in renames),
+        }
     for b in affected:
         src = os.path.join(table_dir, b)
         new_df = transform(
@@ -1071,9 +1424,17 @@ def describe_table(warehouse_dir: str, name: str) -> dict[str, object]:
         # released (or replaced) mid-snapshot: report a consistent
         # "no lock" row rather than a half-read one
         lock_age_s = lock_holder = None
+    bm = _batches_manifest(table_path(warehouse_dir, name)) if os.path.isdir(
+        table_path(warehouse_dir, name)
+    ) else None
     return {
         "batch_count": len(batches),
         "vacuum_bases": len(bases),
+        # commit-protocol surface (r11): manifest-committed tables are
+        # object-store-safe; "rename" means legacy — run
+        # migrate_batch_manifest at the next maintenance window
+        "layout": "batch-manifest" if bm is not None else "rename",
+        "batch_generation": bm["generation"] if bm is not None else None,
         "retention_point_ns": (
             int(_batch_ns_prefix(bases[-1])) if bases else None
         ),
@@ -1226,10 +1587,18 @@ def list_batches(warehouse_dir: str, name: str) -> list[str]:
     and re-merging it would bake duplicates in permanently. Filtering
     here makes every consumer (read_table, read_table_as_of, the
     incremental refreshes, describe_table, the next vacuum)
-    crash-consistent; vacuum_table physically GCs the leftovers."""
+    crash-consistent; vacuum_table physically GCs the leftovers.
+
+    Layout v2: when `_batches.json` is committed, the manifest IS the
+    live set — one manifest read, no directory listing, no absorbed
+    filtering (an uncommitted/orphan dir is never named by the
+    manifest in the first place)."""
     table_dir = table_path(warehouse_dir, name)
     if not os.path.isdir(table_dir):
         return []
+    m = _batches_manifest(table_dir)
+    if m is not None:
+        return sorted(m["live"])
     dirs = sorted(d for d in os.listdir(table_dir) if d.startswith("batch-"))
     absorbed = _absorbed_set(table_dir, dirs)
     if absorbed:
@@ -1665,7 +2034,27 @@ def _merge_batches(
         with open(os.path.join(staged, ABSORBED_MANIFEST), "w") as fh:
             json.dump({"absorbed": sorted(set(absorbed))}, fh)
         _check_fence()  # abort a TTL-fenced vacuum before base publish
-        os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+        if _batches_manifest(table_dir) is not None:
+            # layout v2: the rename below only NAMES the base (still
+            # invisible — not in the manifest); the commit is the ONE
+            # manifest swap removing the absorbed dirs and adding the
+            # base. Appends landing between this vacuum's listing and
+            # its commit survive: the live set is re-read under the
+            # lock. A crash before the commit orphans the base
+            # (invisible, GC'd next vacuum); after it, the absorbed
+            # dirs are orphans (ditto) — readers are consistent at
+            # every instant from the manifest alone.
+            os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+            with _manifest_lock(table_dir, name) as still_mine:
+                cur = _batches_manifest(table_dir)
+                gone = set(old)
+                live = [b for b in cur["live"] if b not in gone]
+                live.append(f"batch-{batch_id}")
+                _commit_batches(
+                    table_dir, name, live, cur["generation"] + 1, still_mine
+                )
+        else:
+            os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
         for b in old:
             shutil.rmtree(os.path.join(table_dir, b), ignore_errors=True)
     finally:
@@ -1722,7 +2111,27 @@ def vacuum_table(
         # any deletion so a doubly-crashed chain's intermediate base
         # still contributes its list.
         table_dir = table_path(warehouse_dir, name)
-        if os.path.isdir(table_dir):
+        if os.path.isdir(table_dir) and _batches_manifest(table_dir) is not None:
+            # layout v2 heal: any on-disk batch dir the manifest does
+            # not name is an orphan — a crashed append/vacuum/DML's
+            # invisible leftover. The orphan set is computed under the
+            # manifest lock (an in-flight append holds it across its
+            # naming rename → commit, so a half-committed batch can
+            # never be judged an orphan); the deletion runs after
+            # release — a batch committed later gets a fresh name and
+            # cannot collide with the computed set.
+            with _manifest_lock(table_dir, name):
+                live = set(_batches_manifest(table_dir)["live"])
+                orphans = [
+                    d
+                    for d in os.listdir(table_dir)
+                    if d.startswith("batch-") and d not in live
+                ]
+            for leftover in orphans:
+                shutil.rmtree(
+                    os.path.join(table_dir, leftover), ignore_errors=True
+                )
+        elif os.path.isdir(table_dir):
             on_disk = [
                 d for d in os.listdir(table_dir) if d.startswith("batch-")
             ]

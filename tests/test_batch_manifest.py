@@ -1,0 +1,461 @@
+"""Layout v2 — manifest-committed batch log (VERDICT r10 #1).
+
+The commit point for every batch-log mutation moves from a directory
+rename to ONE single-file swap of ``_batches.json`` (the object-store
+form: one atomic manifest PUT). These tests pin:
+
+- chaos at every new window (append / vacuum / DML, pre- and
+  post-commit crashes): readers always see a committed generation,
+  orphans are invisible and GC'd by the next vacuum;
+- both layouts stay green on the core flow (append → read → as-of →
+  DML → vacuum) with identical results;
+- in-place migration from the rename layout (absorbed leftovers not
+  promoted, appends linearized, idempotent);
+- fold identity across v2 DML rewrites (batch_fold_id);
+- manifest-lock fencing (a stolen lock's holder cannot publish).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import Row
+
+from roborock_data_pipeline_spark.sources import sinks
+
+
+def _mk(spark, i: int, n: int = 1):
+    rows = [
+        Row(
+            timestamp=dt.datetime(2025, 1, 1, i % 24, j % 60),
+            device_name=f"d{(i + j) % 3}",
+            start_time=dt.datetime(2025, 1, 1, i % 24, j % 60),
+            duration_minutes=float(i),
+            area_sqm=float(i * 10 + j),
+            clean_mode="auto",
+            clean_way="std",
+            error_code=None,
+            task_status="ok",
+        )
+        for j in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, schema=sinks.WAREHOUSE_TABLES["cleaning_records"]
+    )
+
+
+@pytest.fixture()
+def wh(tmp_path, spark):
+    w = str(tmp_path / "wh")
+    sinks.setup_warehouse(spark, w)
+    return w
+
+
+def _manifest(wh):
+    p = os.path.join(
+        sinks.table_path(wh, "cleaning_records"), sinks.BATCHES_MANIFEST
+    )
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _rows(spark, wh):
+    return sinks.read_table(spark, wh, "cleaning_records").count()
+
+
+# --------------------------------------------------------------- #
+# core semantics on the manifest layout                            #
+# --------------------------------------------------------------- #
+
+
+def test_new_table_bootstraps_manifest(spark, wh):
+    for i in range(3):
+        sinks.append_rows(_mk(spark, i), wh, "cleaning_records")
+    m = _manifest(wh)
+    assert m["generation"] == 2
+    assert len(m["live"]) == 3
+    assert _rows(spark, wh) == 3
+    assert sinks.describe_table(wh, "cleaning_records")["layout"] == (
+        "batch-manifest"
+    )
+
+
+def test_orphan_dirs_are_invisible_and_gcd(spark, wh):
+    sinks.append_rows(_mk(spark, 1), wh, "cleaning_records")
+    td = sinks.table_path(wh, "cleaning_records")
+    # fabricate a crashed writer's orphan: a complete batch dir the
+    # manifest never named
+    live = sinks.list_batches(wh, "cleaning_records")
+    orphan = os.path.join(td, "batch-" + "9" * 20 + "-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.txt"), "w") as fh:
+        fh.write("x")
+    assert sinks.list_batches(wh, "cleaning_records") == live
+    assert _rows(spark, wh) == 1
+    # another append so vacuum has >1 batch to consider; then the
+    # vacuum heal GCs the orphan even when nothing merges
+    sinks.append_rows(_mk(spark, 2), wh, "cleaning_records")
+    sinks.vacuum_table(spark, wh, "cleaning_records", retain_last_n=10)
+    assert not os.path.exists(orphan)
+    assert _rows(spark, wh) == 2
+
+
+def test_concurrent_appends_all_commit(spark, wh):
+    dfs = [_mk(spark, i) for i in range(6)]
+    errs: list[BaseException] = []
+
+    def app(df):
+        try:
+            sinks.append_rows(df, wh, "cleaning_records")
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=app, args=(d,)) for d in dfs]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    m = _manifest(wh)
+    assert len(m["live"]) == 6
+    assert m["generation"] == 5
+    assert _rows(spark, wh) == 6
+
+
+# --------------------------------------------------------------- #
+# chaos: crash at every new window                                 #
+# --------------------------------------------------------------- #
+
+
+def _bomb_manifest_commit(monkeypatch):
+    """Simulate a hard crash at the commit point: the manifest swap
+    never happens (and, as in a real crash, no cleanup code runs for
+    the already-renamed data dirs — the finally blocks still fire for
+    exception-style faults, which is the stronger postcondition)."""
+    def bomb(*a, **k):
+        raise OSError("injected crash before manifest commit")
+
+    monkeypatch.setattr(sinks, "_commit_batches", bomb)
+
+
+def test_append_crash_before_commit_publishes_nothing(
+    spark, wh, monkeypatch
+):
+    sinks.append_rows(_mk(spark, 1), wh, "cleaning_records")
+    before = _manifest(wh)
+    _bomb_manifest_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected"):
+        sinks.append_rows(_mk(spark, 2), wh, "cleaning_records")
+    monkeypatch.undo()
+    assert _manifest(wh) == before
+    assert _rows(spark, wh) == 1
+    # retry converges; the orphan from the crashed attempt stays
+    # invisible and the next vacuum GCs it
+    sinks.append_rows(_mk(spark, 2), wh, "cleaning_records")
+    assert _rows(spark, wh) == 2
+    td = sinks.table_path(wh, "cleaning_records")
+    on_disk = [d for d in os.listdir(td) if d.startswith("batch-")]
+    assert len(on_disk) == 3  # 2 live + 1 orphan
+    sinks.vacuum_table(spark, wh, "cleaning_records", retain_last_n=10)
+    on_disk = [d for d in os.listdir(td) if d.startswith("batch-")]
+    assert sorted(on_disk) == sinks.list_batches(wh, "cleaning_records")
+    assert _rows(spark, wh) == 2
+
+
+def test_vacuum_crash_before_commit_changes_nothing(
+    spark, wh, monkeypatch
+):
+    for i in range(4):
+        sinks.append_rows(_mk(spark, i), wh, "cleaning_records")
+    before_live = sinks.list_batches(wh, "cleaning_records")
+    _bomb_manifest_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected"):
+        sinks.vacuum_table(spark, wh, "cleaning_records", retain_last_n=1)
+    monkeypatch.undo()
+    assert sinks.list_batches(wh, "cleaning_records") == before_live
+    assert _rows(spark, wh) == 4
+    # retry converges
+    assert sinks.vacuum_table(
+        spark, wh, "cleaning_records", retain_last_n=1
+    ) == 3
+    assert _rows(spark, wh) == 4
+
+
+def test_vacuum_crash_after_commit_reads_stay_exact(
+    spark, wh, monkeypatch
+):
+    """Crash BETWEEN the manifest commit and the absorbed-dir
+    deletion: the manifest already names only [base, tail] — reads
+    are correct immediately; the stranded absorbed dirs are orphans
+    the next vacuum GCs."""
+    for i in range(4):
+        sinks.append_rows(_mk(spark, i), wh, "cleaning_records")
+    real_rmtree = sinks.shutil.rmtree
+    state = {"n": 0}
+
+    def bomb(path, *a, **k):
+        if "/batch-" in str(path):
+            state["n"] += 1
+            raise OSError("injected crash before absorbed GC")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(sinks.shutil, "rmtree", bomb)
+    with pytest.raises(OSError, match="injected"):
+        sinks.vacuum_table(spark, wh, "cleaning_records", retain_last_n=1)
+    monkeypatch.undo()
+    live = sinks.list_batches(wh, "cleaning_records")
+    assert len(live) == 2  # base + retained tail
+    assert any(b.endswith(sinks.VACUUM_BASE_SUFFIX) for b in live)
+    assert _rows(spark, wh) == 4
+    td = sinks.table_path(wh, "cleaning_records")
+    assert len(
+        [d for d in os.listdir(td) if d.startswith("batch-")]
+    ) > 2  # stranded orphans
+    sinks.vacuum_table(spark, wh, "cleaning_records", retain_last_n=10)
+    assert sorted(
+        d for d in os.listdir(td) if d.startswith("batch-")
+    ) == sinks.list_batches(wh, "cleaning_records")
+    assert _rows(spark, wh) == 4
+
+
+def test_dml_crash_before_commit_is_fully_rolled_back(
+    spark, wh, monkeypatch
+):
+    """Cross-batch atomic DML: a fault before the single manifest
+    commit leaves the table EXACTLY unchanged — even with several
+    affected batches already rewritten under versioned names."""
+    for i in range(3):
+        sinks.append_rows(_mk(spark, 7, n=2), wh, "cleaning_records")
+    before_live = sinks.list_batches(wh, "cleaning_records")
+    _bomb_manifest_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected"):
+        sinks.delete_rows(
+            spark, wh, "cleaning_records", "duration_minutes = 7.0"
+        )
+    monkeypatch.undo()
+    assert sinks.list_batches(wh, "cleaning_records") == before_live
+    assert _rows(spark, wh) == 6
+    td = sinks.table_path(wh, "cleaning_records")
+    assert sorted(
+        d for d in os.listdir(td) if d.startswith("batch-")
+    ) == before_live  # versioned dirs cleaned up
+    # retry converges
+    res = sinks.delete_rows(
+        spark, wh, "cleaning_records", "duration_minutes = 7.0"
+    )
+    assert res["rows_deleted"] == 6
+    assert res["batches_rewritten"] == 3
+    assert _rows(spark, wh) == 0
+
+
+def test_dml_rewrites_swap_in_one_commit(spark, wh):
+    """All affected batches change generation TOGETHER: exactly one
+    manifest generation separates pre- and post-DML states."""
+    for i in range(3):
+        sinks.append_rows(_mk(spark, 5, n=2), wh, "cleaning_records")
+    g0 = _manifest(wh)["generation"]
+    res = sinks.update_rows(
+        spark,
+        wh,
+        "cleaning_records",
+        "duration_minutes = 5.0",
+        {"task_status": "'scrubbed'"},
+    )
+    assert res["batches_rewritten"] == 3
+    m = _manifest(wh)
+    assert m["generation"] == g0 + 1
+    assert all(".rw" in b for b in m["live"])
+    got = (
+        sinks.read_table(spark, wh, "cleaning_records")
+        .where("task_status = 'scrubbed'")
+        .count()
+    )
+    assert got == 6
+
+
+def test_manifest_lock_fence_blocks_stolen_holder(wh):
+    td = sinks.table_path(wh, "cleaning_records")
+    os.makedirs(td, exist_ok=True)
+    with sinks._manifest_lock(td, "cleaning_records") as still_mine:
+        assert still_mine()
+        lock = os.path.join(td, ".lock-batches")
+        os.unlink(lock)  # a TTL stealer renamed ours aside
+        with open(lock, "w") as fh:
+            fh.write("99999")  # successor's lease
+        assert not still_mine()
+        with pytest.raises(sinks.FencedWriterError):
+            sinks._commit_batches(
+                td, "cleaning_records", [], 0, still_mine
+            )
+    os.unlink(lock)
+
+
+def test_corrupt_manifest_refuses_listing_fallback(spark, wh):
+    sinks.append_rows(_mk(spark, 1), wh, "cleaning_records")
+    p = os.path.join(
+        sinks.table_path(wh, "cleaning_records"), sinks.BATCHES_MANIFEST
+    )
+    with open(p, "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt batch manifest"):
+        sinks.list_batches(wh, "cleaning_records")
+
+
+# --------------------------------------------------------------- #
+# both layouts: identical core-flow semantics                      #
+# --------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("layout", ["rename", "manifest"])
+def test_core_flow_identical_on_both_layouts(
+    spark, tmp_path, monkeypatch, layout
+):
+    monkeypatch.setattr(
+        sinks, "BATCH_MANIFEST_DEFAULT", layout == "manifest"
+    )
+    w = str(tmp_path / f"wh-{layout}")
+    sinks.setup_warehouse(spark, w)
+    stamps = []
+    for i in range(5):
+        sinks.append_rows(_mk(spark, i), w, "cleaning_records")
+        stamps.append(
+            int(
+                sinks._batch_ns_prefix(
+                    sinks.list_batches(w, "cleaning_records")[-1]
+                )
+            )
+        )
+    has_manifest = os.path.exists(
+        os.path.join(
+            sinks.table_path(w, "cleaning_records"),
+            sinks.BATCHES_MANIFEST,
+        )
+    )
+    assert has_manifest == (layout == "manifest")
+    assert _rows(spark, w) == 5
+    assert (
+        sinks.read_table_as_of(
+            spark, w, "cleaning_records", stamps[2]
+        ).count()
+        == 3
+    )
+    res = sinks.delete_rows(
+        spark, w, "cleaning_records", "duration_minutes = 3.0"
+    )
+    assert res["rows_deleted"] == 1
+    assert _rows(spark, w) == 4
+    assert sinks.vacuum_table(
+        spark, w, "cleaning_records", retain_last_n=2
+    ) == 3
+    assert _rows(spark, w) == 4
+    # as-of inside retention still exact after the vacuum
+    assert (
+        sinks.read_table_as_of(
+            spark, w, "cleaning_records", stamps[-1]
+        ).count()
+        == 4
+    )
+
+
+# --------------------------------------------------------------- #
+# migration in place                                               #
+# --------------------------------------------------------------- #
+
+
+def test_migration_from_rename_layout(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", False)
+    w = str(tmp_path / "wh-mig")
+    sinks.setup_warehouse(spark, w)
+    for i in range(4):
+        sinks.append_rows(_mk(spark, i), w, "cleaning_records")
+    sinks.vacuum_table(spark, w, "cleaning_records", retain_last_n=2)
+    td = sinks.table_path(w, "cleaning_records")
+    # strand a crashed-vacuum leftover: a dir named by the base's
+    # absorbed manifest, back on disk
+    base = next(
+        b
+        for b in sinks.list_batches(w, "cleaning_records")
+        if b.endswith(sinks.VACUUM_BASE_SUFFIX)
+    )
+    leftover = sinks._base_absorbed(os.path.join(td, base))[0]
+    os.makedirs(os.path.join(td, leftover))
+    before = sinks.list_batches(w, "cleaning_records")
+    before_rows = _rows(spark, w)
+
+    gen = sinks.migrate_batch_manifest(w, "cleaning_records")
+    assert gen == 0
+    assert sinks.migrate_batch_manifest(w, "cleaning_records") == 0  # idem
+    assert sinks.list_batches(w, "cleaning_records") == before
+    assert leftover not in sinks.list_batches(w, "cleaning_records")
+    assert _rows(spark, w) == before_rows
+    # post-migration appends commit through the manifest
+    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", True)
+    sinks.append_rows(_mk(spark, 9), w, "cleaning_records")
+    with open(os.path.join(td, sinks.BATCHES_MANIFEST)) as fh:
+        m = json.load(fh)
+    assert m["generation"] == 1
+    assert _rows(spark, w) == before_rows + 1
+
+
+# --------------------------------------------------------------- #
+# fold identity across v2 rewrites                                 #
+# --------------------------------------------------------------- #
+
+
+def test_fold_id_survives_rw_versioning():
+    b = "batch-01234567890123456789-abcdef01"
+    v1 = sinks._bump_rw(b)
+    assert sinks.batch_fold_id(v1) == b
+    assert sinks._batch_ns_prefix(v1) == sinks._batch_ns_prefix(b)
+    v2 = sinks._bump_rw(v1)  # re-rewrite replaces, never stacks
+    assert sinks.batch_fold_id(v2) == b
+    assert v2.count(".rw") == 1
+    base = b + sinks.VACUUM_BASE_SUFFIX
+    vb = sinks._bump_rw(base)
+    assert vb.endswith(sinks.VACUUM_BASE_SUFFIX)
+    assert sinks.batch_fold_id(vb) == base
+
+
+def test_select_unfolded_keys_on_fold_id():
+    from roborock_data_pipeline_spark import pipeline
+
+    stamp = f"{10**18:020d}"
+    b = f"batch-{stamp}-abcdef01"
+    state = {"wm": stamp, "folded": [b], "legacy": False}
+    rewritten = sinks._bump_rw(b)
+    new, implicit = pipeline._select_unfolded([rewritten], state)
+    assert new == [] and implicit == []  # not re-folded after DML
+
+
+def test_incremental_refresh_not_double_counted_by_dml(
+    spark, wh, monkeypatch
+):
+    """End-to-end: fold a batch into the gold daily summary, DML-
+    rewrite that batch (versioned name), refresh again — the refresh
+    must not re-fold the rewritten batch."""
+    from roborock_data_pipeline_spark import pipeline
+
+    sinks.append_rows(_mk(spark, 1, n=4), wh, "cleaning_records")
+    pipeline.refresh_daily_summary(spark, wh)
+    gold0 = {
+        (r["date"], r["total_cleanings"])
+        for r in sinks.read_table(spark, wh, "daily_summary").collect()
+    }
+    res = sinks.update_rows(
+        spark,
+        wh,
+        "cleaning_records",
+        "duration_minutes = 1.0",
+        {"task_status": "'touched'"},
+    )
+    assert res["batches_rewritten"] == 1
+    pipeline.refresh_daily_summary(spark, wh)
+    gold1 = {
+        (r["date"], r["total_cleanings"])
+        for r in sinks.read_table(spark, wh, "daily_summary").collect()
+    }
+    assert gold1 == gold0

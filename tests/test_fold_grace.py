@@ -66,6 +66,17 @@ def _backdate_last_batch(warehouse, below_ns: str) -> str:
     os.rename(
         os.path.join(table_dir, newest), os.path.join(table_dir, late)
     )
+    # layout v2: the simulated late writer would have COMMITTED the
+    # late id through the manifest — mirror the rename there
+    mpath = os.path.join(table_dir, sinks.BATCHES_MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            m = json.load(fh)
+        m["live"] = sorted(
+            late if b == newest else b for b in m["live"]
+        )
+        with open(mpath, "w") as fh:
+            json.dump(m, fh)
     return late
 
 

@@ -75,8 +75,14 @@ def test_delete_erases_from_current_and_asof_reads(spark, warehouse):
     )
     assert asof.where("device_name = 'robo-a'").count() == 0
     assert asof.count() == 1
-    # batch log structure unchanged: same ids, still 2 live batches
-    assert sinks.list_batches(warehouse, "cleaning_records") == batches
+    # batch log structure unchanged: same LOGICAL ids, still 2 live
+    # batches (layout v2 republishes rewritten batches under .rw
+    # versioned physical names; the rename layout keeps names — both
+    # preserve batch_fold_id)
+    assert [
+        sinks.batch_fold_id(b)
+        for b in sinks.list_batches(warehouse, "cleaning_records")
+    ] == batches
 
 
 def test_delete_rewrites_only_matching_batches(spark, warehouse):
@@ -88,8 +94,15 @@ def test_delete_rewrites_only_matching_batches(spark, warehouse):
     )
     assert out["batches_rewritten"] == 1
     after = _snapshot(warehouse)
-    untouched = [b for b in before if before[b] == after[b]]
-    assert len(untouched) == 1  # the robo-a batch kept its exact files
+    after_by_id = {sinks.batch_fold_id(b): (b, f) for b, f in after.items()}
+    # the robo-a batch kept its exact NAME and files; the robo-b one
+    # was rewritten (same fold id, possibly a .rw-versioned name)
+    untouched = [
+        b
+        for b in before
+        if after_by_id[sinks.batch_fold_id(b)] == (b, before[b])
+    ]
+    assert len(untouched) == 1
 
 
 def test_delete_null_predicate_rows_are_kept(spark, warehouse):
@@ -133,8 +146,11 @@ def test_delete_from_vacuum_base_preserves_absorbed_manifest(spark, warehouse):
         spark, warehouse, "cleaning_records", "device_name = 'robo-a'"
     )
     td = sinks.table_path(warehouse, "cleaning_records")
+    live_base = sinks.list_batches(warehouse, "cleaning_records")[0]
+    assert live_base.endswith(sinks.VACUUM_BASE_SUFFIX)
+    assert sinks.batch_fold_id(live_base) == base
     assert os.path.exists(
-        os.path.join(td, base, sinks.ABSORBED_MANIFEST)
+        os.path.join(td, live_base, sinks.ABSORBED_MANIFEST)
     )
     assert sinks.read_table(spark, warehouse, "cleaning_records").count() == 1
 
