@@ -716,7 +716,10 @@ def q_pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. Type marginals (|types| rows) and the user count (1 row)
     are broadcast onto the pair table."""
     ev = load(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct().persist()
+    # NOT persisted (r11, PERSIST_AUDIT.json): the deduped projection
+    # ends at a shuffle, and shuffle-stage reuse serves the self-join's
+    # second read — dropping the cache measured 0.53× at sf1
+    ut = ev.select("user_id", "event_type").distinct()
     n_users = ev.agg(
         F.countDistinct("user_id").alias("n_users")
     )

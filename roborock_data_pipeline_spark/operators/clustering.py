@@ -127,15 +127,16 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is k rows. Iteration count is fixed (5), so total cost is
     5 scans — the standard trade against MLlib's convergence loop.
     """
-    # Persist the working set once: Lloyd's makes iters+1 full passes
-    # (5 assignments + the final one), and without this each pass
-    # re-reads and re-decodes the parquet. At 100 TB the same lever is
-    # MEMORY_AND_DISK on the (id, vector) projection — the vectors are
-    # the only columns the loop touches. No repartition: the BLAS
-    # kernel needs ~µs per thousand rows, so parallelism should come
-    # from the input splits (thousands at real scale); fanning a tiny
-    # corpus wide just pays per-task Arrow/worker overhead 32x.
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    # NOT persisted (r11, PERSIST_AUDIT.json): re-reading the pruned
+    # two-column parquet per Lloyd pass measured FASTER than caching
+    # (0.91× at both sf0.1 and sf1) — the scan is column-pruned and
+    # decode-cheap, and an in-query persist leaked the working set
+    # into the caller's session (VERDICT r10 wrong-#1). No
+    # repartition: the BLAS kernel needs ~µs per thousand rows, so
+    # parallelism should come from the input splits (thousands at
+    # real scale); fanning a tiny corpus wide just pays per-task
+    # Arrow/worker overhead 32x.
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned, _ = kmeans_fit(e, k=8, iters=5)
     return (
         assigned.groupBy("cluster")

@@ -219,15 +219,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic salient-term extraction before indexing or keyword
     filtering.
 
-    One exploded token table (persisted — both the TF and DF
-    aggregates read it) feeds two partial-aggregated groupBys; the
+    One exploded token table (NOT persisted — r11 PERSIST_AUDIT:
+    caching it measured 0.41× slower at sf0.1 / 0.89× at sf1 than
+    rebuilding from the pruned scan) feeds two partial-aggregated
+    groupBys; the
     IDF table is term-keyed and joins back onto TF postings —
     inverted-index shape, linear in Σ tokens. At 100 TB the IDF
     table for a bounded vocabulary broadcasts, making the score join
     map-only; the per-doc top-3 is a bounded window inside each
     doc's partition, never a global sort."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).persist()
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     idf = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n"))
@@ -395,10 +397,12 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     final division, so the Jaccard is bit-identical across engines
     with no rounding at all."""
     docs = load(spark, sf_dir, "documents")
+    # NOT persisted (r11, PERSIST_AUDIT): the distinct projection ends
+    # at a shuffle, so the pair join's second read reuses the shuffle
+    # files — caching measured no win at either SF
     vocab = (
         docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
-        .persist()
     )
     sizes = vocab.groupBy("source").agg(F.count("*").alias("vsize"))
     a = vocab.alias("a")
@@ -573,8 +577,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-document-frequency terms stand in for a user query, so
     both engines derive identical query terms.
 
-    Plan shape: one exploded token table persisted (TF and DF both
-    read it), the query-term table is LIMIT-3 tiny and BROADCAST,
+    Plan shape: one exploded token table rebuilt from the pruned scan
+    per aggregate (NOT persisted — r11 PERSIST_AUDIT.json: caching it
+    measured no win and leaked corpus-wide postings into the caller's
+    session; the PERSISTED form of this state is the real index,
+    operators/incremental_bm25.py), the query-term table is LIMIT-3
+    tiny and BROADCAST,
     the per-doc length joins on doc_id, corpus stats are a 1-row
     broadcast cross join, and the final top-10 is TakeOrdered —
     postings-shaped and linear in Σ tokens at 100 TB, like
@@ -585,7 +593,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    ).persist()
+    )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     qterms = dfreq.orderBy(F.col("df").desc(), "term").limit(_BM25_QUERY_TERMS)
