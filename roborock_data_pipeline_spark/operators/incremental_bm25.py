@@ -1,0 +1,269 @@
+"""Persisted incremental BM25 index (VERDICT r10 #2).
+
+``q_bm25_search`` (operators/text.py) is the ad-hoc, oracle-checked
+twin: it re-tokenizes the corpus, recomputes document-frequency stats
+and doc lengths, and persists corpus-wide postings IN-SESSION on every
+call — at 100 TB that is a full re-tokenization per retrieval query,
+and a contamination screen or seed-expansion loop runs retrieval
+repeatedly. This module is the missing sibling of the incremental
+MinHash/semantic indexes (operators/incremental_dedup.py:169 pattern):
+BM25 state persisted once per ingest batch, probed many times.
+
+Why BM25 state is exactly segment-shaped: every corpus-wide quantity
+the score needs is MERGEABLE —
+
+- ``df(term)``  = count of (term, doc) posting rows → a sum over
+  segments, computed at probe time from only the probed terms'
+  postings (which the probe must read anyway to score);
+- ``N`` and ``avgdl`` = (n_docs, sum_dl) per segment, summed.
+
+So a segment stores three tables:
+
+- ``postings/``  (term, doc_id, tf) — the inverted index;
+- ``doclens/``   (doc_id, dl) — BM25's length normalization;
+- ``stats/``     one row (n_docs, sum_dl).
+
+Lifecycle (shared index_segments framework — atomic publish,
+generation-CAS compaction, absorbed manifest, deferred GC):
+
+- :func:`update_bm25_index` — stage the batch's three tables fully
+  invisible, publish with ONE atomic rename; committed batch ids
+  replay as no-ops (idempotent re-ingest under the funnel's
+  transaction record).
+- :func:`probe_bm25_index` — top-k docs for a query-term set against
+  ONE live-segments snapshot; postings are term-pruned at the scan
+  (compacted bases are term-sorted, so parquet row-group stats skip
+  non-matching term ranges at the footer); scores equal
+  ``q_bm25_search``'s to the committed 6dp contract
+  (tests/test_bm25_index.py pins the equality on the same corpus).
+- :func:`compact_bm25_index` — merge live segments into one base:
+  postings repartitioned + sorted on term (probe pruning), doclens on
+  doc_id, stats re-summed to one row. Readers superseded by the
+  commit keep a full maintenance interval of grace (GC at the NEXT
+  pass's entry, as everywhere in index_segments).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from roborock_data_pipeline_spark.functions.text import tokens
+from roborock_data_pipeline_spark.operators.index_segments import (
+    _absorbed_ids,
+    commit_base,
+    gc_superseded,
+    live_segments,
+    next_base_gen,
+    publish_segment,
+)
+from roborock_data_pipeline_spark.operators.text import BM25_B, BM25_K1
+
+POST_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("tf", T.LongType(), False),
+])
+DL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("dl", T.LongType(), False),
+])
+STATS_SCHEMA = T.StructType([
+    T.StructField("n_docs", T.LongType(), False),
+    T.StructField("sum_dl", T.LongType(), False),
+])
+
+_TABLES = ("postings", "doclens", "stats")
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("term", F.col("doc_id").cast("long"), "tf")
+    )
+
+
+def _doclens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(tokens(F.col("text"))).cast("long").alias("dl"),
+    )
+
+
+def _committed(index_dir: str, batch_id: str) -> bool:
+    if os.path.isdir(os.path.join(index_dir, f"batch-{batch_id}")):
+        return True
+    base, _ = live_segments(index_dir)
+    return base is not None and batch_id in set(_absorbed_ids(base))
+
+
+def update_bm25_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    batch_id: str | None = None,
+) -> dict[str, int]:
+    """Ingest a batch of NEW documents (doc_id, text) into the index.
+    Appends only — the caller's dedup gate (the curation funnel) is
+    what keeps doc_ids unique, same contract as the MinHash index.
+    Returns {"docs": n, "terms": distinct terms} for the batch.
+    Replaying a committed ``batch_id`` is a no-op returning zeros —
+    the idempotence the funnel's single commit point needs."""
+    batch_id = batch_id or uuid.uuid4().hex
+    if _committed(index_dir, batch_id):
+        return {"docs": 0, "terms": 0, "replayed": 1}
+    staged = os.path.join(
+        index_dir, ".staging", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
+    )
+    post = _postings(new_docs)
+    dl = _doclens(new_docs)
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+    try:
+        post.write.mode("overwrite").parquet(os.path.join(staged, "postings"))
+        dl.write.mode("overwrite").parquet(os.path.join(staged, "doclens"))
+        stats.write.mode("overwrite").parquet(os.path.join(staged, "stats"))
+        n_docs = spark.read.schema(STATS_SCHEMA).parquet(
+            os.path.join(staged, "stats")
+        ).first()
+        n_terms = spark.read.schema(POST_SCHEMA).parquet(
+            os.path.join(staged, "postings")
+        ).select("term").distinct().count()
+        publish_segment(staged, os.path.join(index_dir, f"batch-{batch_id}"))
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return {"docs": int(n_docs["n_docs"]), "terms": int(n_terms)}
+
+
+def _snapshot(index_dir: str) -> tuple[list[str], list[str], list[str]]:
+    """One live_segments snapshot → per-table path lists (the
+    manifest-consistent read set every probe uses)."""
+    base, batches = live_segments(index_dir)
+    segs = ([base] if base is not None else []) + batches
+    if not segs:
+        raise ValueError(f"no BM25 index at {index_dir!r}")
+    return tuple(
+        [os.path.join(s, t) for s in segs] for t in _TABLES
+    )
+
+
+def probe_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k (doc_id, bm25) for a query-term set — THE retrieval
+    endpoint. No tokenization, no corpus scan: the postings read is
+    pruned to the query terms (an isin filter pushed into the parquet
+    scan; term-sorted compacted bases skip non-matching row groups at
+    the footer), corpus stats are a segments-count-sized aggregate,
+    and doc lengths join on doc_id only for scored docs. Scores match
+    q_bm25_search's formula bit-for-bit at the committed 6dp
+    rounding: idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1/b from
+    operators/text.py."""
+    post_paths, dl_paths, stats_paths = _snapshot(index_dir)
+    post = (
+        spark.read.schema(POST_SCHEMA)
+        .parquet(*post_paths)
+        .where(F.col("term").isin(list(terms)))
+    )
+    stats = (
+        spark.read.schema(STATS_SCHEMA)
+        .parquet(*stats_paths)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n"),
+            (
+                F.sum("sum_dl").cast("double") / F.sum("n_docs")
+            ).alias("avgdl"),
+        )
+    )
+    dfreq = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dl = spark.read.schema(DL_SCHEMA).parquet(*dl_paths)
+    part = (
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        post.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top_k)
+    )
+
+
+def compact_bm25_index(
+    spark: SparkSession, index_dir: str, n_files: int = 8
+) -> int:
+    """Merge all live segments into one base (per-ingest dirs grow
+    unboundedly; every probe pays per-file opens). Postings are
+    repartitioned AND SORTED on term so the base's parquet footers
+    carry tight term min/max — a probe's isin filter skips whole row
+    groups; doclens repartition on doc_id for the score join; stats
+    collapse to one row. Commit is the shared generation-CAS +
+    atomic rename; superseded segments are GC'd at the NEXT pass's
+    entry (reader grace window). Returns segments merged (0 = already
+    compact)."""
+    gc_superseded(index_dir)
+    base, batches = live_segments(index_dir)
+    n_input = len(batches) + (1 if base is not None else 0)
+    if n_input <= 1:
+        return 0
+    gen = next_base_gen(index_dir)
+    staged = os.path.join(
+        index_dir, ".staging", f"base-{gen:06d}-{uuid.uuid4().hex[:8]}"
+    )
+    segs = ([base] if base is not None else []) + batches
+    try:
+        (
+            spark.read.schema(POST_SCHEMA)
+            .parquet(*[os.path.join(s, "postings") for s in segs])
+            .repartition(n_files, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(staged, "postings"))
+        )
+        (
+            spark.read.schema(DL_SCHEMA)
+            .parquet(*[os.path.join(s, "doclens") for s in segs])
+            .repartition(n_files, "doc_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(staged, "doclens"))
+        )
+        (
+            spark.read.schema(STATS_SCHEMA)
+            .parquet(*[os.path.join(s, "stats") for s in segs])
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("sum_dl").cast("long").alias("sum_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(staged, "stats"))
+        )
+        absorbed = list(_absorbed_ids(base)) if base is not None else []
+        absorbed += [os.path.basename(b)[len("batch-"):] for b in batches]
+        commit_base(index_dir, staged, gen, absorbed)
+    finally:
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+    return n_input
