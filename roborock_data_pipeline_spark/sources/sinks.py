@@ -649,13 +649,13 @@ def _commit_batches(
     tmp = os.path.join(
         table_dir, f".{BATCHES_MANIFEST}.{uuid.uuid4().hex[:8]}"
     )
-    with open(tmp, "w") as fh:
-        json.dump(
-            {"generation": generation, "live": sorted(set(live))}, fh
-        )
-        fh.flush()
-        os.fsync(fh.fileno())
     try:
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"generation": generation, "live": sorted(set(live))}, fh
+            )
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, os.path.join(table_dir, BATCHES_MANIFEST))
     finally:
         if os.path.exists(tmp):
