@@ -1173,3 +1173,71 @@ def q_source_cap_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
     return source_cap_two_phase(docs.join(quality, "doc_id"))
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), t AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - 2, 1) + 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS sh
+        FROM d
+    ), f AS (
+        SELECT sh, MIN(doc_id) AS first_doc FROM t GROUP BY 1
+    )
+    SELECT t.doc_id,
+           COUNT(*)::BIGINT AS n_shingles,
+           ROUND(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0
+                     END)::DOUBLE / COUNT(*), 4) AS novelty
+    FROM t JOIN f USING (sh)
+    GROUP BY 1
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ (r11): per-document n-gram novelty — the fraction of a
+    doc's distinct 3-shingles whose EARLIEST corpus occurrence (min
+    doc_id, the ingest-order proxy) is the doc itself. The curation
+    signal behind "how much new content does this doc add": ~0 for a
+    late near-copy (winnow/minhash find the pair; novelty quantifies
+    the residue), ~1 for genuinely fresh text — the marginal-utility
+    ordering used for curriculum construction and incremental-corpus
+    pruning (what RefinedWeb-style pipelines compute as "fraction of
+    previously unseen n-grams").
+
+    Plan shape (inverted index, like every shingle op here): one
+    distinct-shingle explode, a min-groupBy over shingles (partial
+    agg — first-occurrence table is vocabulary-sized), a
+    shingle-keyed postings join back (bounded fan-out), and a per-doc
+    conditional-count agg. Linear in Σ shingles; the shuffle carries
+    (hash, doc_id) longs only — shingles are xxhash64'd for the
+    join/groupBy identity (collision odds ~|shingles|²/2⁶⁴, far
+    below oracle resolution), exactly the q_near_dup_jaccard
+    discipline."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+            )
+        ).alias("sh"),
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                    .otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("novelty"),
+        )
+    )

@@ -266,3 +266,51 @@ def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         F.round(ewma, 4).alias("ewma"),
     )
+
+
+@query(
+    "q_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+    ), prof AS (
+        SELECT isodow(d) - 1 AS dow, COUNT(*)::BIGINT AS n_days,
+               ROUND(AVG(cnt), 2) AS avg_cnt
+        FROM daily GROUP BY 1
+    )
+    SELECT dow, n_days, avg_cnt,
+           ROUND(avg_cnt / SUM(avg_cnt) OVER (), 4) AS share
+    FROM prof
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS+ (r11): day-of-week seasonal profile — mean daily event
+    volume per weekday and its share of the weekly total, the
+    seasonal baseline an anomaly detector divides out before
+    thresholding (the streaming EWMA detector's batch-side
+    calibration table).
+
+    Plan shape: one date-grain partial-agg over events (the only
+    full-data pass), then a 7-row weekday aggregate; the share window
+    runs over those 7 rows — aggregate-over-aggregate, never a
+    full-data window. Weekday key is Monday=0 in BOTH engines
+    (Spark `weekday` == DuckDB `isodow - 1`; `dayofweek` differs
+    between them and is avoided)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    prof = daily.groupBy(F.weekday("d").alias("dow")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.round(F.avg("cnt"), 2).alias("avg_cnt"),
+    )
+    return prof.select(
+        "dow",
+        "n_days",
+        "avg_cnt",
+        F.round(
+            F.col("avg_cnt") / F.sum("avg_cnt").over(Window.partitionBy()),
+            4,
+        ).alias("share"),
+    )
