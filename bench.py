@@ -159,6 +159,8 @@ HEADLINE = [
     # round-10 additions: lexical retrieval + ML feature block
     "q_bm25_search",
     "q_lag_features",
+    "q_ngram_novelty",
+    "q_weekday_seasonality",
 ]
 
 
