@@ -721,3 +721,31 @@ def test_no_terminal_global_sort_without_limit(spark, sf_dir):
             offenders.append(name)
         spark.catalog.clearCache()
     assert offenders == []
+
+
+def test_ngram_novelty_is_postings_shaped(spark, sf_dir):
+    """The novelty query must stay inverted-index shaped: shingle
+    explode + min-groupBy + shingle-keyed join + per-doc agg — no
+    cartesian, partial aggregation present, and the shuffle carries
+    hashed longs (no string shingle columns in any exchange)."""
+    from roborock_data_pipeline_spark.operators.quality import q_ngram_novelty
+
+    df = q_ngram_novelty(spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_" in plan  # min-groupBy partial+final
+    assert "PythonUDF" not in plan
+
+
+def test_weekday_seasonality_windows_over_aggregate(spark, sf_dir):
+    """The share window must run over the 7-row weekday profile, not
+    the event table: exactly one full-data exchange (the date-grain
+    aggregate); everything after is aggregate-sized."""
+    from roborock_data_pipeline_spark.operators.timeseries import (
+        q_weekday_seasonality,
+    )
+
+    df = q_weekday_seasonality(spark, sf_dir)
+    plan = plan_string(df)
+    assert plan.count("Scan parquet") == 1  # one pass over events
+    assert "PythonUDF" not in plan
