@@ -2158,6 +2158,7 @@ def warehouse_maintenance(
     warehouse_dir: str,
     retain_last_n: int = 24,
     cluster_by: dict[str, list[str]] | None = None,
+    migrate_layout: bool = False,
 ) -> dict[str, int]:
     """One retention pass over every provisioned warehouse table —
     the batch-log twin of pipeline.funnel_maintenance, schedulable
@@ -2166,18 +2167,30 @@ def warehouse_maintenance(
     table at 25 live directories. ``cluster_by`` maps table name →
     clustering columns for that table's vacuum base (see
     vacuum_table); tables not in the map compact unclustered.
-    Returns batches reclaimed per table (0 = already within
-    retention)."""
+    ``migrate_layout=True`` additionally upgrades every
+    still-legacy batch-log table to the manifest-committed layout v2
+    (migrate_batch_manifest, idempotent) before its vacuum — the
+    operational rollout path: one maintenance window converts the
+    whole warehouse to object-store-safe commits. Returns batches
+    reclaimed per table (0 = already within retention)."""
     reclaimed: dict[str, int] = {}
     for name in WAREHOUSE_TABLES:
-        if os.path.isdir(table_path(warehouse_dir, name)):
-            reclaimed[name] = vacuum_table(
-                spark,
-                warehouse_dir,
-                name,
-                retain_last_n,
-                cluster_by=(cluster_by or {}).get(name),
-            )
+        td = table_path(warehouse_dir, name)
+        if not os.path.isdir(td):
+            continue
+        if (
+            migrate_layout
+            and _batches_manifest(td) is None
+            and any(d.startswith("batch-") for d in os.listdir(td))
+        ):
+            migrate_batch_manifest(warehouse_dir, name)
+        reclaimed[name] = vacuum_table(
+            spark,
+            warehouse_dir,
+            name,
+            retain_last_n,
+            cluster_by=(cluster_by or {}).get(name),
+        )
     return reclaimed
 
 

@@ -459,3 +459,27 @@ def test_incremental_refresh_not_double_counted_by_dml(
         for r in sinks.read_table(spark, wh, "daily_summary").collect()
     }
     assert gold1 == gold0
+
+
+def test_maintenance_migrates_whole_warehouse(spark, tmp_path, monkeypatch):
+    """warehouse_maintenance(migrate_layout=True) is the rollout
+    path: every legacy batch-log table converts to the manifest
+    layout in one maintenance window, reads unchanged; fresh or
+    already-migrated tables are untouched (idempotent)."""
+    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", False)
+    w = str(tmp_path / "wh-roll")
+    sinks.setup_warehouse(spark, w)
+    for i in range(3):
+        sinks.append_rows(_mk(spark, i), w, "cleaning_records")
+    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", True)
+    before = _rows(spark, w)
+    sinks.warehouse_maintenance(spark, w, retain_last_n=24,
+                                migrate_layout=True)
+    td = sinks.table_path(w, "cleaning_records")
+    assert os.path.exists(os.path.join(td, sinks.BATCHES_MANIFEST))
+    assert _rows(spark, w) == before
+    # idempotent second pass; post-migration append goes through v2
+    sinks.warehouse_maintenance(spark, w, retain_last_n=24,
+                                migrate_layout=True)
+    sinks.append_rows(_mk(spark, 9), w, "cleaning_records")
+    assert _rows(spark, w) == before + 1
