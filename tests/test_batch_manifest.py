@@ -483,3 +483,90 @@ def test_maintenance_migrates_whole_warehouse(spark, tmp_path, monkeypatch):
                                 migrate_layout=True)
     sinks.append_rows(_mk(spark, 9), w, "cleaning_records")
     assert _rows(spark, w) == before + 1
+
+
+_MANIFEST_SIGSTOP_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, sys.argv[3])
+from roborock_data_pipeline_spark.sources import sinks
+sinks.MANIFEST_LOCK_TTL_S = 2.0
+td, flag_dir = sys.argv[1], sys.argv[2]
+res = os.path.join(flag_dir, "result")
+try:
+    with sinks._manifest_lock(td, "cleaning_records") as still_mine:
+        open(os.path.join(flag_dir, "acquired"), "w").write(str(os.getpid()))
+        deadline = time.time() + 60
+        while not os.path.exists(os.path.join(flag_dir, "go")):
+            if time.time() > deadline:
+                open(res, "w").write("timeout")
+                sys.exit(1)
+            time.sleep(0.05)
+        # resumed after the freeze: the stolen holder must NOT commit
+        try:
+            sinks._commit_batches(td, "cleaning_records",
+                                  ["batch-zombie"], 99, still_mine)
+            open(res, "w").write("published")
+        except sinks.FencedWriterError:
+            open(res, "w").write("fenced")
+except Exception as e:  # noqa: BLE001
+    open(res, "w").write("error:" + repr(e))
+"""
+
+
+def test_manifest_lock_sigstop_holder_cannot_commit(
+    spark, wh, monkeypatch, tmp_path
+):
+    """The manifest lock's TTL takeover under a REAL two-process
+    race: a child holds the naming lock and is SIGSTOPped past the
+    TTL; the parent steals the lock and commits a generation; the
+    resumed child's commit attempt must be fenced (ownership probe)
+    and the parent's committed manifest must survive untouched."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    sinks.append_rows(_mk(spark, 1), wh, "cleaning_records")
+    td = sinks.table_path(wh, "cleaning_records")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setattr(sinks, "MANIFEST_LOCK_TTL_S", 2.0)
+    flag_dir = str(tmp_path / "flags")
+    os.makedirs(flag_dir)
+    child_src = str(tmp_path / "child.py")
+    with open(child_src, "w") as fh:
+        fh.write(_MANIFEST_SIGSTOP_CHILD)
+    proc = subprocess.Popen(
+        [_sys.executable, child_src, td, flag_dir, repo]
+    )
+    try:
+        deadline = _time.time() + 30
+        while not os.path.exists(os.path.join(flag_dir, "acquired")):
+            assert _time.time() < deadline, "child never acquired"
+            _time.sleep(0.05)
+        os.kill(proc.pid, signal.SIGSTOP)  # freeze the holder
+        _time.sleep(2.5)  # past the (patched) TTL
+        # parent steals and commits the next generation
+        with sinks._manifest_lock(td, "cleaning_records") as still_mine:
+            m = sinks._batches_manifest(td)
+            sinks._commit_batches(
+                td, "cleaning_records", m["live"],
+                m["generation"] + 1, still_mine,
+            )
+        gen_after_parent = sinks._batches_manifest(td)["generation"]
+        os.kill(proc.pid, signal.SIGCONT)  # resume the zombie
+        with open(os.path.join(flag_dir, "go"), "w") as fh:
+            fh.write("1")
+        proc.wait(timeout=30)
+        with open(os.path.join(flag_dir, "result")) as fh:
+            result = fh.read()
+        assert result == "fenced", result
+        m = sinks._batches_manifest(td)
+        assert m["generation"] == gen_after_parent
+        assert "batch-zombie" not in m["live"]
+    finally:
+        try:
+            os.kill(proc.pid, signal.SIGCONT)
+        except ProcessLookupError:
+            pass
+        if proc.poll() is None:
+            proc.kill()
