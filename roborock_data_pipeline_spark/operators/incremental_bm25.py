@@ -172,6 +172,8 @@ def probe_bm25_index(
     q_bm25_search's formula bit-for-bit at the committed 6dp
     rounding: idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1/b from
     operators/text.py."""
+    if not terms:
+        raise ValueError("probe_bm25_index needs at least one query term")
     post_paths, dl_paths, stats_paths = _snapshot(index_dir)
     post = (
         spark.read.schema(POST_SCHEMA)
