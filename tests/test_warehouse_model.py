@@ -68,6 +68,9 @@ _ops = st.one_of(
         ),
     ),
     st.tuples(st.just("vacuum"), st.integers(0, 2), st.booleans()),
+    # layout v2 migration (r11): an in-place upgrade is just another
+    # op the DML/vacuum/migration interleavings must commute with
+    st.tuples(st.just("migrate")),
     # migration alphabet (r9): each mutates the logical schema the
     # DML ops then have to live with
     st.tuples(st.just("widen")),
@@ -88,15 +91,21 @@ def _df_current_schema(spark, wh, rows9):
     )
 
 
-@given(st.lists(_ops, min_size=2, max_size=6))
+@given(st.booleans(), st.lists(_ops, min_size=2, max_size=6))
 @settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_random_dml_interleavings_match_model(spark, ops):
+def test_random_dml_interleavings_match_model(spark, start_legacy, ops):
     wh = tempfile.mkdtemp()
     sinks.setup_warehouse(spark, wh)
+    # r11: half the examples start on the legacy rename layout, so the
+    # sequences exercise legacy ops, v2 ops, AND the mid-sequence
+    # migration between them (the "migrate" op upgrades in place; on
+    # a v2-start table it is a no-op)
+    default_before = sinks.BATCH_MANIFEST_DEFAULT
+    sinks.BATCH_MANIFEST_DEFAULT = not start_legacy
     model: list[tuple] = []  # mirrors cleaning_records rows (base 9 cols)
     widened = False
     rename_n = 0  # clean_mode -> mode_v1 -> mode_v2 -> ...
@@ -155,6 +164,9 @@ def test_random_dml_interleavings_match_model(spark, ops):
                     spark, wh, "cleaning_records", op[1],
                     cluster_by=["start_time"] if op[2] else None,
                 )
+            elif op[0] == "migrate":
+                sinks.migrate_batch_manifest(wh, "cleaning_records")
+                sinks.BATCH_MANIFEST_DEFAULT = True  # stay v2 after
             elif op[0] == "widen":
                 if widened:
                     # second widen of the same column must refuse
@@ -200,4 +212,5 @@ def test_random_dml_interleavings_match_model(spark, ops):
                 v is None for r in collected for v in r[9:]
             ), (op, ops)
     finally:
+        sinks.BATCH_MANIFEST_DEFAULT = default_before
         shutil.rmtree(wh, ignore_errors=True)
