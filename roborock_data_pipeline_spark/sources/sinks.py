@@ -928,19 +928,81 @@ def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
 
 def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     """Full-replace publish for rebuilt gold tables (idempotent
-    re-runs): stage, then swap the table dir in one rename. A fault
-    between moving the old snapshot aside and publishing the new one
-    ROLLS THE OLD SNAPSHOT BACK — readers never observe a missing
-    table, only old-or-new (the same contract the IVF-PQ rebuild's
-    swap gives, similarity.rebuild_ivfpq_index). The schema manifest
-    (declared schema + CHECK constraints) is carried into the staged
-    snapshot before publish — a rebuild must not silently drop the
-    table's contract (pre-r8 it did: the dir swap deleted
-    `_schema.json`, so the SECOND rebuild ran unconstrained)."""
+    re-runs).
+
+    Layout v2 (r11): on a manifest-governed (or manifest-eligible)
+    table the snapshot is ONE invisible batch dir committed by the
+    same single-file `_batches.json` swap every other mutation uses —
+    the table-dir rename-pair below survives only for legacy tables
+    (root-level part files / rename-layout batch dirs), where the
+    fault contract is old-or-new with rollback. The v2 contract is
+    strictly stronger: old-until-commit, no aside window at all, and
+    object-store-safe. The replaced batches are GC'd post-commit
+    (orphaned-invisible on a crash; the vacuum heal reclaims them).
+    The schema manifest (declared schema + CHECK constraints) stays
+    in the table dir untouched on v2; on legacy it is carried into
+    the staged snapshot (pre-r8 the dir swap deleted `_schema.json`,
+    so the SECOND rebuild ran unconstrained). A v2 snapshot table is
+    additionally stamped ``layout: snapshot`` (after the data commit,
+    the ADVICE stamp-ordering discipline) so row DML refuses it
+    explicitly — snapshot tables are rebuilt wholesale, and a row
+    edit would be silently clobbered by the next rebuild."""
     df = _fuse_constraints(df, warehouse_dir, name, verb="overwrite")
     table_dir = table_path(warehouse_dir, name)
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
+    entries = os.listdir(table_dir) if os.path.isdir(table_dir) else []
+    root_files = [
+        f for f in entries
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    legacy_batches = _batches_manifest(table_dir) is None and any(
+        d.startswith("batch-") for d in entries
+    )
+    if _batches_manifest(table_dir) is not None or (
+        BATCH_MANIFEST_DEFAULT and not root_files and not legacy_batches
+    ):
+        staged = os.path.join(
+            staging_root, f"{name}-{uuid.uuid4().hex}"
+        )
+        try:
+            df.write.mode("overwrite").parquet(staged)
+            os.makedirs(table_dir, exist_ok=True)
+            with _manifest_lock(table_dir, name) as still_mine:
+                batch_id = _fresh_batch_id()
+                os.replace(
+                    staged, os.path.join(table_dir, f"batch-{batch_id}")
+                )
+                cur = _batches_manifest(table_dir) or {
+                    "generation": -1,
+                    "live": [],
+                }
+                _commit_batches(
+                    table_dir,
+                    name,
+                    [f"batch-{batch_id}"],
+                    cur["generation"] + 1,
+                    still_mine,
+                )
+                prev_live = cur["live"]
+            m = _manifest(warehouse_dir, name)
+            if m.get("layout") != "snapshot":
+                m["layout"] = "snapshot"
+                if "schema" not in m:
+                    m["schema"] = (
+                        WAREHOUSE_TABLES[name].jsonValue()
+                        if name in WAREHOUSE_TABLES
+                        else df.schema.jsonValue()
+                    )
+                _publish_manifest(warehouse_dir, name, m)
+            for b in prev_live:  # post-commit GC of the old snapshot
+                shutil.rmtree(
+                    os.path.join(table_dir, b), ignore_errors=True
+                )
+        finally:
+            if os.path.exists(staged):
+                shutil.rmtree(staged, ignore_errors=True)
+        return
     batch_id = uuid.uuid4().hex
     staged = os.path.join(staging_root, f"{name}-{batch_id}")
     old = os.path.join(staging_root, f"{name}-{batch_id}-old")
@@ -1026,6 +1088,16 @@ def _rewrite_matching_batches(
             f"{verb} targets partition-overwrite table {name!r}: row "
             "rewrites do not apply to the partitioned gold layout — "
             "rebuild the affected partitions via overwrite_partitions"
+        )
+    if _manifest(warehouse_dir, name).get("layout") == "snapshot":
+        # v2 snapshot tables hold batch dirs (single-batch manifest
+        # form), so the root-file check below cannot catch them — the
+        # layout stamp is the refusal signal: a row edit here would be
+        # silently clobbered by the next wholesale rebuild
+        raise ValueError(
+            f"{verb} matches rows in {name!r}, a snapshot table; "
+            "snapshot tables are rebuilt wholesale (overwrite_rows), "
+            "not row-rewritten"
         )
     # root-level part files (provisioning / overwrite_rows snapshots)
     # are not batch-granular; matches there need a snapshot rebuild

@@ -201,7 +201,10 @@ def test_mode_curate_funnel(spark, sf_dir, tmp_path):
         >= funnel["after_rebalance"]
         > 0
     )
-    cur = spark.read.parquet(out + "/curated_corpus")
+    # read through the table surface: overwrite_rows publishes the
+    # corpus as a manifest-committed snapshot table (layout v2), not
+    # loose root parquet files
+    cur = sinks.read_table(spark, out, "curated_corpus")
     assert cur.count() == funnel["after_rebalance"]
     losers = {
         r.doc_id
