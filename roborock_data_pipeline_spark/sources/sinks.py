@@ -959,8 +959,33 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     legacy_batches = _batches_manifest(table_dir) is None and any(
         d.startswith("batch-") for d in entries
     )
+
+    def _root_rows() -> int:
+        """Footer-only row count of the root part files (no Spark
+        job). Provisioning (setup_warehouse) pins schemas with an
+        EMPTY root write — 0 rows blocks nothing: the files
+        contribute no data, so a manifest-committed snapshot can
+        coexist with them (they are GC'd post-commit). Root files
+        that HOLD rows force the legacy dir swap: leaving them
+        alongside a committed batch would double the data, and
+        removing them is not atomic with the manifest commit.
+        Unreadable → treated as data (conservative)."""
+        try:
+            import pyarrow.parquet as pq
+
+            return sum(
+                pq.ParquetFile(
+                    os.path.join(table_dir, f)
+                ).metadata.num_rows
+                for f in root_files
+            )
+        except Exception:  # noqa: BLE001 — conservative fallback
+            return -1
+
     if _batches_manifest(table_dir) is not None or (
-        BATCH_MANIFEST_DEFAULT and not root_files and not legacy_batches
+        BATCH_MANIFEST_DEFAULT
+        and not legacy_batches
+        and (not root_files or _root_rows() == 0)
     ):
         staged = os.path.join(
             staging_root, f"{name}-{uuid.uuid4().hex}"
@@ -999,6 +1024,11 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
                 shutil.rmtree(
                     os.path.join(table_dir, b), ignore_errors=True
                 )
+            for f in root_files:  # provisioning empties (0 rows)
+                try:
+                    os.unlink(os.path.join(table_dir, f))
+                except OSError:
+                    pass
         finally:
             if os.path.exists(staged):
                 shutil.rmtree(staged, ignore_errors=True)

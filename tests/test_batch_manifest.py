@@ -570,3 +570,37 @@ def test_manifest_lock_sigstop_holder_cannot_commit(
             pass
         if proc.poll() is None:
             proc.kill()
+
+
+def test_snapshot_overwrite_crash_before_commit_keeps_old(
+    spark, wh, monkeypatch
+):
+    """v2 snapshot publish (overwrite_rows): a crash before the
+    manifest swap leaves the OLD snapshot fully live — no aside
+    window at all — and a retry converges; the crashed attempt's
+    batch dir is an invisible orphan."""
+    df1 = spark.createDataFrame(
+        [("2024-03-01", 1, 12.5, 30, 12.5, 30.0)],
+        sinks.WAREHOUSE_TABLES["daily_summary"],
+    )
+    df2 = spark.createDataFrame(
+        [("2024-03-02", 2, 25.0, 60, 12.5, 30.0)],
+        sinks.WAREHOUSE_TABLES["daily_summary"],
+    )
+    sinks.overwrite_rows(df1, wh, "daily_summary")
+    assert sinks.describe_table(wh, "daily_summary")["layout"] == (
+        "batch-manifest"
+    )
+    _bomb_manifest_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected"):
+        sinks.overwrite_rows(df2, wh, "daily_summary")
+    monkeypatch.undo()
+    got = sinks.read_table(spark, wh, "daily_summary").collect()
+    assert len(got) == 1 and got[0]["date"] == "2024-03-01"
+    sinks.overwrite_rows(df2, wh, "daily_summary")
+    got = sinks.read_table(spark, wh, "daily_summary").collect()
+    assert len(got) == 1 and got[0]["date"] == "2024-03-02"
+    # exactly one live batch; DML refuses the snapshot layout
+    assert len(sinks.list_batches(wh, "daily_summary")) == 1
+    with pytest.raises(ValueError, match="snapshot"):
+        sinks.delete_rows(spark, wh, "daily_summary", "1=1")

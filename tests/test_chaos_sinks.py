@@ -558,7 +558,14 @@ def test_overwrite_rows_fault_rolls_old_back(spark, tmp_path, monkeypatch):
     state = {"fired": False}
 
     def bomb(src, dst, *a, **k):
-        if str(dst) == table_dir and not state["fired"] and ".staging" in str(src):
+        # fires on the publish move of EITHER arm: the legacy
+        # table-dir swap (dst == table_dir) or the v2 naming rename
+        # of the invisible snapshot batch (dst under table_dir)
+        if (
+            str(dst).startswith(table_dir)
+            and not state["fired"]
+            and ".staging" in str(src)
+        ):
             state["fired"] = True
             raise OSError("injected failure on overwrite publish")
         return real(src, dst, *a, **k)

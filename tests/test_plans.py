@@ -747,5 +747,5 @@ def test_weekday_seasonality_windows_over_aggregate(spark, sf_dir):
 
     df = q_weekday_seasonality(spark, sf_dir)
     plan = plan_string(df)
-    assert plan.count("Scan parquet") == 1  # one pass over events
+    assert _n_nodes(plan, "Scan parquet") == 1  # one pass over events
     assert "PythonUDF" not in plan
