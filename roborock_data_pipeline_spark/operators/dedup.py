@@ -30,6 +30,10 @@ from roborock_data_pipeline_spark.functions.text import (
     fingerprint,
     hashed_shingles,
 )
+from roborock_data_pipeline_spark.functions.cache_tracking import (
+    leaked_persist,
+    track,
+)
 from roborock_data_pipeline_spark.registry import query
 from roborock_data_pipeline_spark.sources.tables import load, spread
 
@@ -141,9 +145,9 @@ def q_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1). CALLER CONTRACT: the cache outlives the call —
     # long-lived sessions running many registry queries must
     # spark.catalog.clearCache() between them (bench/harness do).
-    posting = t.select(
-        "doc_id", "len_bucket", "n", F.explode("sh").alias("s")
-    ).persist()
+    posting = leaked_persist(
+        t.select("doc_id", "len_bucket", "n", F.explode("sh").alias("s"))
+    )
     a, b = posting.alias("a"), posting.alias("b")
     pairs = a.join(
         b,
@@ -187,10 +191,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # durable form of this state is the persisted index
     # (incremental_dedup), and the caller contract is clearCache
     # between registry queries in long-lived sessions.
-    sh = (
+    sh = leaked_persist(
         docs.select("doc_id", hashed_shingles(F.col("text"), 3).alias("sh"))
         .withColumn("n", F.size("sh"))
-        .persist()
     )
     banded = (
         sh.select(
@@ -200,6 +203,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "band.band_id", "band.band_hash")
         .persist()
     )
+    track(banded)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -320,6 +324,7 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    track(edges)
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
@@ -349,6 +354,7 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    track(labels)  # the surviving iteration's cache is the leak
     w = Window.partitionBy("group_id")
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_id")
@@ -584,7 +590,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CONTRACT: the cache outlives this call — long-lived sessions
     # running the registry directly must spark.catalog.clearCache()
     # between queries (bench.py and the oracle harness already do).
-    posting = t.select("doc_id", "n", F.explode("sh").alias("s")).persist()
+    posting = leaked_persist(
+        t.select("doc_id", "n", F.explode("sh").alias("s"))
+    )
     a, b = posting.alias("a"), posting.alias("b")
     # intersection once per UNORDERED pair (halves the posting-join
     # output vs a != join); both directions unfold from the tiny

@@ -17,6 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from roborock_data_pipeline_spark.functions.cache_tracking import (
+    leaked_persist,
+    track,
+)
 from roborock_data_pipeline_spark.registry import query
 from roborock_data_pipeline_spark.sources.tables import load
 
@@ -76,9 +80,9 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
     iterations). On a fault-tolerant cluster use checkpoint() over
     localCheckpoint for long runs.
     """
-    bi = edges.persist()
-    deg = bi.groupBy("src").agg(F.count("*").alias("d")).persist()
-    nodes = bi.select(F.col("src").alias("v")).distinct().persist()
+    bi = leaked_persist(edges)
+    deg = leaked_persist(bi.groupBy("src").agg(F.count("*").alias("d")))
+    nodes = leaked_persist(bi.select(F.col("src").alias("v")).distinct())
     n = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("r")
@@ -104,7 +108,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
         else:
-            ranks = ranks.persist()
+            ranks = leaked_persist(ranks)
     return ranks
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from roborock_data_pipeline_spark.functions.cache_tracking import track
 from roborock_data_pipeline_spark.registry import query
 from roborock_data_pipeline_spark.sources.tables import load
 
@@ -792,7 +793,7 @@ def q_media_near_dup_guaranteed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreed approximation. The engine side still never goes all-pairs:
     candidate work is Σ|probe-bucket| collisions, 9× the probabilistic
     path's keys."""
-    fp = ahash_fingerprints(media_table(spark, sf_dir)).persist()
+    fp = track(ahash_fingerprints(media_table(spark, sf_dir)).persist())
     return media_near_dup_pairs_guaranteed(fp)
 
 
@@ -888,5 +889,5 @@ def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ≤7 radius stays lossless by pigeonhole. When a recall SLA
     must be EXACT over the full 12 radius, use
     q_media_near_dup_guaranteed."""
-    fp = ahash_fingerprints(media_table(spark, sf_dir)).persist()
+    fp = track(ahash_fingerprints(media_table(spark, sf_dir)).persist())
     return media_near_dup_pairs(fp)

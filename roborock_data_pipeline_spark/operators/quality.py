@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from roborock_data_pipeline_spark.functions.text import shingles, tokens
+from roborock_data_pipeline_spark.functions.cache_tracking import track
 from roborock_data_pipeline_spark.registry import query
 from roborock_data_pipeline_spark.sources.tables import load, spread
 
@@ -138,6 +139,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 10 == 0).alias("is_test"),
         F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("s"),
     ).persist()
+    track(sh)
     test = sh.where("is_test").select("doc_id", "s")
     train = sh.where(~F.col("is_test")).select("s").distinct()
     return (
@@ -283,6 +285,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(shingles(F.col("text"), 2)).alias("bg"))
         .persist()
     )
+    track(b)
     counts = b.groupBy("bg").agg(F.count("*").alias("cnt"))
     tot = b.agg(F.count("*").alias("n"))
     return (

@@ -12,6 +12,7 @@ oracle SQL.
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -67,12 +68,29 @@ _OPERATOR_MODULES = [
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as a driver-checkable query under ``name``."""
+    """Register ``fn`` as a driver-checkable query under ``name``.
+
+    The registered callable is wrapped with
+    :func:`functions.cache_tracking.begin_query` so that the caches a
+    previous query deliberately left alive (the audit-kept warm-rerun
+    persists) are released before a DIFFERENT query runs — the
+    clearCache contract enforced in code (ADVICE r11) instead of
+    docstring prose. The module-level symbol stays the UNWRAPPED
+    function, so intra-module composition (q_dup_groups calling
+    q_near_dup_jaccard) does not re-scope ownership mid-query."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+
+        @functools.wraps(fn)
+        def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from roborock_data_pipeline_spark.functions import cache_tracking
+
+            cache_tracking.begin_query(name)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(name, scoped, oracle, fn.__doc__ or "")
         return fn
 
     return deco

@@ -567,13 +567,27 @@ def _manifest_lock(table_dir: str, name: str):
     publish over its successor."""
     lock = os.path.join(table_dir, ".lock-batches")
     deadline = time.monotonic() + 2 * MANIFEST_LOCK_TTL_S
+    # the acquirer's identity is the lock file's INODE, pinned by an
+    # fd opened on the temp file BEFORE the hard link publishes it
+    # (the link shares the inode, and the held fd blocks inode reuse)
+    # — ADVICE r11: re-opening the lock path AFTER the acquisition
+    # left a window where a steal+re-acquire landed first and the fd
+    # referenced the SUCCESSOR's inode, making _still_mine true for
+    # both holders (and the pid-string fallback collides across
+    # hosts / pid reuse).
+    acq_fd: int | None = None
 
     def _try_acquire() -> bool:
+        nonlocal acq_fd
         tmp = f"{lock}.acq-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(str(os.getpid()))
         try:
             os.link(tmp, lock)
+            try:
+                acq_fd = os.open(tmp, os.O_RDONLY)  # lock's inode
+            except OSError:
+                acq_fd = None
             return True
         except FileExistsError:
             return False
@@ -598,15 +612,11 @@ def _manifest_lock(table_dir: str, name: str):
                 f"{lock!r}"
             )
         time.sleep(0.005)
-    try:
-        fd: int | None = os.open(lock, os.O_RDONLY)
-    except OSError:
-        fd = None
 
     def _still_mine() -> bool:
         try:
-            if fd is not None:
-                return os.stat(lock).st_ino == os.fstat(fd).st_ino
+            if acq_fd is not None:
+                return os.stat(lock).st_ino == os.fstat(acq_fd).st_ino
             with open(lock) as fh:
                 return fh.read().strip() == str(os.getpid())
         except OSError:
@@ -620,8 +630,8 @@ def _manifest_lock(table_dir: str, name: str):
                 os.unlink(lock)
         except OSError:
             pass
-        if fd is not None:
-            os.close(fd)
+        if acq_fd is not None:
+            os.close(acq_fd)
 
 
 def _commit_batches(
@@ -943,10 +953,16 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     in the table dir untouched on v2; on legacy it is carried into
     the staged snapshot (pre-r8 the dir swap deleted `_schema.json`,
     so the SECOND rebuild ran unconstrained). A v2 snapshot table is
-    additionally stamped ``layout: snapshot`` (after the data commit,
-    the ADVICE stamp-ordering discipline) so row DML refuses it
-    explicitly — snapshot tables are rebuilt wholesale, and a row
-    edit would be silently clobbered by the next rebuild."""
+    additionally stamped ``layout: snapshot`` BEFORE the data commit
+    (ADVICE r12: stamping after left a crash window in which a
+    committed snapshot manifest carried no stamp, so row DML did not
+    refuse it and a later edit was silently clobbered by the next
+    rebuild; the early stamp is idempotent and merely conservative if
+    the commit then fails) so row DML refuses it explicitly —
+    snapshot tables are rebuilt wholesale. The v2 path runs under the
+    writer lease (ADVICE r12): unleased, a snapshot racing a vacuum's
+    listing→commit window had its replaced batches resurrected by the
+    vacuum's base."""
     df = _fuse_constraints(df, warehouse_dir, name, verb="overwrite")
     table_dir = table_path(warehouse_dir, name)
     staging_root = os.path.join(warehouse_dir, ".staging")
@@ -990,48 +1006,66 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         staged = os.path.join(
             staging_root, f"{name}-{uuid.uuid4().hex}"
         )
-        try:
-            df.write.mode("overwrite").parquet(staged)
-            os.makedirs(table_dir, exist_ok=True)
-            with _manifest_lock(table_dir, name) as still_mine:
-                batch_id = _fresh_batch_id()
-                os.replace(
-                    staged, os.path.join(table_dir, f"batch-{batch_id}")
-                )
-                cur = _batches_manifest(table_dir) or {
-                    "generation": -1,
-                    "live": [],
-                }
-                _commit_batches(
-                    table_dir,
-                    name,
-                    [f"batch-{batch_id}"],
-                    cur["generation"] + 1,
-                    still_mine,
-                )
-                prev_live = cur["live"]
-            m = _manifest(warehouse_dir, name)
-            if m.get("layout") != "snapshot":
-                m["layout"] = "snapshot"
-                if "schema" not in m:
-                    m["schema"] = (
-                        WAREHOUSE_TABLES[name].jsonValue()
-                        if name in WAREHOUSE_TABLES
-                        else df.schema.jsonValue()
+        # Writer lease (ADVICE r11, medium): a snapshot commit racing a
+        # vacuum's [batch listing → manifest commit] window would have
+        # its replaced batches RESURRECTED — the vacuum's base (built
+        # from the pre-overwrite live set) lands next to the new
+        # snapshot batch and the stale rows reappear; the snapshot's
+        # post-commit GC also races the vacuum's lazy reads of those
+        # dirs. overwrite_rows is a full-table mutation like every
+        # other leased mutator — it takes the same lease.
+        with writer_lock(warehouse_dir, name):
+            try:
+                df.write.mode("overwrite").parquet(staged)
+                os.makedirs(table_dir, exist_ok=True)
+                # Stamp `layout: snapshot` BEFORE the data commit
+                # (ADVICE r11, low): a crash between a committed
+                # single-batch manifest and the stamp would leave a
+                # snapshot table the row-DML refusal does not
+                # recognize, so a later DELETE/UPDATE/MERGE would be
+                # silently clobbered by the next rebuild. The stamp is
+                # idempotent and harmless if the commit then fails —
+                # DML merely refuses a table that is ABOUT to become a
+                # snapshot.
+                m = _manifest(warehouse_dir, name)
+                if m.get("layout") != "snapshot":
+                    m["layout"] = "snapshot"
+                    if "schema" not in m:
+                        m["schema"] = (
+                            WAREHOUSE_TABLES[name].jsonValue()
+                            if name in WAREHOUSE_TABLES
+                            else df.schema.jsonValue()
+                        )
+                    _publish_manifest(warehouse_dir, name, m)
+                with _manifest_lock(table_dir, name) as still_mine:
+                    batch_id = _fresh_batch_id()
+                    os.replace(
+                        staged, os.path.join(table_dir, f"batch-{batch_id}")
                     )
-                _publish_manifest(warehouse_dir, name, m)
-            for b in prev_live:  # post-commit GC of the old snapshot
-                shutil.rmtree(
-                    os.path.join(table_dir, b), ignore_errors=True
-                )
-            for f in root_files:  # provisioning empties (0 rows)
-                try:
-                    os.unlink(os.path.join(table_dir, f))
-                except OSError:
-                    pass
-        finally:
-            if os.path.exists(staged):
-                shutil.rmtree(staged, ignore_errors=True)
+                    cur = _batches_manifest(table_dir) or {
+                        "generation": -1,
+                        "live": [],
+                    }
+                    _commit_batches(
+                        table_dir,
+                        name,
+                        [f"batch-{batch_id}"],
+                        cur["generation"] + 1,
+                        still_mine,
+                    )
+                    prev_live = cur["live"]
+                for b in prev_live:  # post-commit GC of the old snapshot
+                    shutil.rmtree(
+                        os.path.join(table_dir, b), ignore_errors=True
+                    )
+                for f in root_files:  # provisioning empties (0 rows)
+                    try:
+                        os.unlink(os.path.join(table_dir, f))
+                    except OSError:
+                        pass
+            finally:
+                if os.path.exists(staged):
+                    shutil.rmtree(staged, ignore_errors=True)
         return
     batch_id = uuid.uuid4().hex
     staged = os.path.join(staging_root, f"{name}-{batch_id}")
@@ -1879,13 +1913,25 @@ def writer_lock(warehouse_dir: str, name: str):
     bounded takeover) is what carries over."""
     lock = os.path.join(warehouse_dir, f".lock-{name}")
     os.makedirs(warehouse_dir, exist_ok=True)
+    # the heartbeat fd is opened on the TEMP file before the link
+    # publishes it (hard link shares the inode) — the same ADVICE r11
+    # hardening as _manifest_lock: opening the lock PATH after the
+    # acquisition could pin a successor's inode if a steal+re-acquire
+    # landed inside that window, making both holders judge the lease
+    # theirs.
+    hb_fd: int | None = None
 
     def _try_acquire() -> bool:
+        nonlocal hb_fd
         tmp = f"{lock}.acq-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             fh.write(str(os.getpid()))
         try:
             os.link(tmp, lock)  # atomic create-with-content
+            try:
+                hb_fd = os.open(tmp, os.O_RDONLY)  # lock's inode
+            except OSError:
+                hb_fd = None
             return True
         except FileExistsError:
             return False
@@ -1971,12 +2017,10 @@ def writer_lock(warehouse_dir: str, name: str):
                 )
     # held: heartbeat through the inode (an fd survives our own lock
     # file being renamed aside by a future stealer, and can never
-    # touch a successor's re-created lock at the same path)
+    # touch a successor's re-created lock at the same path); hb_fd was
+    # captured from the temp file pre-link, so it is OUR inode by
+    # construction
     hb_stop = threading.Event()
-    try:
-        hb_fd: int | None = os.open(lock, os.O_RDONLY)
-    except OSError:
-        hb_fd = None
     lease = WriterLease(name, lock, hb_fd)
     hb_thread = None
     if hb_fd is not None:
@@ -2150,6 +2194,28 @@ def _merge_batches(
             with _manifest_lock(table_dir, name) as still_mine:
                 cur = _batches_manifest(table_dir)
                 gone = set(old)
+                # ADVICE r12 abort guard: every batch this base
+                # absorbed must STILL be live at commit time. If any
+                # vanished (a snapshot overwrite / concurrent rewrite
+                # replaced them since our listing), appending the base
+                # would RESURRECT the absorbed rows next to the data
+                # that superseded them. The writer lease makes this
+                # unreachable for in-tree mutators (all are leased);
+                # the guard keeps the commit safe even against an
+                # out-of-tree writer, failing loudly instead.
+                missing = gone - set(cur["live"])
+                if missing:
+                    shutil.rmtree(
+                        os.path.join(table_dir, f"batch-{batch_id}"),
+                        ignore_errors=True,
+                    )
+                    raise ConcurrentWriterError(
+                        f"table {name!r}: vacuum abort — absorbed "
+                        f"batches {sorted(missing)[:3]}… were replaced "
+                        "by a concurrent commit after this vacuum's "
+                        "listing; committing the merged base would "
+                        "resurrect superseded rows. Rerun the vacuum."
+                    )
                 live = [b for b in cur["live"] if b not in gone]
                 live.append(f"batch-{batch_id}")
                 _commit_batches(

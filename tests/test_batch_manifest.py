@@ -604,3 +604,70 @@ def test_snapshot_overwrite_crash_before_commit_keeps_old(
     assert len(sinks.list_batches(wh, "daily_summary")) == 1
     with pytest.raises(ValueError, match="snapshot"):
         sinks.delete_rows(spark, wh, "daily_summary", "1=1")
+
+
+# --------------------------------------------------------------- #
+# ADVICE r12: snapshot-vs-vacuum races                             #
+# --------------------------------------------------------------- #
+
+
+def test_vacuum_aborts_when_absorbed_batches_replaced(spark, wh):
+    """ADVICE r12 (medium): a vacuum whose listed prefix was replaced
+    by a concurrent snapshot commit between its listing and its
+    manifest commit must ABORT — committing the merged base would
+    resurrect the superseded rows next to the new snapshot. In-tree
+    mutators are all leased now; this simulates an out-of-tree writer
+    editing the manifest inside that window."""
+    for i in range(3):
+        sinks.append_rows(_mk(spark, i), wh, "cleaning_records")
+    td = sinks.table_path(wh, "cleaning_records")
+    old = sinks.list_batches(wh, "cleaning_records")[:2]
+    # out-of-tree "snapshot": the manifest now names only the newest
+    # batch — the two the vacuum is about to absorb are no longer live
+    m = _manifest(wh)
+    survivor = [b for b in m["live"] if b not in old]
+    with open(os.path.join(td, sinks.BATCHES_MANIFEST), "w") as fh:
+        json.dump(
+            {"generation": m["generation"] + 1, "live": survivor}, fh
+        )
+    with pytest.raises(sinks.ConcurrentWriterError, match="resurrect"):
+        sinks._merge_batches(spark, wh, "cleaning_records", old)
+    after = _manifest(wh)
+    assert after["live"] == survivor  # commit never happened
+    # the staged base was cleaned up, not left as a live-looking dir
+    assert not any(
+        d.endswith(sinks.VACUUM_BASE_SUFFIX) for d in after["live"]
+    )
+    assert _rows(spark, wh) == 1  # only the survivor's rows
+
+
+def test_overwrite_rows_v2_is_leased(spark, wh):
+    """ADVICE r12 (medium): overwrite_rows' v2 snapshot path takes the
+    writer lease like every other full-table mutator, so it can no
+    longer interleave with a vacuum's listing→commit window."""
+    df = spark.createDataFrame(
+        [("2024-03-01", 1, 12.5, 30, 12.5, 30.0)],
+        sinks.WAREHOUSE_TABLES["daily_summary"],
+    )
+    sinks.overwrite_rows(df, wh, "daily_summary")
+    with sinks.writer_lock(wh, "daily_summary"):
+        with pytest.raises(sinks.ConcurrentWriterError):
+            sinks.overwrite_rows(df, wh, "daily_summary")
+    sinks.overwrite_rows(df, wh, "daily_summary")  # lease released
+
+
+def test_snapshot_stamp_lands_before_data_commit(spark, wh, monkeypatch):
+    """ADVICE r12 (low): `layout: snapshot` is stamped BEFORE the
+    manifest commit, so a crash between the two can no longer leave a
+    committed snapshot the row-DML refusal does not recognize."""
+    df = spark.createDataFrame(
+        [("2024-03-01", 1, 12.5, 30, 12.5, 30.0)],
+        sinks.WAREHOUSE_TABLES["daily_summary"],
+    )
+    _bomb_manifest_commit(monkeypatch)
+    with pytest.raises(OSError, match="injected"):
+        sinks.overwrite_rows(df, wh, "daily_summary")
+    monkeypatch.undo()
+    assert sinks._manifest(wh, "daily_summary").get("layout") == "snapshot"
+    with pytest.raises(ValueError, match="snapshot"):
+        sinks.delete_rows(spark, wh, "daily_summary", "1=1")
