@@ -1,10 +1,10 @@
-"""Persisted incremental BM25 index (VERDICT r10 #2).
+"""Persisted incremental BM25 index (VERDICT r10 #2, probe layout r12).
 
 ``q_bm25_search`` (operators/text.py) is the ad-hoc, oracle-checked
 twin: it re-tokenizes the corpus, recomputes document-frequency stats
-and doc lengths, and persists corpus-wide postings IN-SESSION on every
-call — at 100 TB that is a full re-tokenization per retrieval query,
-and a contamination screen or seed-expansion loop runs retrieval
+and doc lengths, and rebuilds corpus-wide postings on every call — at
+100 TB that is a full re-tokenization per retrieval query, and a
+contamination screen or seed-expansion loop runs retrieval
 repeatedly. This module is the missing sibling of the incremental
 MinHash/semantic indexes (operators/incremental_dedup.py:169 pattern):
 BM25 state persisted once per ingest batch, probed many times.
@@ -17,17 +17,32 @@ the score needs is MERGEABLE —
   postings (which the probe must read anyway to score);
 - ``N`` and ``avgdl`` = (n_docs, sum_dl) per segment, summed.
 
-So a segment stores three tables:
+Segment layout (v2, VERDICT r11 missing-#2): TWO tables —
 
-- ``postings/``  (term, doc_id, tf) — the inverted index;
-- ``doclens/``   (doc_id, dl) — BM25's length normalization;
-- ``stats/``     one row (n_docs, sum_dl).
+- ``postings/``  (term, doc_id, tf, dl) — the inverted index with the
+  doc length DENORMALIZED onto every posting row. The r11 layout kept
+  a separate ``doclens/`` (doc_id, dl) table and joined it per probe;
+  that join scanned n_docs rows — corpus-sized at 100 TB — to fetch
+  lengths for the handful of scored docs, the one non-term-pruned
+  read in the probe. Carrying ``dl`` on the posting row makes the
+  probe PURELY term-pruned: postings (term-filtered at the footer)
+  plus the segments-count-sized stats table, nothing else. The cost
+  is one long per posting row (~8 bytes against a ~20+-byte row) paid
+  at ingest, where the batch-local join is small.
+- ``stats/``     one row (n_docs, sum_dl). Computed from the batch's
+  doc lengths INCLUDING zero-token docs (they carry no posting rows
+  but count toward N/avgdl — exactly q_bm25_search's stats).
+
+Legacy (r11) segments — with ``doclens/`` and three-column postings —
+stay readable: the probe detects them per segment and joins their own
+doclens back in; :func:`compact_bm25_index` rewrites everything into
+the denormalized form, so one compaction IS the migration.
 
 Lifecycle (shared index_segments framework — atomic publish,
 generation-CAS compaction, absorbed manifest, deferred GC):
 
-- :func:`update_bm25_index` — stage the batch's three tables fully
-  invisible, publish with ONE atomic rename; committed batch ids
+- :func:`update_bm25_index` — stage the batch's tables fully
+  invisible, publish with ONE atomic commit; committed batch ids
   replay as no-ops (idempotent re-ingest under the funnel's
   transaction record).
 - :func:`probe_bm25_index` — top-k docs for a query-term set against
@@ -37,10 +52,10 @@ generation-CAS compaction, absorbed manifest, deferred GC):
   ``q_bm25_search``'s to the committed 6dp contract
   (tests/test_bm25_index.py pins the equality on the same corpus).
 - :func:`compact_bm25_index` — merge live segments into one base:
-  postings repartitioned + sorted on term (probe pruning), doclens on
-  doc_id, stats re-summed to one row. Readers superseded by the
-  commit keep a full maintenance interval of grace (GC at the NEXT
-  pass's entry, as everywhere in index_segments).
+  postings repartitioned + sorted on term (probe pruning), stats
+  re-summed to one row. Readers superseded by the commit keep a full
+  maintenance interval of grace (GC at the NEXT pass's entry, as
+  everywhere in index_segments).
 """
 
 from __future__ import annotations
@@ -68,7 +83,10 @@ POST_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("tf", T.LongType(), False),
+    T.StructField("dl", T.LongType(), False),
 ])
+# r11 layout: postings without dl + a separate doclens table
+POST_SCHEMA_V1 = T.StructType(POST_SCHEMA.fields[:3])
 DL_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("dl", T.LongType(), False),
@@ -77,8 +95,6 @@ STATS_SCHEMA = T.StructType([
     T.StructField("n_docs", T.LongType(), False),
     T.StructField("sum_dl", T.LongType(), False),
 ])
-
-_TABLES = ("postings", "doclens", "stats")
 
 
 def _postings(docs: DataFrame) -> DataFrame:
@@ -122,15 +138,21 @@ def update_bm25_index(
     staged = os.path.join(
         index_dir, ".staging", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
     )
-    post = _postings(new_docs)
     dl = _doclens(new_docs)
+    # denormalize dl onto the posting rows at ingest (batch-local
+    # join) so every later probe is purely term-pruned
+    post = _postings(new_docs).join(dl, "doc_id").select(
+        "term", "doc_id", "tf", "dl"
+    )
+    # stats from the FULL doc-length set: zero-token docs carry no
+    # posting rows but still count toward N/avgdl (q_bm25_search's
+    # exact stats semantics)
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
     )
     try:
         post.write.mode("overwrite").parquet(os.path.join(staged, "postings"))
-        dl.write.mode("overwrite").parquet(os.path.join(staged, "doclens"))
         stats.write.mode("overwrite").parquet(os.path.join(staged, "stats"))
         n_docs = spark.read.schema(STATS_SCHEMA).parquet(
             os.path.join(staged, "stats")
@@ -145,15 +167,57 @@ def update_bm25_index(
     return {"docs": int(n_docs["n_docs"]), "terms": int(n_terms)}
 
 
-def _snapshot(index_dir: str) -> tuple[list[str], list[str], list[str]]:
-    """One live_segments snapshot → per-table path lists (the
+def _snapshot(index_dir: str) -> list[str]:
+    """One live_segments snapshot → segment dirs (the
     manifest-consistent read set every probe uses)."""
     base, batches = live_segments(index_dir)
     segs = ([base] if base is not None else []) + batches
     if not segs:
         raise ValueError(f"no BM25 index at {index_dir!r}")
-    return tuple(
-        [os.path.join(s, t) for s in segs] for t in _TABLES
+    return segs
+
+
+def _live_postings(spark: SparkSession, segs: list[str]) -> DataFrame:
+    """(term, doc_id, tf, dl) across the live segments. v2 segments
+    read denormalized in one multi-path scan (term pruning intact);
+    legacy r11 segments (detected by their ``doclens/`` table) join
+    their own doclens back in — correct but corpus-scan-shaped, cured
+    permanently by the next compaction."""
+    v2 = [s for s in segs if not os.path.isdir(os.path.join(s, "doclens"))]
+    legacy = [s for s in segs if s not in v2]
+    parts: list[DataFrame] = []
+    if v2:
+        parts.append(
+            spark.read.schema(POST_SCHEMA).parquet(
+                *[os.path.join(s, "postings") for s in v2]
+            )
+        )
+    if legacy:
+        lpost = spark.read.schema(POST_SCHEMA_V1).parquet(
+            *[os.path.join(s, "postings") for s in legacy]
+        )
+        ldl = spark.read.schema(DL_SCHEMA).parquet(
+            *[os.path.join(s, "doclens") for s in legacy]
+        )
+        parts.append(
+            lpost.join(ldl, "doc_id").select("term", "doc_id", "tf", "dl")
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def _corpus_stats(spark: SparkSession, segs: list[str]) -> DataFrame:
+    return (
+        spark.read.schema(STATS_SCHEMA)
+        .parquet(*[os.path.join(s, "stats") for s in segs])
+        .agg(
+            F.sum("n_docs").cast("long").alias("n"),
+            (
+                F.sum("sum_dl").cast("double") / F.sum("n_docs")
+            ).alias("avgdl"),
+        )
     )
 
 
@@ -164,34 +228,23 @@ def probe_bm25_index(
     top_k: int = 10,
 ) -> DataFrame:
     """Top-k (doc_id, bm25) for a query-term set — THE retrieval
-    endpoint. No tokenization, no corpus scan: the postings read is
-    pruned to the query terms (an isin filter pushed into the parquet
-    scan; term-sorted compacted bases skip non-matching row groups at
-    the footer), corpus stats are a segments-count-sized aggregate,
-    and doc lengths join on doc_id only for scored docs. Scores match
-    q_bm25_search's formula bit-for-bit at the committed 6dp
-    rounding: idf = ln((N - df + 0.5)/(df + 0.5) + 1), k1/b from
-    operators/text.py."""
+    endpoint. No tokenization, no corpus scan: the ONLY data read is
+    the postings pruned to the query terms (an isin filter pushed
+    into the parquet scan; term-sorted compacted bases skip
+    non-matching row groups at the footer) plus the
+    segments-count-sized stats table — doc lengths ride ON the pruned
+    posting rows (r12 layout), so no corpus-sized doclens scan ever
+    runs. Scores match q_bm25_search's formula bit-for-bit at the
+    committed 6dp rounding: idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    k1/b from operators/text.py."""
     if not terms:
         raise ValueError("probe_bm25_index needs at least one query term")
-    post_paths, dl_paths, stats_paths = _snapshot(index_dir)
-    post = (
-        spark.read.schema(POST_SCHEMA)
-        .parquet(*post_paths)
-        .where(F.col("term").isin(list(terms)))
+    segs = _snapshot(index_dir)
+    post = _live_postings(spark, segs).where(
+        F.col("term").isin(list(terms))
     )
-    stats = (
-        spark.read.schema(STATS_SCHEMA)
-        .parquet(*stats_paths)
-        .agg(
-            F.sum("n_docs").cast("long").alias("n"),
-            (
-                F.sum("sum_dl").cast("double") / F.sum("n_docs")
-            ).alias("avgdl"),
-        )
-    )
+    stats = _corpus_stats(spark, segs)
     dfreq = post.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    dl = spark.read.schema(DL_SCHEMA).parquet(*dl_paths)
     part = (
         F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         * F.col("tf")
@@ -204,7 +257,6 @@ def probe_bm25_index(
     )
     return (
         post.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", part.alias("part"))
         .groupBy("doc_id")
@@ -221,36 +273,30 @@ def compact_bm25_index(
     unboundedly; every probe pays per-file opens). Postings are
     repartitioned AND SORTED on term so the base's parquet footers
     carry tight term min/max — a probe's isin filter skips whole row
-    groups; doclens repartition on doc_id for the score join; stats
-    collapse to one row. Commit is the shared generation-CAS +
-    atomic rename; superseded segments are GC'd at the NEXT pass's
-    entry (reader grace window). Returns segments merged (0 = already
-    compact)."""
+    groups; stats collapse to one row. Legacy (r11, doclens-table)
+    segments are rewritten into the denormalized layout here — one
+    compaction migrates the index. Commit is the shared
+    generation-CAS + atomic publish; superseded segments are GC'd at
+    the NEXT pass's entry (reader grace window). Returns segments
+    merged (0 = already compact)."""
     gc_superseded(index_dir)
     base, batches = live_segments(index_dir)
     n_input = len(batches) + (1 if base is not None else 0)
-    if n_input <= 1:
+    segs = ([base] if base is not None else []) + batches
+    legacy = [s for s in segs if os.path.isdir(os.path.join(s, "doclens"))]
+    if n_input <= 1 and not legacy:
         return 0
     gen = next_base_gen(index_dir)
     staged = os.path.join(
         index_dir, ".staging", f"base-{gen:06d}-{uuid.uuid4().hex[:8]}"
     )
-    segs = ([base] if base is not None else []) + batches
     try:
         (
-            spark.read.schema(POST_SCHEMA)
-            .parquet(*[os.path.join(s, "postings") for s in segs])
+            _live_postings(spark, segs)
             .repartition(n_files, "term")
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(os.path.join(staged, "postings"))
-        )
-        (
-            spark.read.schema(DL_SCHEMA)
-            .parquet(*[os.path.join(s, "doclens") for s in segs])
-            .repartition(n_files, "doc_id")
-            .write.mode("overwrite")
-            .parquet(os.path.join(staged, "doclens"))
         )
         (
             spark.read.schema(STATS_SCHEMA)
