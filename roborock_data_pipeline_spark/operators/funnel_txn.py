@@ -20,9 +20,10 @@ only thing that must be atomic):
    parent's ``.staging/`` (writer-unique names, so a same-batch-id
    race never clobbers a peer's staging).
 2. COMMIT — a JSON record listing every (staged, final) pair is
-   written to a temp file and published via ``os.link`` to
-   ``_txn/commit-{batch_id}.json``. The link either exists after this
-   line or it does not: THE commit point. A second writer racing the
+   published via the commit seam's ``put_if_absent`` (local FS:
+   temp + hard link; object store: conditional PUT) to
+   ``_txn/commit-{batch_id}.json``. The record either exists after
+   this line or it does not: THE commit point. A second writer racing the
    same batch id loses with ``ConcurrentWriterError`` (EEXIST), its
    staging intact for its own cleanup.
 3. FINALIZE — roll forward: rename each staged dir onto its final
@@ -45,7 +46,8 @@ import errno
 import json
 import os
 import shutil
-import uuid
+
+from roborock_data_pipeline_spark.sources import commit_provider
 
 from roborock_data_pipeline_spark.operators.index_segments import (
     ConcurrentWriterError,
@@ -87,25 +89,15 @@ def link_commit(
             for s in surfaces
         ],
     }
-    tmp = os.path.join(tdir, f".tmp-{batch_id}-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    try:
-        os.link(tmp, record)
-    except OSError as exc:
-        if exc.errno == errno.EEXIST:
-            raise ConcurrentWriterError(
-                f"funnel batch {batch_id!r} was already committed by a "
-                "concurrent writer; this writer lost the race"
-            ) from exc
-        raise
-    finally:
-        try:
-            os.unlink(tmp)
-        except FileNotFoundError:
-            pass
+    token = commit_provider.BACKEND.put_if_absent(
+        record, json.dumps(payload).encode()
+    )
+    if token is None:
+        raise ConcurrentWriterError(
+            f"funnel batch {batch_id!r} was already committed by a "
+            "concurrent writer; this writer lost the race"
+        )
+    token.close()  # a commit record is permanent — drop the pin only
     return record
 
 

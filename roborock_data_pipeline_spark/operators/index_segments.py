@@ -48,18 +48,14 @@ import json
 import os
 import shutil
 
+# The engine-wide concurrent-commit error lives with the commit seam
+# (r12); re-exported here because every index/sink consumer has always
+# imported it from this module.
+from roborock_data_pipeline_spark.sources.commit_provider import (  # noqa: F401
+    ConcurrentWriterError,
+)
+
 ABSORBED_FILE = "absorbed.json"
-
-
-class ConcurrentWriterError(RuntimeError):
-    """Two writers raced a segment publish; exactly one committed.
-
-    Raised by ``publish_segment``/``commit_base`` when the atomic
-    rename (or the generation CAS preceding it) detects that another
-    writer committed the same destination first. The caller's staged
-    directory is intact (its ``finally`` cleanup removes it); the
-    committed index state is the WINNER's — rerun the losing operation
-    against the new state if still needed."""
 
 
 def publish_segment(staged: str, dest: str) -> None:

