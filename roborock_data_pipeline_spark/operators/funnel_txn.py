@@ -111,17 +111,26 @@ def finalize(record: str) -> None:
             rec = json.load(fh)
     except FileNotFoundError:
         return  # a concurrent recovery finished and retired it
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        register_segment,
+    )
+
     for s in rec["surfaces"]:
         staged, final = s["staged"], s["final"]
+        parent, dname = os.path.split(final.rstrip(os.sep))
         if os.path.isdir(final):
             # already rolled forward (or re-published); our staged
-            # copy, if any, is redundant
+            # copy, if any, is redundant — but the manifest
+            # registration may still be pending (crash between the
+            # rename and the pointer swap): re-register idempotently
             shutil.rmtree(staged, ignore_errors=True)
+            register_segment(parent, dname)
             continue
         try:
             os.replace(staged, final)
         except OSError as exc:
             if exc.errno == errno.ENOENT and os.path.isdir(final):
+                register_segment(parent, dname)
                 continue  # a concurrent recovery won this rename
             if exc.errno == errno.ENOENT:
                 raise RuntimeError(
@@ -131,6 +140,10 @@ def finalize(record: str) -> None:
                     "deleted out from under a committed transaction"
                 ) from exc
             raise
+        # manifest-layout surfaces become LIVE here: the txn record is
+        # the transaction's commit point; this pointer swap is the
+        # per-surface roll-forward (idempotent, replayed by recovery)
+        register_segment(parent, dname)
     try:
         os.unlink(record)
     except FileNotFoundError:

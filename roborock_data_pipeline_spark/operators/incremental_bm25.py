@@ -70,9 +70,9 @@ from pyspark.sql import types as T
 
 from roborock_data_pipeline_spark.functions.text import tokens
 from roborock_data_pipeline_spark.operators.index_segments import (
-    _absorbed_ids,
     commit_base,
     gc_superseded,
+    is_committed,
     live_segments,
     next_base_gen,
     publish_segment,
@@ -113,11 +113,6 @@ def _doclens(docs: DataFrame) -> DataFrame:
     )
 
 
-def _committed(index_dir: str, batch_id: str) -> bool:
-    if os.path.isdir(os.path.join(index_dir, f"batch-{batch_id}")):
-        return True
-    base, _ = live_segments(index_dir)
-    return base is not None and batch_id in set(_absorbed_ids(base))
 
 
 def update_bm25_index(
@@ -133,7 +128,7 @@ def update_bm25_index(
     Replaying a committed ``batch_id`` is a no-op returning zeros —
     the idempotence the funnel's single commit point needs."""
     batch_id = batch_id or uuid.uuid4().hex
-    if _committed(index_dir, batch_id):
+    if is_committed(index_dir, batch_id):
         return {"docs": 0, "terms": 0, "replayed": 1}
     staged = os.path.join(
         index_dir, ".staging", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}"
@@ -308,6 +303,10 @@ def compact_bm25_index(
             .write.mode("overwrite")
             .parquet(os.path.join(staged, "stats"))
         )
+        from roborock_data_pipeline_spark.operators.index_segments import (
+            _absorbed_ids,
+        )
+
         absorbed = list(_absorbed_ids(base)) if base is not None else []
         absorbed += [os.path.basename(b)[len("batch-"):] for b in batches]
         commit_base(index_dir, staged, gen, absorbed)

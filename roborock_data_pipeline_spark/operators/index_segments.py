@@ -1,16 +1,32 @@
 """Segment layout shared by the persisted incremental indexes
-(operators/incremental_dedup, operators/incremental_semdedup).
+(operators/incremental_dedup, incremental_semdedup, incremental_bm25)
+and the funnel's curated output.
 
 An index directory holds:
 
-- ``batch-{id}/`` — one dir per ingest, published by a single atomic
-  rename (tables + the ``pairs/`` replay record commit together);
+- ``batch-{id}/`` — one dir per ingest;
 - at most one LIVE ``base-{gen}/`` — a compacted segment merging
   earlier batches into one table set, carrying every absorbed batch's
   stored pairs under ``pairs/batch-{id}/`` plus an ``absorbed.json``
   listing the batch ids it supersedes;
 - ``centroids/`` (semantic index only) — frozen metadata, never part
-  of a segment.
+  of a segment;
+- **``_segments.json``** (layout v2, VERDICT r11 #1) — a generation-
+  numbered manifest naming the LIVE segments. On this layout the
+  commit point for every segment publish and base commit is ONE
+  single-file pointer swap through the commit-provider seam
+  (sources/commit_provider) — the same primitive the warehouse batch
+  log adopted in r11 and the local-FS form of an object store's
+  atomic manifest PUT. Directory renames become pure NAMING (a dir
+  not in the manifest is invisible); nothing depends on a dir rename
+  being atomic, which it is not on object storage. Readers resolve
+  the manifest — one pointer read — instead of a recursive listing.
+
+Layout selection: a NEW index (empty dir) bootstraps straight into
+the manifest layout; an existing rename-layout index keeps legacy
+listing semantics until :func:`migrate_index_manifest` upgrades it in
+place (idempotent, linearized against concurrent publishes by the
+naming lock). Every reader/writer here is dual-mode.
 
 VERDICT r4 #3: without compaction the index grows one ``batch-*``
 directory per ingest forever (~9k dirs/year at hourly ingest), a
@@ -18,27 +34,28 @@ widening small-files/listing tax on every probe. Compaction collapses
 the live set to O(1) directories while preserving the replay contract:
 a committed batch id's stored pairs survive verbatim inside the base.
 
-Crash-safety: a base commits with ONE ``os.replace`` (same staged-
-rename contract as batch publishes). After that commit, readers see
-the new base AND the batches it absorbed — ``live_segments`` filters
-the absorbed ids via the base's manifest, so the window is consistent;
-GC is pure cleanup, idempotent, and DEFERRED to the next maintenance
-pass (ADVICE r5: GC at commit time gave a racing reader zero grace —
-a listing taken just before the commit held paths Spark would lazily
-read after GC deleted them). Superseded segments therefore survive a
-full maintenance interval; a reader that takes one ``live_segments``
-snapshot per call and finishes within that interval never sees a path
-vanish. Readers that may outlive an interval should tolerate it
+Crash-safety (manifest layout): a publish/compaction crash BEFORE the
+pointer swap leaves an orphan dir no reader resolves (a retry of the
+same batch id clobbers it under the naming lock); after the swap the
+commit is complete. GC stays ABSORBED-BASED and deferred to the next
+maintenance pass (ADVICE r5 grace window): superseded segments
+survive a full maintenance interval, and — critically — GC never
+judges by "not in the manifest", because a funnel transaction that
+committed its record but has not yet re-registered its surfaces
+(operators/funnel_txn roll-forward) owns dirs in exactly that state.
+Readers that may outlive an interval should tolerate vanishing files
 (``spark.sql.files.ignoreMissingFiles``).
 
 Writers: the ingest loop is the funnel's serial commit point, and
 VERDICT r5 #4 makes the single-writer assumption a CHECKED invariant —
 ``commit_base`` is a generation CAS (stage ``base-{gen}`` commits only
-if ``gen`` is still the next generation, and the rename itself refuses
-an existing non-empty target), so two interleaved compactions/ingests
-fail loudly (``ConcurrentWriterError``) instead of interleaving
-publishes: exactly one wins, the loser's staging is cleaned up by its
-own ``finally``.
+if ``gen`` is still the next generation), so two interleaved
+compactions/ingests fail loudly (``ConcurrentWriterError``) instead of
+interleaving publishes: exactly one wins, the loser's staging is
+cleaned up by its own ``finally``. On the manifest layout the
+[naming rename → pointer swap] section additionally serializes on a
+millisecond-scale naming lock (the warehouse `_manifest_lock`
+pattern, shared via ``commit_provider.naming_lock``).
 """
 
 from __future__ import annotations
@@ -48,34 +65,212 @@ import json
 import os
 import shutil
 
-# The engine-wide concurrent-commit error lives with the commit seam
-# (r12); re-exported here because every index/sink consumer has always
-# imported it from this module.
+from roborock_data_pipeline_spark.sources import commit_provider
 from roborock_data_pipeline_spark.sources.commit_provider import (  # noqa: F401
     ConcurrentWriterError,
 )
 
 ABSORBED_FILE = "absorbed.json"
+SEGMENTS_MANIFEST = "_segments.json"
+
+# New (empty) index dirs bootstrap straight into the manifest layout;
+# existing rename-layout indexes keep legacy semantics until
+# migrate_index_manifest upgrades them. Tests pin legacy paths by
+# monkeypatching this to False.
+SEGMENTS_MANIFEST_DEFAULT = True
+
+# the guarded section is [orphan clobber + one rename + one pointer
+# swap] — milliseconds; same TTL rationale as the warehouse naming
+# lock
+SEGMENTS_LOCK_TTL_S = 60.0
+
+
+def _seg_lock(index_dir: str):
+    return commit_provider.naming_lock(
+        os.path.join(index_dir, ".lock-segments"),
+        f"index {index_dir!r} (segments manifest)",
+        SEGMENTS_LOCK_TTL_S,
+    )
+
+
+def _segments_manifest(index_dir: str) -> dict | None:
+    """The committed segments manifest, or None for the rename
+    layout. A PRESENT-but-unreadable manifest raises loudly: falling
+    back to the listing would promote uncommitted orphan dirs to live
+    segments — worse than failing the read."""
+    raw = commit_provider.read_pointer(
+        os.path.join(index_dir, SEGMENTS_MANIFEST)
+    )
+    if raw is None:
+        return None
+    try:
+        m = json.loads(raw)
+        return {
+            "generation": int(m["generation"]),
+            "base": m["base"],
+            "batches": list(m["batches"]),
+        }
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt segments manifest in {index_dir!r}: {exc} — "
+            "refusing the directory-listing fallback (it would "
+            "resurrect uncommitted orphan dirs); restore the manifest "
+            "from the previous generation"
+        ) from exc
+
+
+def _commit_segments(
+    index_dir: str, base: str | None, batches: list[str], generation: int
+) -> None:
+    """THE manifest-layout commit point: one pointer swap through the
+    seam (verified read-back — a lost PUT fails the mutation whole)."""
+    commit_provider.commit_pointer(
+        os.path.join(index_dir, SEGMENTS_MANIFEST),
+        json.dumps(
+            {
+                "generation": generation,
+                "base": base,
+                "batches": sorted(set(batches)),
+            }
+        ).encode(),
+    )
+
+
+def _legacy_dirs(index_dir: str) -> list[str]:
+    if not os.path.isdir(index_dir):
+        return []
+    return [
+        d
+        for d in os.listdir(index_dir)
+        if d.startswith(("batch-", "base-"))
+    ]
+
+
+def _manifest_eligible(index_dir: str) -> bool:
+    """A dir with NO legacy segments (fresh index) bootstraps the
+    manifest layout when the default is on."""
+    return SEGMENTS_MANIFEST_DEFAULT and not _legacy_dirs(index_dir)
 
 
 def publish_segment(staged: str, dest: str) -> None:
-    """Atomically publish ``staged`` as ``dest``; the rename doubles
-    as the concurrency check — renaming onto an existing non-empty
-    directory (a segment a racing writer already committed) fails with
-    EEXIST/ENOTEMPTY, which the loser surfaces as
-    ``ConcurrentWriterError`` instead of silently clobbering or
-    interleaving. Any other rename failure (I/O fault, cross-device)
-    propagates untranslated."""
-    try:
-        os.replace(staged, dest)
-    except OSError as exc:
-        if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+    """Atomically publish ``staged`` as ``dest``.
+
+    Manifest layout (and fresh indexes): the rename only NAMES the
+    segment — still invisible — and the commit is the manifest
+    pointer swap, both under the naming lock. A same-name dest that
+    is already COMMITTED raises ``ConcurrentWriterError`` (same-id
+    race: exactly one wins); an uncommitted same-name dest is a
+    crashed attempt's orphan and is clobbered so retries converge.
+
+    Legacy layout: one directory rename, doubling as the concurrency
+    check — renaming onto an existing non-empty directory fails with
+    EEXIST/ENOTEMPTY, surfaced as ``ConcurrentWriterError``."""
+    index_dir, dname = os.path.split(dest.rstrip(os.sep))
+    m = _segments_manifest(index_dir)
+    if m is None and not _manifest_eligible(index_dir):
+        try:
+            os.replace(staged, dest)
+        except OSError as exc:
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                raise ConcurrentWriterError(
+                    f"segment {dest!r} was already committed by a "
+                    "concurrent writer; this writer lost the race — "
+                    "rerun against the new index state if still needed"
+                ) from exc
+            raise
+        return
+    os.makedirs(index_dir, exist_ok=True)
+    with _seg_lock(index_dir):
+        m = _segments_manifest(index_dir) or {
+            "generation": -1,
+            "base": None,
+            "batches": [],
+        }
+        if dname in m["batches"] or dname == m["base"] or (
+            dname.startswith("batch-")
+            and m["base"] is not None
+            and dname[len("batch-"):]
+            in set(_absorbed_ids(os.path.join(index_dir, m["base"])))
+        ):
             raise ConcurrentWriterError(
                 f"segment {dest!r} was already committed by a "
                 "concurrent writer; this writer lost the race — rerun "
                 "against the new index state if still needed"
-            ) from exc
-        raise
+            )
+        if os.path.isdir(dest):
+            # a crashed same-id attempt's orphan (named, never
+            # committed): clobber it so the retry converges
+            shutil.rmtree(dest, ignore_errors=True)
+        os.replace(staged, dest)
+        if dname.startswith("base-"):
+            _commit_segments(
+                index_dir, dname, m["batches"], m["generation"] + 1
+            )
+        else:
+            _commit_segments(
+                index_dir,
+                m["base"],
+                m["batches"] + [dname],
+                m["generation"] + 1,
+            )
+
+
+def register_segment(index_dir: str, dname: str) -> None:
+    """Idempotently add an ALREADY-NAMED dir to the live manifest —
+    the roll-forward half of a funnel transaction (funnel_txn
+    committed the record; its finalize renames each surface into
+    place and then registers it here). No-op on the legacy layout and
+    for already-registered names."""
+    m = _segments_manifest(index_dir)
+    if m is None and not _manifest_eligible(index_dir):
+        return  # legacy listing layout: the rename was the commit
+    with _seg_lock(index_dir):
+        m = _segments_manifest(index_dir) or {
+            "generation": -1,
+            "base": None,
+            "batches": [],
+        }
+        if dname in m["batches"] or dname == m["base"]:
+            return
+        if dname.startswith("batch-") and m["base"] is not None and (
+            dname[len("batch-"):]
+            in set(_absorbed_ids(os.path.join(index_dir, m["base"])))
+        ):
+            return  # compacted into the live base already
+        if dname.startswith("base-"):
+            _commit_segments(
+                index_dir, dname, m["batches"], m["generation"] + 1
+            )
+        else:
+            _commit_segments(
+                index_dir,
+                m["base"],
+                m["batches"] + [dname],
+                m["generation"] + 1,
+            )
+
+
+def migrate_index_manifest(index_dir: str) -> int:
+    """In-place upgrade of a legacy rename-committed index to the
+    manifest layout; idempotent (returns the current generation if
+    already migrated). The legacy live set is computed with the
+    absorbed-filtered listing, so crashed-compaction leftovers are
+    not promoted to live; the naming lock linearizes a concurrent
+    publish (it either lands before the listing and is named by
+    generation 0, or blocks on the lock and commits generation 1)."""
+    os.makedirs(index_dir, exist_ok=True)
+    with _seg_lock(index_dir):
+        m = _segments_manifest(index_dir)
+        if m is not None:
+            return m["generation"]
+        base, batches = _legacy_live(index_dir)
+        _commit_segments(
+            index_dir,
+            os.path.basename(base) if base is not None else None,
+            [os.path.basename(b) for b in batches],
+            0,
+        )
+        return 0
 
 
 def _absorbed_ids(base_dir: str) -> list[str]:
@@ -86,10 +281,8 @@ def _absorbed_ids(base_dir: str) -> list[str]:
         return []
 
 
-def live_segments(index_dir: str) -> tuple[str | None, list[str]]:
-    """(current base dir or None, live batch dirs) — batch dirs
-    absorbed into the base are filtered out even if GC has not removed
-    them yet; only the highest-generation base is live."""
+def _legacy_live(index_dir: str) -> tuple[str | None, list[str]]:
+    """Listing-resolved live set (legacy layout / migration input)."""
     if not os.path.isdir(index_dir):
         return None, []
     entries = os.listdir(index_dir)
@@ -104,12 +297,55 @@ def live_segments(index_dir: str) -> tuple[str | None, list[str]]:
     return base, batches
 
 
+def live_segments(index_dir: str) -> tuple[str | None, list[str]]:
+    """(current base dir or None, live batch dirs). Manifest layout:
+    resolved from ONE pointer read — no directory listing at all (the
+    100 TB read path). Legacy layout: the absorbed-filtered listing."""
+    m = _segments_manifest(index_dir)
+    if m is None:
+        return _legacy_live(index_dir)
+    base = (
+        os.path.join(index_dir, m["base"]) if m["base"] is not None else None
+    )
+    return base, sorted(os.path.join(index_dir, b) for b in m["batches"])
+
+
+def is_committed(index_dir: str, batch_id: str) -> bool:
+    """Whether ``batch_id`` is durably part of the index — manifest
+    membership (or absorption into the live base) on the manifest
+    layout; directory presence on legacy. The replay guards of every
+    index use this instead of ``os.path.isdir`` (an orphan dir from a
+    crashed publish must NOT read as committed: skipping its
+    re-ingest would silently drop the batch)."""
+    m = _segments_manifest(index_dir)
+    dname = f"batch-{batch_id}"
+    if m is not None:
+        if dname in m["batches"]:
+            return True
+        base = m["base"]
+    else:
+        if os.path.isdir(os.path.join(index_dir, dname)):
+            return True
+        base, _ = _legacy_live(index_dir)
+        base = os.path.basename(base) if base is not None else None
+    return base is not None and batch_id in set(
+        _absorbed_ids(os.path.join(index_dir, base))
+    )
+
+
 def stored_pairs_path(index_dir: str, batch_id: str) -> str | None:
     """Replay lookup: the committed pair set for ``batch_id``, whether
-    the batch still has its own directory or was compacted into the
-    base. None = never committed (fresh batch)."""
+    the batch is still its own live segment or was compacted into the
+    base. None = never committed (fresh batch) — an orphan dir from a
+    crashed manifest-layout publish is NOT committed."""
+    m = _segments_manifest(index_dir)
     batch_dir = os.path.join(index_dir, f"batch-{batch_id}")
-    if os.path.isdir(batch_dir):
+    live_batch = (
+        f"batch-{batch_id}" in m["batches"]
+        if m is not None
+        else os.path.isdir(batch_dir)
+    )
+    if live_batch:
         pairs = os.path.join(batch_dir, "pairs")
         if os.path.isdir(pairs):
             return pairs
@@ -166,41 +402,86 @@ def carry_pairs(staged: str, base: str | None, batches: list[str]) -> list[str]:
 
 def commit_base(index_dir: str, staged: str, gen: int,
                 absorbed: list[str]) -> str:
-    """Write the manifest and atomically publish ``staged`` as
-    ``base-{gen}``. Generation CAS (VERDICT r5 #4): if another writer
-    committed ANY base since this compaction snapshotted (``gen`` is
-    no longer the next generation), raise ``ConcurrentWriterError`` —
-    our staged base was built from a stale live set and absorbing it
-    could drop the winner's data. Same-generation races are caught by
-    the rename itself (``publish_segment``). GC of superseded segments
-    is deliberately NOT run here — it is deferred to the next
-    maintenance pass so concurrent readers keep a full maintenance
-    interval of grace (module docstring)."""
+    """Write the absorbed manifest and atomically publish ``staged``
+    as ``base-{gen}``. Generation CAS (VERDICT r5 #4): if another
+    writer committed ANY base since this compaction snapshotted
+    (``gen`` is no longer the next generation), raise
+    ``ConcurrentWriterError`` — our staged base was built from a
+    stale live set and absorbing it could drop the winner's data.
+
+    Manifest layout: the rename names the base invisibly; the COMMIT
+    is one pointer swap that installs the base AND removes the
+    absorbed batches from the live set together (under the naming
+    lock, with the CAS re-checked inside it). Legacy layout: the
+    rename is the commit, same-generation races caught by the rename
+    itself. GC of superseded segments is deliberately NOT run here —
+    deferred to the next maintenance pass so concurrent readers keep
+    a full maintenance interval of grace (module docstring)."""
     with open(os.path.join(staged, ABSORBED_FILE), "w") as fh:
         json.dump({"batches": absorbed}, fh)
-    if next_base_gen(index_dir) != gen:
-        raise ConcurrentWriterError(
-            f"base generation advanced past {gen} while compacting "
-            f"{index_dir!r} — a concurrent writer committed first; "
-            "this compaction's snapshot is stale and was discarded"
+    m = _segments_manifest(index_dir)
+    if m is None and not _manifest_eligible(index_dir):
+        if next_base_gen(index_dir) != gen:
+            raise ConcurrentWriterError(
+                f"base generation advanced past {gen} while compacting "
+                f"{index_dir!r} — a concurrent writer committed first; "
+                "this compaction's snapshot is stale and was discarded"
+            )
+        dest = os.path.join(index_dir, f"base-{gen:06d}")
+        publish_segment(staged, dest)
+        return dest
+    dname = f"base-{gen:06d}"
+    dest = os.path.join(index_dir, dname)
+    absorbed_set = set(absorbed)
+    with _seg_lock(index_dir):
+        if next_base_gen(index_dir) != gen:
+            raise ConcurrentWriterError(
+                f"base generation advanced past {gen} while compacting "
+                f"{index_dir!r} — a concurrent writer committed first; "
+                "this compaction's snapshot is stale and was discarded"
+            )
+        m = _segments_manifest(index_dir) or {
+            "generation": -1,
+            "base": None,
+            "batches": [],
+        }
+        if os.path.isdir(dest):
+            shutil.rmtree(dest, ignore_errors=True)  # crashed orphan
+        os.replace(staged, dest)
+        _commit_segments(
+            index_dir,
+            dname,
+            [
+                b
+                for b in m["batches"]
+                if b[len("batch-"):] not in absorbed_set
+            ],
+            m["generation"] + 1,
         )
-    dest = os.path.join(index_dir, f"base-{gen:06d}")
-    publish_segment(staged, dest)
     return dest
 
 
 def gc_superseded(index_dir: str) -> None:
     """Remove batch dirs absorbed into the live base and any lower-
     generation bases. Best-effort and idempotent — readers are already
-    consistent without it (live_segments filters by the manifest).
-    Called at the START of each maintenance pass, never at commit
-    time, so segments a just-committed base superseded stay readable
-    for one full maintenance interval (ADVICE r5 grace window)."""
+    consistent without it. Called at the START of each maintenance
+    pass, never at commit time, so segments a just-committed base
+    superseded stay readable for one full maintenance interval
+    (ADVICE r5 grace window). Deliberately ABSORBED-BASED on both
+    layouts (not "everything the manifest does not name"): a funnel
+    surface that committed its transaction record but has not yet
+    been re-registered into the manifest is not an orphan, and GC
+    must never eat it."""
+    m = _segments_manifest(index_dir)
     base, _ = live_segments(index_dir)
-    if base is None:
-        return
-    absorbed = set(_absorbed_ids(base))
-    live = os.path.basename(base)
+    if base is None and m is None:
+        return  # legacy layout, no base: dir presence IS the commit
+    # manifest layout: a base dir the manifest does not name is a
+    # crashed compaction's orphan even when NO base is live yet —
+    # base commits happen only through the pointer swap, so unlike
+    # batch dirs there is no pending-registration state for them
+    absorbed = set(_absorbed_ids(base)) if base is not None else set()
+    live = os.path.basename(base) if base is not None else None
     for d in os.listdir(index_dir):
         p = os.path.join(index_dir, d)
         if d.startswith("base-") and d != live:

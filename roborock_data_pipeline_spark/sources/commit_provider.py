@@ -39,6 +39,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 
@@ -264,6 +265,45 @@ def commit_pointer(path: str, data: bytes) -> None:
 
 def read_pointer(path: str) -> bytes | None:
     return BACKEND.read_pointer(path)
+
+
+@contextmanager
+def naming_lock(lock_path: str, name: str, ttl_s: float):
+    """Short-TTL naming lock serializing a [stamp → naming rename →
+    manifest swap] commit section (milliseconds held). Unlike a
+    writer LEASE this WAITS (contention resolves in kind) instead of
+    raising, and steals a holder silent past ``ttl_s`` through the
+    identity+freshness-checked steal. Yields an ownership probe the
+    commit point re-checks so a frozen-then-stolen holder cannot
+    publish over its successor."""
+    deadline = time.monotonic() + 2 * ttl_s
+    pid = str(os.getpid()).encode()
+    token = BACKEND.put_if_absent(lock_path, pid)
+    while token is None:
+        info = BACKEND.inspect(lock_path)
+        if info.age_s is not None and info.age_s > ttl_s:
+            try:
+                BACKEND.steal(
+                    lock_path, info.identity, name, min_age_s=ttl_s
+                )
+            except ConcurrentWriterError:
+                pass  # a faster contender stole it; re-race
+        if time.monotonic() > deadline:
+            raise ConcurrentWriterError(
+                f"{name}: naming lock held past {2 * ttl_s:.0f}s — a "
+                "commit section this long means a wedged writer; "
+                f"investigate {lock_path!r}"
+            )
+        time.sleep(0.005)
+        token = BACKEND.put_if_absent(lock_path, pid)
+
+    def _still_mine() -> bool:
+        return BACKEND.is_mine(token)
+
+    try:
+        yield _still_mine
+    finally:
+        BACKEND.release(token)
 
 
 class FaultInjectingBackend(LocalFSBackend):

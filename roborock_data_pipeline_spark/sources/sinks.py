@@ -546,44 +546,16 @@ def _manifest_lock(table_dir: str, name: str):
     same inode-checked rename-aside. Yields an ownership probe the
     commit point re-checks so a frozen-then-stolen holder cannot
     publish over its successor."""
-    lock = os.path.join(table_dir, ".lock-batches")
-    deadline = time.monotonic() + 2 * MANIFEST_LOCK_TTL_S
-    # Acquisition/identity/steal all go through the commit-provider
-    # seam (r12): put_if_absent pins the holder's identity FROM THE
-    # STAGED CONTENT before it publishes (ADVICE r11 — re-opening the
-    # lock path post-acquisition could pin a successor's identity
-    # after a steal+re-acquire, making both holders judge the lease
-    # theirs).
-    B = commit_provider.BACKEND
-    pid = str(os.getpid()).encode()
-    token = B.put_if_absent(lock, pid)
-    while token is None:
-        info = B.inspect(lock)
-        if info.age_s is not None and info.age_s > MANIFEST_LOCK_TTL_S:
-            try:
-                _steal_stale(
-                    lock, info.identity, name,
-                    min_age_s=MANIFEST_LOCK_TTL_S,
-                )
-            except ConcurrentWriterError:
-                pass  # a faster contender stole it; re-race
-        if time.monotonic() > deadline:
-            raise ConcurrentWriterError(
-                f"table {name!r}: batch-manifest lock held past "
-                f"{2 * MANIFEST_LOCK_TTL_S:.0f}s — a commit section "
-                "this long means a wedged writer; investigate "
-                f"{lock!r}"
-            )
-        time.sleep(0.005)
-        token = B.put_if_absent(lock, pid)
-
-    def _still_mine() -> bool:
-        return B.is_mine(token)
-
-    try:
-        yield _still_mine
-    finally:
-        B.release(token)
+    # the shared seam lock (r12): put_if_absent pins the holder's
+    # identity FROM THE STAGED CONTENT before it publishes (ADVICE
+    # r11), waits on contention, and steals past the TTL through the
+    # identity+freshness-checked takeover
+    with commit_provider.naming_lock(
+        os.path.join(table_dir, ".lock-batches"),
+        f"table {name!r} (batch manifest)",
+        MANIFEST_LOCK_TTL_S,
+    ) as still_mine:
+        yield still_mine
 
 
 def _commit_batches(

@@ -46,6 +46,42 @@ from roborock_data_pipeline_spark.operators.incremental_semdedup import (
     update_semantic_index,
 )
 from roborock_data_pipeline_spark.operators.similarity import BLOCK_CAP
+from roborock_data_pipeline_spark.sources import commit_provider
+
+EPOCHS_MANIFEST = "_epochs.json"
+EPOCHS_LOCK_TTL_S = 60.0
+
+
+def _epochs_manifest(pairs_dir: str) -> dict | None:
+    """Committed epoch manifest, or None for the legacy listing
+    layout. Present-but-corrupt raises (the listing fallback would
+    resurrect uncommitted orphan dirs)."""
+    import json
+
+    raw = commit_provider.read_pointer(
+        os.path.join(pairs_dir, EPOCHS_MANIFEST)
+    )
+    if raw is None:
+        return None
+    try:
+        m = json.loads(raw)
+        return {"generation": int(m["generation"]),
+                "epochs": list(m["epochs"])}
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ValueError(
+            f"corrupt epoch manifest in {pairs_dir!r}: {exc}"
+        ) from exc
+
+
+def _commit_epochs(pairs_dir: str, epochs: list[str], gen: int) -> None:
+    import json
+
+    commit_provider.commit_pointer(
+        os.path.join(pairs_dir, EPOCHS_MANIFEST),
+        json.dumps(
+            {"generation": gen, "epochs": sorted(set(epochs))}
+        ).encode(),
+    )
 
 EMB_STREAM_SCHEMA = T.StructType([
     T.StructField("vec_id", T.LongType(), False),
@@ -61,12 +97,21 @@ PAIR_SCHEMA = T.StructType([
 
 
 def read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
-    """All pairs emitted so far (one dir per committed epoch)."""
-    dirs = [
-        os.path.join(pairs_dir, d)
-        for d in (os.listdir(pairs_dir) if os.path.isdir(pairs_dir) else [])
-        if d.startswith("epoch-")
-    ]
+    """All pairs emitted so far (one dir per committed epoch). Layout
+    v2 (r12): committed epochs are resolved from `_epochs.json` — one
+    pointer read, no listing, object-store-safe; a pre-manifest pairs
+    dir falls back to the legacy epoch-dir listing."""
+    m = _epochs_manifest(pairs_dir)
+    if m is not None:
+        dirs = [os.path.join(pairs_dir, d) for d in m["epochs"]]
+    else:
+        dirs = [
+            os.path.join(pairs_dir, d)
+            for d in (
+                os.listdir(pairs_dir) if os.path.isdir(pairs_dir) else []
+            )
+            if d.startswith("epoch-")
+        ]
     if not dirs:
         return spark.createDataFrame([], PAIR_SCHEMA)
     return spark.read.schema(PAIR_SCHEMA).parquet(*dirs)
@@ -101,8 +146,17 @@ def near_dup_pairs_stream(
             cap=cap,
             batch_id=f"e{epoch_id:012d}",
         )
-        dest = os.path.join(pairs_dir, f"epoch-{epoch_id:012d}")
-        if os.path.isdir(dest):
+        dname = f"epoch-{epoch_id:012d}"
+        dest = os.path.join(pairs_dir, dname)
+        m = _epochs_manifest(pairs_dir)
+        legacy = m is None and os.path.isdir(pairs_dir) and any(
+            d.startswith("epoch-") for d in os.listdir(pairs_dir)
+        )
+        committed = (
+            dname in m["epochs"] if m is not None
+            else (legacy and os.path.isdir(dest))
+        )
+        if committed:
             return  # replayed epoch: pairs already published
         staged = os.path.join(
             pairs_dir, ".staging", f"epoch-{epoch_id}-{uuid.uuid4().hex[:8]}"
@@ -111,7 +165,33 @@ def near_dup_pairs_stream(
             pairs.select("vec_id_1", "vec_id_2", "cosine").write.mode(
                 "overwrite"
             ).parquet(staged)
-            os.replace(staged, dest)
+            if legacy:
+                os.replace(staged, dest)  # pre-manifest layout
+            else:
+                # layout v2: the rename only NAMES the epoch dir
+                # (invisible — readers resolve the manifest); the
+                # COMMIT is one pointer swap under the naming lock.
+                # A crashed attempt's orphan dir is clobbered so the
+                # checkpoint replay converges.
+                os.makedirs(pairs_dir, exist_ok=True)
+                with commit_provider.naming_lock(
+                    os.path.join(pairs_dir, ".lock-epochs"),
+                    f"pairs {pairs_dir!r} (epoch manifest)",
+                    EPOCHS_LOCK_TTL_S,
+                ):
+                    cur = _epochs_manifest(pairs_dir) or {
+                        "generation": -1, "epochs": [],
+                    }
+                    if dname in cur["epochs"]:
+                        return  # concurrent replay won
+                    if os.path.isdir(dest):
+                        shutil.rmtree(dest, ignore_errors=True)
+                    os.replace(staged, dest)
+                    _commit_epochs(
+                        pairs_dir,
+                        cur["epochs"] + [dname],
+                        cur["generation"] + 1,
+                    )
         finally:
             if os.path.exists(staged):
                 shutil.rmtree(staged, ignore_errors=True)
