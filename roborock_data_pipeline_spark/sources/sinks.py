@@ -1486,6 +1486,22 @@ def describe_table(warehouse_dir: str, name: str) -> dict[str, object]:
         # object-store-safe; "rename" means legacy — run
         # migrate_batch_manifest at the next maintenance window
         "layout": "batch-manifest" if bm is not None else "rename",
+        # sunset state (r12): a legacy table is on notice — the
+        # default maintenance path stamps it on first sight and
+        # migrates it the pass after (warehouse_maintenance docstring)
+        "layout_sunset": (
+            None
+            if bm is not None or not batches
+            else (
+                "auto-migrates at next default maintenance pass"
+                if _manifest(warehouse_dir, name).get(
+                    "legacy_layout_noticed_ns"
+                )
+                else "legacy rename layout — sunset notice pending; "
+                     "next default maintenance pass stamps it, the "
+                     "one after migrates"
+            )
+        ),
         "batch_generation": bm["generation"] if bm is not None else None,
         "retention_point_ns": (
             int(_batch_ns_prefix(bases[-1])) if bases else None
@@ -2178,7 +2194,7 @@ def warehouse_maintenance(
     warehouse_dir: str,
     retain_last_n: int = 24,
     cluster_by: dict[str, list[str]] | None = None,
-    migrate_layout: bool = False,
+    migrate_layout: bool | None = None,
 ) -> dict[str, int]:
     """One retention pass over every provisioned warehouse table —
     the batch-log twin of pipeline.funnel_maintenance, schedulable
@@ -2187,23 +2203,45 @@ def warehouse_maintenance(
     table at 25 live directories. ``cluster_by`` maps table name →
     clustering columns for that table's vacuum base (see
     vacuum_table); tables not in the map compact unclustered.
-    ``migrate_layout=True`` additionally upgrades every
-    still-legacy batch-log table to the manifest-committed layout v2
-    (migrate_batch_manifest, idempotent) before its vacuum — the
-    operational rollout path: one maintenance window converts the
-    whole warehouse to object-store-safe commits. Returns batches
-    reclaimed per table (0 = already within retention)."""
+
+    LEGACY-LAYOUT SUNSET (r12, VERDICT r11 #8): rename-committed
+    batch-log tables are not object-store-safe, and a warehouse that
+    never opts in stays legacy forever. ``migrate_layout`` is now a
+    tri-state:
+
+    - ``None`` (default) — grace-then-migrate: the FIRST maintenance
+      pass that meets a legacy table stamps a sunset notice in its
+      schema manifest (surfaced by ``describe_table`` as
+      ``layout_sunset``); the NEXT pass migrates it in place. One
+      full maintenance interval of warning, then the safe layout by
+      default.
+    - ``True`` — migrate immediately (the one-window rollout path).
+    - ``False`` — never auto-migrate (explicit opt-out for a
+      deployment pinned to the rename layout).
+
+    Migration itself is migrate_batch_manifest: idempotent,
+    lease-guarded, linearized against concurrent appends. Returns
+    batches reclaimed per table (0 = already within retention)."""
     reclaimed: dict[str, int] = {}
     for name in WAREHOUSE_TABLES:
         td = table_path(warehouse_dir, name)
         if not os.path.isdir(td):
             continue
-        if (
-            migrate_layout
-            and _batches_manifest(td) is None
-            and any(d.startswith("batch-") for d in os.listdir(td))
-        ):
+        legacy = _batches_manifest(td) is None and any(
+            d.startswith("batch-") for d in os.listdir(td)
+        )
+        if legacy and migrate_layout is True:
             migrate_batch_manifest(warehouse_dir, name)
+        elif legacy and migrate_layout is None:
+            m = _manifest(warehouse_dir, name)
+            if m.get("legacy_layout_noticed_ns"):
+                # the grace interval (one maintenance pass) elapsed
+                migrate_batch_manifest(warehouse_dir, name)
+            else:
+                m["legacy_layout_noticed_ns"] = _publish_stamp_ns()
+                if "schema" not in m and name in WAREHOUSE_TABLES:
+                    m["schema"] = WAREHOUSE_TABLES[name].jsonValue()
+                _publish_manifest(warehouse_dir, name, m)
         reclaimed[name] = vacuum_table(
             spark,
             warehouse_dir,

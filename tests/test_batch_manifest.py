@@ -671,3 +671,49 @@ def test_snapshot_stamp_lands_before_data_commit(spark, wh, monkeypatch):
     assert sinks._manifest(wh, "daily_summary").get("layout") == "snapshot"
     with pytest.raises(ValueError, match="snapshot"):
         sinks.delete_rows(spark, wh, "daily_summary", "1=1")
+
+
+def test_legacy_layout_sunset_grace_then_migrate(spark, tmp_path):
+    """r12 sunset (VERDICT r11 #8): a legacy table met by DEFAULT
+    maintenance is stamped with a sunset notice on the first pass
+    (surfaced by describe_table.layout_sunset) and auto-migrated on
+    the next; migrate_layout=False opts out permanently."""
+    w = str(tmp_path / "wh")
+    default_before = sinks.BATCH_MANIFEST_DEFAULT
+    sinks.BATCH_MANIFEST_DEFAULT = False
+    try:
+        sinks.setup_warehouse(spark, w)
+        for i in range(2):
+            sinks.append_rows(_mk(spark, i), w, "cleaning_records")
+    finally:
+        sinks.BATCH_MANIFEST_DEFAULT = default_before
+    d = sinks.describe_table(w, "cleaning_records")
+    assert d["layout"] == "rename" and "pending" in d["layout_sunset"]
+    # pass 1: notice stamped, still legacy
+    sinks.warehouse_maintenance(spark, w, retain_last_n=24)
+    d = sinks.describe_table(w, "cleaning_records")
+    assert d["layout"] == "rename"
+    assert "auto-migrates" in d["layout_sunset"]
+    # pass 2: migrated in place, content intact
+    sinks.warehouse_maintenance(spark, w, retain_last_n=24)
+    d = sinks.describe_table(w, "cleaning_records")
+    assert d["layout"] == "batch-manifest" and d["layout_sunset"] is None
+    assert sinks.read_table(spark, w, "cleaning_records").count() == 2
+
+
+def test_legacy_layout_sunset_opt_out(spark, tmp_path):
+    w = str(tmp_path / "wh")
+    default_before = sinks.BATCH_MANIFEST_DEFAULT
+    sinks.BATCH_MANIFEST_DEFAULT = False
+    try:
+        sinks.setup_warehouse(spark, w)
+        sinks.append_rows(_mk(spark, 1), w, "cleaning_records")
+    finally:
+        sinks.BATCH_MANIFEST_DEFAULT = default_before
+    for _ in range(3):
+        sinks.warehouse_maintenance(
+            spark, w, retain_last_n=24, migrate_layout=False
+        )
+    assert (
+        sinks.describe_table(w, "cleaning_records")["layout"] == "rename"
+    )

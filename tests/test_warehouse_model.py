@@ -71,6 +71,10 @@ _ops = st.one_of(
     # layout v2 migration (r11): an in-place upgrade is just another
     # op the DML/vacuum/migration interleavings must commute with
     st.tuples(st.just("migrate")),
+    # r12 sunset: DEFAULT-path maintenance (grace-then-migrate) — on a
+    # legacy table the first hit stamps the notice and the second
+    # auto-migrates, interleaved with everything else
+    st.tuples(st.just("maintenance")),
     # migration alphabet (r9): each mutates the logical schema the
     # DML ops then have to live with
     st.tuples(st.just("widen")),
@@ -167,6 +171,11 @@ def test_random_dml_interleavings_match_model(spark, start_legacy, ops):
             elif op[0] == "migrate":
                 sinks.migrate_batch_manifest(wh, "cleaning_records")
                 sinks.BATCH_MANIFEST_DEFAULT = True  # stay v2 after
+            elif op[0] == "maintenance":
+                # default tri-state path: content must be preserved
+                # whether this pass stamps the sunset notice, performs
+                # the auto-migration, or just vacuums a v2 table
+                sinks.warehouse_maintenance(spark, wh, retain_last_n=2)
             elif op[0] == "widen":
                 if widened:
                     # second widen of the same column must refuse
