@@ -1,0 +1,162 @@
+"""Adjudicate the driver's per-round bench tail against the isolated
+min-of-N history (VERDICT r11 "what's wrong #1").
+
+The driver's BENCH_rN runs land on a shared box whose load swings;
+its per-query tail routinely shows sub-second queries 1.5-2x slower
+than the previous round with no plan change. The committed isolated
+history (BENCH_BEST: min-of-N per round at near-zero load) is the
+ground truth for plan regressions. This script makes the judge's
+call mechanical with the same two-signal discipline BENCH_SCALE
+uses: a query is FLAGGED only when BOTH
+
+- driver ratio   = driver tail time this round / previous round, and
+- isolated ratio = a FRESH builder rerun (BENCH_DETAIL, start load
+  under 30% of cores; end load is bench-driven on every run and
+  carries no isolation signal) / the min of the BENCH_BEST history
+  window (the best the query has done recently — old fast samples
+  survive a drifting box)
+
+exceed the bar. A driver-only spike is box noise (CLEARED by
+isolated evidence); an isolated-only spike with a quiet driver tail
+is a one-off isolated run artifact (also cleared — the next round's
+min absorbs it); both together is a real regression. If BENCH_DETAIL
+is not isolated (the driver's own run overwrote it), the script says
+so and demands a fresh `python bench.py` on an idle box before
+adjudicating.
+
+Usage: python scripts/bench_adjudicate.py [N]  (default: newest
+BENCH_r*.json) — writes BENCH_ADJUDICATION.json. Regenerate each
+round: run `python bench.py` on an idle box, then this script, after
+the driver records BENCH_rN.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+BAR = 1.5
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tail_times(path: str) -> dict[str, float]:
+    """Per-query seconds from a BENCH_rN record. The driver keeps only
+    the TAIL of the bench stdout, so the first key/value pair may be
+    truncated — the regex simply skips anything malformed."""
+    with open(path) as fh:
+        rec = json.load(fh)
+    tail = rec.get("tail", "")
+    return {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"(q_[a-z0-9_]+)":\s*([0-9.]+)', tail)
+    }
+
+
+def main() -> int:
+    rounds = sorted(
+        int(re.search(r"BENCH_r(\d+)\.json", f).group(1))
+        for f in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+    )
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else rounds[-1]
+    prev = max(r for r in rounds if r < n)
+    cur_t = _tail_times(os.path.join(REPO, f"BENCH_r{n:02d}.json"))
+    prev_t = _tail_times(os.path.join(REPO, f"BENCH_r{prev:02d}.json"))
+    best = json.load(open(os.path.join(REPO, "BENCH_BEST.json")))
+    history = best.get("history", {})
+    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    cpus = detail.get("cpus", 32)
+    starts = detail.get("load_1m_start", 99)
+    starts = starts if isinstance(starts, list) else [starts]
+    detail_isolated = all(s / cpus <= 0.3 for s in starts)
+    iso_t = detail.get("queries", {}) if detail_isolated else {}
+    if not detail_isolated:
+        print(
+            "WARNING: BENCH_DETAIL.json is NOT an isolated run "
+            f"(start load {starts} on {cpus} cores) — run "
+            "`python bench.py` on an idle box first; adjudicating "
+            "from the history window only."
+        )
+
+    queries: dict[str, dict] = {}
+    flagged, cleared = [], []
+    for q in sorted(set(cur_t) & set(prev_t)):
+        dr = round(cur_t[q] / prev_t[q], 3) if prev_t[q] > 0 else None
+        h = history.get(q) or []
+        # isolated evidence: the fresh isolated rerun vs the best the
+        # query has done in the committed history window (min absorbs
+        # driver-contaminated samples that entered the window)
+        iso = iso_t.get(q)
+        floor = min(h) if h else None
+        ir = (
+            round(iso / floor, 3)
+            if iso is not None and floor
+            else None
+        )
+        row = {
+            "driver_s": cur_t[q],
+            "driver_prev_s": prev_t[q],
+            "driver_ratio": dr,
+            "isolated_s": iso,
+            "history_min_s": floor,
+            "isolated_ratio": ir,
+        }
+        if dr is not None and dr > BAR:
+            if ir is None:
+                row["verdict"] = (
+                    "UNADJUDICATED (no isolated evidence - run "
+                    "bench.py on an idle box)"
+                )
+                flagged.append(q)  # unproven ≠ cleared: surface it
+            elif ir > BAR:
+                row["verdict"] = "FLAGGED (driver AND isolated regressed)"
+                flagged.append(q)
+            else:
+                row["verdict"] = (
+                    "cleared (driver spike not reproduced by the "
+                    "isolated rerun - box noise)"
+                )
+                cleared.append(q)
+            queries[q] = row
+        elif ir is not None and ir > BAR:
+            row["verdict"] = (
+                "cleared (isolated one-off; driver tail quiet)"
+            )
+            cleared.append(q)
+            queries[q] = row
+    out = {
+        "round": n,
+        "vs_round": prev,
+        "bar": BAR,
+        "isolated_evidence": (
+            "BENCH_DETAIL.json (isolated run)"
+            if detail_isolated
+            else "UNAVAILABLE - BENCH_DETAIL not isolated; history-only"
+        ),
+        "rule": "flag iff driver_ratio > bar AND isolated_ratio > bar",
+        "n_compared": len(set(cur_t) & set(prev_t)),
+        "flagged": flagged,
+        "cleared": cleared,
+        "queries": queries,
+    }
+    path = os.path.join(REPO, "BENCH_ADJUDICATION.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        f"r{n} vs r{prev}: {len(set(cur_t) & set(prev_t))} compared, "
+        f"{len(flagged)} flagged, {len(cleared)} cleared -> {path}"
+    )
+    for q in flagged:
+        print(f"  FLAGGED {q}: {queries[q]}")
+    for q in cleared:
+        print(f"  cleared {q}: driver x{queries[q]['driver_ratio']}, "
+              f"isolated x{queries[q]['isolated_ratio']}")
+    return 1 if any(
+        "FLAGGED" in queries[q].get("verdict", "") for q in flagged
+    ) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

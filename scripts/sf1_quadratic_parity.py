@@ -50,7 +50,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 DOC_OFF = 100_000_000
 PART_OFF = 10_000_000
-N_REP = 10
+N_REP = 10  # overridden by --factor (e.g. 20 for the sf2 corpus)
 
 
 def _replica_mapped_equal(base, sf1, id_cols, off):
@@ -103,7 +103,10 @@ def main() -> None:
     ap.add_argument(
         "--out", default="/root/repo/CORRECTNESS_SF1_QUADRATIC.json"
     )
+    ap.add_argument("--factor", type=int, default=10)
     args = ap.parse_args()
+    global N_REP
+    N_REP = args.factor
 
     from roborock_data_pipeline_spark.operators import (
         accuracy,
