@@ -1334,6 +1334,17 @@ def funnel_maintenance(
     merged = {}
     mh = os.path.join(state_dir, "minhash")
     sem = os.path.join(state_dir, "semantic")
+    # r12 sunset (index twin of warehouse_maintenance's default
+    # migration): a pre-r12 rename-layout index dir upgrades to the
+    # manifest-committed layout here — idempotent, linearized by the
+    # naming lock; new index dirs bootstrap straight into it
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        migrate_index_manifest,
+    )
+
+    for d in (mh, sem, out_dir):
+        if os.path.isdir(d):
+            migrate_index_manifest(d)
     merged["minhash"] = (
         compact_minhash_index(spark, mh, n_files) if os.path.isdir(mh) else 0
     )

@@ -231,3 +231,29 @@ def test_epoch_sink_manifest(spark, tmp_path):
     df.write.parquet(os.path.join(pairs_dir, "epoch-000000000001"))
     got = ndp.read_pairs(spark, pairs_dir)
     assert got.count() == 1  # the orphan is invisible
+
+
+def test_funnel_maintenance_migrates_legacy_index(spark, tmp_path, monkeypatch):
+    """The index twin of the warehouse sunset: a pre-r12 rename-layout
+    index dir is upgraded to the manifest layout by the next
+    funnel_maintenance pass (idempotent; compaction then commits
+    through the manifest)."""
+    from roborock_data_pipeline_spark import pipeline
+
+    state = str(tmp_path / "state")
+    idx = os.path.join(state, "minhash")
+    monkeypatch.setattr(iseg, "SEGMENTS_MANIFEST_DEFAULT", False)
+    for i in range(2):
+        update_minhash_index(
+            spark, _docs(spark, range(4 * i, 4 * i + 4)), idx,
+            batch_id=f"b{i}",
+        )
+    assert not os.path.exists(os.path.join(idx, iseg.SEGMENTS_MANIFEST))
+    monkeypatch.setattr(iseg, "SEGMENTS_MANIFEST_DEFAULT", True)
+    out = str(tmp_path / "out")
+    merged = pipeline.funnel_maintenance(spark, state, out)
+    assert os.path.exists(os.path.join(idx, iseg.SEGMENTS_MANIFEST))
+    assert merged["minhash"] == 2  # compaction ran through the manifest
+    m = _manifest(idx)
+    assert m["base"] is not None and m["batches"] == []
+    assert iseg.is_committed(idx, "b0")
