@@ -257,3 +257,39 @@ def test_funnel_maintenance_migrates_legacy_index(spark, tmp_path, monkeypatch):
     m = _manifest(idx)
     assert m["base"] is not None and m["batches"] == []
     assert iseg.is_committed(idx, "b0")
+
+
+def test_index_publish_lost_put_fails_whole(spark, tmp_path, monkeypatch):
+    """Object-store fault symmetry with the warehouse test: an index
+    segment publish whose manifest PUT is ACKed but LOST fails whole
+    (CommitLostError; nothing live, replay guard says uncommitted,
+    naming lock released) and a same-id retry converges once the
+    store recovers."""
+    from roborock_data_pipeline_spark.sources import commit_provider as cp
+
+    idx = str(tmp_path / "idx")
+    update_minhash_index(spark, _docs(spark, range(4)), idx, batch_id="b0")
+    monkeypatch.setattr(
+        cp, "BACKEND",
+        cp.FaultInjectingBackend(lose_swaps_at=set(range(100))),
+    )
+    with pytest.raises(cp.CommitLostError):
+        update_minhash_index(
+            spark, _docs(spark, range(4, 8)), idx, batch_id="b1"
+        )
+    monkeypatch.setattr(cp, "BACKEND", cp.LocalFSBackend())
+    assert sorted(_manifest(idx)["batches"]) == ["batch-b0"]
+    assert not iseg.is_committed(idx, "b1")
+    # store recovered: the retry clobbers the orphan and commits
+    update_minhash_index(spark, _docs(spark, range(4, 8)), idx,
+                         batch_id="b1")
+    assert iseg.is_committed(idx, "b1")
+    # bounded staleness is absorbed transparently on the index path too
+    monkeypatch.setattr(
+        cp, "BACKEND", cp.FaultInjectingBackend(stale_reads_after_swap=2)
+    )
+    update_minhash_index(spark, _docs(spark, range(8, 12)), idx,
+                         batch_id="b2")
+    monkeypatch.setattr(cp, "BACKEND", cp.LocalFSBackend())
+    assert iseg.is_committed(idx, "b2")
+    assert len(_manifest(idx)["batches"]) == 3
