@@ -3,9 +3,16 @@
 The FINAL stdout line is the compact headline {"metric", "value",
 "unit", "sf", "n_queries"} (the driver's tail capture keeps only the
 last line, so it must stay small); the full per-query dict prints on
-the preceding line and lands in BENCH_DETAIL.json. Each query is
+the preceding line and lands in a detail file. Each query is
 forced to full execution with the noop sink (no driver collect, no
 sink I/O — pure engine time).
+
+Artifact convention (VERDICT r12 #2): a default run writes
+BENCH_DRIVER_DETAIL.json / BENCH_DRIVER_BEST.json; only a run with
+SPARK_GRAFT_BENCH_ISOLATED=1 (the builder's idle-box min-of-N rerun)
+writes the canonical BENCH_DETAIL.json / BENCH_BEST.json that
+scripts/bench_adjudicate.py treats as isolated evidence — so the
+driver's unattended per-round run can never clobber it.
 """
 
 from __future__ import annotations
@@ -231,7 +238,17 @@ def main() -> None:
     # unmeetable bar. BENCH_BEST.json stores per-query history (last
     # N run times) plus the derived medians.
     here = os.path.dirname(os.path.abspath(__file__))
-    best_path = os.path.join(here, "BENCH_BEST.json")
+    # Artifact fencing (VERDICT r12 #2): the committed isolated
+    # evidence (BENCH_DETAIL/BENCH_BEST — min-of-N on an idle box) is
+    # what bench_adjudicate.py judges against, and the driver's
+    # unattended per-round run used to OVERWRITE it with a
+    # contaminated sample. Default runs now write BENCH_DRIVER_*;
+    # only a run explicitly marked isolated (the builder's idle-box
+    # rerun: SPARK_GRAFT_BENCH_ISOLATED=1) touches the canonical
+    # files.
+    isolated_run = os.environ.get("SPARK_GRAFT_BENCH_ISOLATED") == "1"
+    prefix = "BENCH" if isolated_run else "BENCH_DRIVER"
+    best_path = os.path.join(here, f"{prefix}_BEST.json")
     n_history = int(os.environ.get("SPARK_GRAFT_BENCH_HISTORY", "5"))
 
     def _median(xs: list[float]) -> float:
@@ -325,11 +342,13 @@ def main() -> None:
               "load_1m_end": round(os.getloadavg()[0], 2),
               "cpus": cpus,
               # start load is the honest marker: the bench itself
-              # drives the end load. >20% of cores busy before the
-              # first query = another workload shared the box.
-              "isolated_start": load_1m_start / cpus <= 0.2}
+              # drives the end load. r13 (VERDICT r12 #2): the bar is
+              # a small ABSOLUTE load — the old <30%-of-cores form
+              # accepted a load-2.9 box as "isolated" on 32 cores.
+              "isolated_start": load_1m_start <= 1.0,
+              "isolated_run_flag": isolated_run}
     try:
-        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        with open(os.path.join(here, f"{prefix}_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass
@@ -340,8 +359,8 @@ def main() -> None:
                       "regressions": (regressions[:10]
                                       if regressions is not None else None),
                       "load_1m_start": load_1m_start,
-                      "isolated_start": load_1m_start / cpus <= 0.2,
-                      "detail": "BENCH_DETAIL.json"}))
+                      "isolated_start": load_1m_start <= 1.0,
+                      "detail": f"{prefix}_DETAIL.json"}))
     spark.stop()
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _OWNER: str | None = None
-_CACHES: list[tuple[str, DataFrame]] = []
+_CACHES: list[tuple[str, DataFrame, object]] = []
 
 
 def begin_query(name: str) -> int:
@@ -46,8 +46,8 @@ def begin_query(name: str) -> int:
     rerun stays warm. Returns the number of caches released."""
     global _OWNER
     with _LOCK:
-        drop = [df for owner, df in _CACHES if owner != name]
-        _CACHES[:] = [(o, df) for o, df in _CACHES if o == name]
+        drop = [df for owner, df, _ in _CACHES if owner != name]
+        _CACHES[:] = [(o, df, h) for o, df, h in _CACHES if o == name]
         _OWNER = name
     for df in drop:
         try:
@@ -57,12 +57,38 @@ def begin_query(name: str) -> int:
     return len(drop)
 
 
+def _plan_key(df: DataFrame):
+    """Analyzed-plan identity (Dataset.semanticHash via the JVM
+    handle) for same-owner dedup; None when unavailable (then every
+    track appends, the pre-r13 behavior)."""
+    try:
+        return df._jdf.semanticHash()  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def track(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted DataFrame as a deliberate leak
     owned by the currently-running registry query (or '' when called
-    outside the registry — released by any later begin_query)."""
+    outside the registry — released by any later begin_query).
+
+    ADVICE r12 (low): tracked entries dedup by ANALYZED-PLAN identity
+    within an owner — a warm rerun of an iterative query (pagerank
+    tracks one frame per iteration per run) re-tracks plans that are
+    semantically identical to the previous run's, and Spark's
+    CacheManager already maps them to the same cache entry; keeping
+    one handle per plan bounds the driver-side list (and any
+    executor growth) across unbounded warm reruns while the blocks
+    stay warm (nothing is unpersisted on the dedup path)."""
+    owner = None
+    key = _plan_key(df)
     with _LOCK:
-        _CACHES.append((_OWNER or "", df))
+        owner = _OWNER or ""
+        if key is not None and any(
+            o == owner and h == key for o, _, h in _CACHES
+        ):
+            return df  # same plan already tracked; blocks stay warm
+        _CACHES.append((owner, df, key))
     return df
 
 
@@ -78,7 +104,7 @@ def release_all() -> int:
     For session teardown / tests; returns the number released."""
     global _OWNER
     with _LOCK:
-        drop = [df for _, df in _CACHES]
+        drop = [df for _, df, _h in _CACHES]
         _CACHES.clear()
         _OWNER = None
     for df in drop:

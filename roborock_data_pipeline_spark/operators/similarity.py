@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from roborock_data_pipeline_spark.functions.arrays import cosine, dot, norm
 from roborock_data_pipeline_spark.registry import query
+from roborock_data_pipeline_spark.sources import versioned_dir
 from roborock_data_pipeline_spark.sources.tables import load
 
 QUERY_VEC_ID = 0  # the probe vector for top-k queries
@@ -1323,35 +1324,35 @@ def write_ivfpq_index(emb: DataFrame, index_dir: str) -> None:
       atomically (VERDICT r5 #7; pre-r6 the metadata sat in sibling
       dirs, which no single rename could swap consistently).
 
-    Publish is staged: everything writes under ``.staging`` and lands
-    with the overwrite_rows swap discipline — a crash never leaves a
-    half-written or mixed-generation index visible."""
+    Publish goes through the commit-provider seam (VERDICT r12 #1):
+    everything stages invisibly under the index root and THE commit is
+    one verified ``_current.json`` pointer swap
+    (sources/versioned_dir). The old index serves until that single
+    swap; a kill anywhere — including mid-publish, the window the old
+    two-rename swap left with NO index visible — leaves old-or-new,
+    never neither. Superseded versions get one publish of grace for
+    in-flight probes."""
     import shutil
-    import uuid
 
     spark = emb.sparkSession
-    root = os.path.dirname(os.path.abspath(index_dir)) or "."
-    staged = os.path.join(
-        root, ".staging", f"{os.path.basename(index_dir)}-{uuid.uuid4().hex[:8]}"
-    )
-    old = staged + "-old"
+    staged = versioned_dir.staging_dir(index_dir)
     try:
         _write_ivfpq_tables(spark, emb, staged)
-        if os.path.exists(index_dir):
-            os.replace(index_dir, old)
-        try:
-            os.replace(staged, index_dir)
-        except BaseException:
-            # roll the live index back before the cleanup below would
-            # delete the moved-aside copy — a failed swap must leave
-            # the OLD index serving, not nothing
-            if os.path.exists(old) and not os.path.exists(index_dir):
-                os.replace(old, index_dir)
-            raise
+        versioned_dir.publish(index_dir, staged)
     finally:
-        for leftover in (staged, old):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover, ignore_errors=True)
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
+
+
+def _ivfpq_live(index_dir: str) -> str:
+    """The live IVF-PQ data dir: pointer-resolved (or the legacy
+    pre-seam root). Raises for an absent/empty index."""
+    live = versioned_dir.resolve(index_dir)
+    if live is None:
+        raise FileNotFoundError(
+            f"no IVF-PQ index published at {index_dir!r}"
+        )
+    return live
 
 
 def _write_ivfpq_tables(spark, emb: DataFrame, dest: str) -> None:
@@ -1397,23 +1398,25 @@ def rebuild_ivfpq_index(
     Retrains IVF centroids AND per-subspace Lloyd codebooks from the
     CURRENT vectors (``emb`` when the corpus moved — the common case
     — else the index's own stored vectors), re-encodes every vector,
-    and swaps the complete new index in atomically: the nested layout
-    means one directory rename replaces vectors+centroids+codebook
-    together, so a concurrent probe reads either the old consistent
-    index or the new one, never codes from one generation scored
-    against the other's codebook. Post-rebuild the caller re-runs the
-    approximation-ratio gate (check_topk_quality — pinned in
-    tests/test_similarity.py). Returns vectors republished."""
+    and commits the complete new index with ONE pointer swap (r12 #1:
+    vectors+centroids+codebook live under one version dir named by
+    ``_current.json``), so a concurrent probe reads either the old
+    consistent index or the new one, never codes from one generation
+    scored against the other's codebook — and a kill mid-rebuild
+    leaves the OLD index serving (the pre-seam two-rename swap had a
+    window with no index visible at all). Post-rebuild the caller
+    re-runs the approximation-ratio gate (check_topk_quality — pinned
+    in tests/test_similarity.py). Returns vectors republished."""
     if emb is None:
-        emb = spark.read.parquet(index_dir).select(
+        emb = spark.read.parquet(_ivfpq_live(index_dir)).select(
             "vec_id", "embedding", "label"
         )
-        # the source scan and the destination swap touch the same
-        # directory — materialize the vectors first or the rebuild
-        # would read the index out from under itself mid-swap
+        # reading the superseded version mid-publish is already safe
+        # (one publish of GC grace), but materialize anyway so the
+        # rebuild never races its own grace window
         emb = emb.localCheckpoint(eager=True)
     write_ivfpq_index(emb, index_dir)
-    return spark.read.parquet(index_dir).count()
+    return spark.read.parquet(_ivfpq_live(index_dir)).count()
 
 
 def ivfpq_probe_indexed(
@@ -1440,7 +1443,13 @@ def ivfpq_probe_indexed(
     on a within-cell-sorted layout skip the row groups that hold no
     candidate, so the raw vector column is decoded for candidate row
     groups only. Centroid/codebook reads are metadata (rows = cells,
-    m×ksub)."""
+    m×ksub).
+
+    The live version dir is resolved ONCE up front, so every read in
+    the probe (centroids, codebook, ADC scan, rerank scan) comes from
+    the SAME index generation even if a rebuild commits mid-probe —
+    the superseded version keeps one publish of GC grace."""
+    index_dir = _ivfpq_live(index_dir)
     cent = spark.read.parquet(os.path.join(index_dir, "_centroids"))
     qv_lit = F.array(*[F.lit(float(x)) for x in query_vec])
     cells = [

@@ -45,7 +45,12 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from roborock_data_pipeline_spark import schemas
-from roborock_data_pipeline_spark.sources import sinks, tables
+from roborock_data_pipeline_spark.sources import (
+    commit_provider,
+    sinks,
+    tables,
+    versioned_dir,
+)
 from roborock_data_pipeline_spark.session import get_spark, prepare
 
 
@@ -398,10 +403,9 @@ def _read_rollup_state(warehouse: str) -> dict:
 def _write_rollup_state(warehouse: str, state: dict) -> None:
     p = _rollup_watermark_path(warehouse)
     os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(_dump_fold_state(state))
-    os.replace(tmp, p)
+    # one verified pointer swap through the seam (r13: every
+    # single-file state commit uses the same primitive)
+    commit_provider.commit_pointer(p, _dump_fold_state(state).encode())
 
 
 # Above this many touched dates the refresh recomputes the whole
@@ -543,14 +547,21 @@ LIFETIME_TABLE = "device_lifetime"
 LIFETIME_WATERMARK = "_folded_watermark"
 
 
+def _lifetime_live(warehouse: str) -> str | None:
+    """The live lifetime snapshot dir: `_current.json`-resolved
+    version dir (r12 #1), or the pre-seam legacy root, or None."""
+    return versioned_dir.resolve(sinks.table_path(warehouse, LIFETIME_TABLE))
+
+
 def _read_lifetime_state(warehouse: str) -> dict:
     """The lifetime rollup's fold state (committed INSIDE the snapshot
     dir so data+watermark publish atomically) — shared by the refresh
     and the health snapshot so the location/format cannot drift."""
-    wm_path = os.path.join(
-        sinks.table_path(warehouse, LIFETIME_TABLE), LIFETIME_WATERMARK
+    live = _lifetime_live(warehouse)
+    wm_path = (
+        os.path.join(live, LIFETIME_WATERMARK) if live is not None else None
     )
-    if not os.path.exists(wm_path):
+    if wm_path is None or not os.path.exists(wm_path):
         return _parse_fold_state("")
     with open(wm_path) as fh:
         return _parse_fold_state(fh.read())
@@ -586,7 +597,6 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
     "delta"|"full"|"noop"}.
     """
     import shutil
-    import uuid as _uuid
 
     # same lock order as refresh_daily_summary: own gold lease, then
     # the source lease (excludes a concurrent vacuum deleting the
@@ -595,7 +605,12 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
         warehouse, "cleaning_records"
     ):
         table_dir = sinks.table_path(warehouse, LIFETIME_TABLE)
-        wm_path = os.path.join(table_dir, LIFETIME_WATERMARK)
+        live = _lifetime_live(warehouse)
+        wm_path = (
+            os.path.join(live, LIFETIME_WATERMARK)
+            if live is not None
+            else None
+        )
         state = _read_lifetime_state(warehouse)
         batches = sinks.list_batches(warehouse, "cleaning_records")
         # grace-band re-list + id dedup (see FOLD_GRACE_NS): a batch
@@ -607,16 +622,17 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
             batches, state, sinks.table_path(warehouse, "cleaning_records")
         )
         if not new:
-            if implicit:  # record proven-folded bases (atomic rewrite
-                # of the in-snapshot state file; data untouched)
-                tmp = wm_path + ".tmp"
-                with open(tmp, "w") as fh:
-                    fh.write(
-                        _dump_fold_state(
-                            _advance_fold_state(state, [], implicit)
-                        )
-                    )
-                os.replace(tmp, wm_path)
+            if implicit and wm_path is not None:
+                # record proven-folded bases: one verified pointer
+                # swap of the in-snapshot state file (data untouched;
+                # metadata-only, so mutating the live version in
+                # place is safe — it cannot change query results)
+                commit_provider.commit_pointer(
+                    wm_path,
+                    _dump_fold_state(
+                        _advance_fold_state(state, [], implicit)
+                    ).encode(),
+                )
             return {"new_batches": 0, "mode": "noop"}
 
         def _partial(df: DataFrame) -> DataFrame:
@@ -629,7 +645,7 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
         vacuum_base_arrived = any(
             b.endswith(sinks.VACUUM_BASE_SUFFIX) for b in new
         )
-        if vacuum_base_arrived or not os.path.exists(wm_path):
+        if vacuum_base_arrived or wm_path is None or not os.path.exists(wm_path):
             mode = "full"
             merged = _partial(
                 sinks.read_table(spark, warehouse, "cleaning_records")
@@ -639,7 +655,7 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
             delta = _partial(
                 sinks.read_batch_dirs(spark, warehouse, "cleaning_records", new)
             )
-            prior = spark.read.parquet(table_dir)
+            prior = spark.read.parquet(live)
             merged = (
                 prior.unionByName(delta)
                 .groupBy("device_name")
@@ -649,43 +665,34 @@ def refresh_device_lifetime(spark: SparkSession, warehouse: str) -> dict[str, ob
                     F.sum("time_sum").alias("time_sum"),
                 )
             )
-        # snapshot + folded watermark publish in ONE rename: no crash
-        # window between data and watermark (delta-merge is not replay-
-        # idempotent, unlike the dated refresh's recompute)
-        staging_root = os.path.join(warehouse, ".staging")
-        os.makedirs(staging_root, exist_ok=True)
-        staged = os.path.join(
-            staging_root, f"{LIFETIME_TABLE}-{_uuid.uuid4().hex[:8]}"
-        )
-        old = f"{staged}-old"
+        # snapshot + folded watermark publish in ONE pointer commit
+        # (r12 #1, sources/versioned_dir): no crash window between
+        # data and watermark (delta-merge is not replay-idempotent,
+        # unlike the dated refresh's recompute), and — unlike the
+        # pre-r13 two-rename swap — no kill window where NO snapshot
+        # is visible: readers see old-or-new, never a missing table
+        staged = versioned_dir.staging_dir(table_dir)
         try:
             merged.write.mode("overwrite").parquet(staged)
             with open(os.path.join(staged, LIFETIME_WATERMARK), "w") as fh:
                 fh.write(
                     _dump_fold_state(_advance_fold_state(state, new, implicit))
                 )
-            if os.path.exists(table_dir):
-                os.replace(table_dir, old)
-            try:
-                os.replace(staged, table_dir)
-            except BaseException:
-                # roll the old snapshot (and its watermark) back:
-                # readers see old-or-new, never a missing table, and
-                # the un-advanced watermark re-folds the same batches
-                if os.path.exists(old) and not os.path.exists(table_dir):
-                    os.replace(old, table_dir)
-                raise
+            versioned_dir.publish(table_dir, staged)
         finally:
-            for leftover in (staged, old):
-                if os.path.exists(leftover):
-                    shutil.rmtree(leftover, ignore_errors=True)
+            if os.path.exists(staged):
+                shutil.rmtree(staged, ignore_errors=True)
         return {"new_batches": len(new), "mode": mode}
 
 
 def read_device_lifetime(spark: SparkSession, warehouse: str) -> DataFrame:
     """Presentation view over the delta-merged snapshot: rounding is
     applied HERE, never stored (rounded values do not merge)."""
-    snap = spark.read.parquet(sinks.table_path(warehouse, LIFETIME_TABLE))
+    live = _lifetime_live(warehouse)
+    snap = spark.read.parquet(
+        live if live is not None
+        else sinks.table_path(warehouse, LIFETIME_TABLE)
+    )
     return snap.select(
         "device_name",
         F.col("n").alias("total_clean_count"),
@@ -1026,6 +1033,7 @@ def mode_curate_stream(
     )
     from roborock_data_pipeline_spark.operators.incremental_semdedup import (
         create_semantic_index,
+        has_centroids as _has_centroids,
         stage_semantic_update,
     )
 
@@ -1055,9 +1063,10 @@ def mode_curate_stream(
 
     mh_index = os.path.join(state_dir, "minhash")
     sem_index = os.path.join(state_dir, "semantic")
-    if not os.path.isdir(os.path.join(sem_index, "centroids")):
+    if not _has_centroids(sem_index):
         # frozen index metadata, not batch state — created once,
         # idempotent if a crash lands between this and the commit
+        # (a crashed create's staging leftovers read as NOT committed)
         create_semantic_index(spark, emb, sem_index)
 
     committed = False

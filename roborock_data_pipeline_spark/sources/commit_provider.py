@@ -127,24 +127,40 @@ class LocalFSBackend:
     # -- create-if-absent ------------------------------------------ #
 
     def put_if_absent(self, path: str, data: bytes) -> LeaseToken | None:
-        """None = the path already exists (a racing writer won)."""
-        tmp = f"{path}.acq-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-            fh.flush()
-            os.fsync(fh.fileno())
+        """None = the path already exists (a racing writer won).
+
+        The staging temp is DOT-PREFIXED in the target's directory
+        (ADVICE r12): a temp named ``{path}.acq-…`` would match any
+        prefix-based directory scan over the target's name (e.g. the
+        funnel's ``commit-*`` recovery listing), making a crashed or
+        racing writer's HALF-staged record look committed. A dot
+        prefix can never share a prefix with a real record name. The
+        temp is unlinked on EVERY exit path — including a non-EEXIST
+        link failure — so no orphan survives to confuse a later scan.
+        """
+        d, base = os.path.split(path)
+        tmp = os.path.join(d or ".", f".acq-{uuid.uuid4().hex[:8]}-{base}")
         try:
-            os.link(tmp, path)  # atomic create-with-content
-        except FileExistsError:
-            os.unlink(tmp)
-            return None
-        try:
-            fd: int | None = os.open(tmp, os.O_RDONLY)  # lock's inode
-        except OSError:
-            fd = None
-        os.unlink(tmp)
-        return LeaseToken(path=path, holder=data.decode("utf-8", "replace"),
-                          fd=fd)
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, path)  # atomic create-with-content
+            except FileExistsError:
+                return None
+            try:
+                fd: int | None = os.open(tmp, os.O_RDONLY)  # lock's inode
+            except OSError:
+                fd = None
+            return LeaseToken(
+                path=path, holder=data.decode("utf-8", "replace"), fd=fd
+            )
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     # -- lease protocol -------------------------------------------- #
 

@@ -15,9 +15,14 @@ Design:
 - The manifest (row + byte-ish token totals per shard) is computed
   with one aggregate over the same DataFrame — n_shards rows to the
   driver, never the data.
-- Publish is the repo's staged-dir + ``os.replace`` pattern
-  (sources/sinks.py append_rows): readers see the old export or the
-  complete new one, never a half-written tree.
+- Publish commits through the commit-provider seam (r12 #1,
+  sources/versioned_dir): the staged shard tree is named as an
+  invisible version dir and THE commit is one verified
+  ``_current.json`` pointer swap — readers see the old export or the
+  complete new one, never a half-written tree, and a kill mid-publish
+  can never leave NO export visible (the pre-r13 two-rename swap
+  could). Superseded versions get one publish of grace for a trainer
+  mid-read.
 
 At 100 TB: the export is one map-side pass (hash, partitionBy write);
 shard count is chosen so each shard is O(executor output split);
@@ -29,10 +34,11 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from roborock_data_pipeline_spark.sources import versioned_dir
 
 
 def export_jsonl_shards(
@@ -65,29 +71,32 @@ def export_jsonl_shards(
         "shards": {str(k): stats[k] for k in sorted(stats)},
     }
 
-    parent = os.path.dirname(os.path.abspath(out_dir)) or "."
-    os.makedirs(parent, exist_ok=True)
-    staged = os.path.join(parent, f".export-staging-{uuid.uuid4().hex[:8]}")
-    old = os.path.join(parent, f".export-old-{uuid.uuid4().hex[:8]}")
+    staged = versioned_dir.staging_dir(out_dir)
     try:
         sharded.write.mode("overwrite").partitionBy("shard").json(staged)
         with open(os.path.join(staged, "manifest.json"), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
-        if os.path.exists(out_dir):
-            os.replace(out_dir, old)
-        os.replace(staged, out_dir)
+        versioned_dir.publish(out_dir, staged)
     finally:
-        shutil.rmtree(staged, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(staged):
+            shutil.rmtree(staged, ignore_errors=True)
     return manifest
 
 
+def _export_live(out_dir: str) -> str:
+    live = versioned_dir.resolve(out_dir)
+    if live is None:
+        raise FileNotFoundError(f"no export published at {out_dir!r}")
+    return live
+
+
 def read_export(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read a published export back (schema from the JSONL; the shard
+    """Read a published export back (pointer-resolved version dir, or
+    the pre-seam legacy root; schema from the JSONL; the shard
     partition column comes from the directory names)."""
-    return spark.read.json(out_dir)
+    return spark.read.json(_export_live(out_dir))
 
 
 def read_manifest(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, "manifest.json")) as f:
+    with open(os.path.join(_export_live(out_dir), "manifest.json")) as f:
         return json.load(f)

@@ -473,11 +473,14 @@ def _fuse_constraints(
 
 BATCHES_MANIFEST = "_batches.json"
 
-# New tables bootstrap straight into the manifest layout; existing
-# rename-layout tables keep legacy semantics until
-# migrate_batch_manifest upgrades them in place. Tests pin the legacy
-# paths by monkeypatching this to False.
-BATCH_MANIFEST_DEFAULT = True
+# r13 (VERDICT r12 #5): the legacy rename-commit WRITE paths are
+# gone. Every mutation commits through `_batches.json`; a mutation
+# that meets a legacy (pre-r11 rename-layout) table migrates it in
+# the same locked commit. Legacy READS remain (list_batches falls
+# back to the absorbed-filtered listing until a write or maintenance
+# pass migrates). Tests construct legacy tables by deleting the
+# manifest file from a committed table — byte-identical to a pre-r11
+# layout.
 
 # A manifest-lock holder silent past this is dead or frozen (the held
 # section is stamp + one rename + one json swap — milliseconds); a
@@ -710,55 +713,50 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         # the check→rename gap itself — two adjacent operations with
         # no syscall between, vs the multi-syscall stamp→rename path
         # this narrows.
-        use_manifest = _batches_manifest(table_dir) is not None or (
-            BATCH_MANIFEST_DEFAULT
-            and not any(
-                d.startswith("batch-") for d in os.listdir(table_dir)
-            )
-        )
-        # EVERY append takes the (millisecond) naming lock, both
-        # layouts: v2 needs it to serialize manifest commits; a
-        # LEGACY append needs it to linearize with a concurrent
-        # migrate_batch_manifest — without it, a dir renamed in
-        # between the migration's final listing and its generation-0
-        # commit would be orphaned by the new manifest (silent data
-        # loss). Inside the lock the manifest is re-read, so an
-        # append that lost that race simply commits generation 1.
+        # EVERY append takes the (millisecond) naming lock: it
+        # serializes manifest commits, and the layout decision
+        # (manifest vs legacy-to-migrate) happens INSIDE it so an
+        # append can never race a concurrent migration's listing.
+        # The naming rename below is NOT the commit — the batch stays
+        # invisible (readers resolve the manifest) until
+        # _commit_batches swaps _batches.json; a crash in between
+        # leaves an orphan dir no reader sees, GC'd by the next
+        # vacuum. The lock spans stamp→rename→commit so stamps stay
+        # monotone with commit order (the as-of/fold invariant).
         with _manifest_lock(table_dir, name) as still_mine:
             m = _batches_manifest(table_dir)
-            if m is None and not use_manifest:
-                # legacy rename layout: the directory rename IS the
-                # commit
-                batch_id = _fresh_batch_id()
-                os.replace(
-                    staged, os.path.join(table_dir, f"batch-{batch_id}")
-                )
-            else:
-                # layout v2: the naming rename below is NOT the
-                # commit — the batch stays invisible (readers resolve
-                # the manifest) until _commit_batches swaps
-                # _batches.json. A crash in between leaves an orphan
-                # dir no reader sees, GC'd by the next vacuum —
-                # except on the very first append to a fresh table
-                # (no manifest yet): there a post-rename crash
-                # degrades the table to the legacy layout (the dir is
-                # complete, legacy listing sees it — v1 semantics),
-                # and migrate_batch_manifest upgrades it later. The
-                # lock spans stamp→rename→commit so stamps stay
-                # monotone with commit order (the as-of/fold
-                # invariant).
-                batch_id = _fresh_batch_id()
-                os.replace(
-                    staged, os.path.join(table_dir, f"batch-{batch_id}")
-                )
-                m = m or {"generation": -1, "live": []}
-                _commit_batches(
-                    table_dir,
-                    name,
-                    m["live"] + [f"batch-{batch_id}"],
-                    m["generation"] + 1,
-                    still_mine,
-                )
+            if m is None:
+                if any(
+                    d.startswith("batch-") for d in os.listdir(table_dir)
+                ):
+                    # r13 sunset: the legacy rename-commit write
+                    # branch is gone — a legacy table migrates in
+                    # this same locked commit (the absorbed-filtered
+                    # listing is its live set; gen 0 lands migration
+                    # + append together)
+                    m = {
+                        "generation": -1,
+                        "live": list_batches(warehouse_dir, name),
+                    }
+                else:
+                    # fresh table: bootstrap an empty gen-0 manifest
+                    # BEFORE the naming rename, so a crash between
+                    # rename and commit leaves a detectable orphan
+                    # instead of degrading the table to the legacy
+                    # layout (pre-r13 first-append window)
+                    _commit_batches(table_dir, name, [], 0, still_mine)
+                    m = {"generation": 0, "live": []}
+            batch_id = _fresh_batch_id()
+            os.replace(
+                staged, os.path.join(table_dir, f"batch-{batch_id}")
+            )
+            _commit_batches(
+                table_dir,
+                name,
+                m["live"] + [f"batch-{batch_id}"],
+                m["generation"] + 1,
+                still_mine,
+            )
     finally:
         if os.path.exists(staged):  # job failed before publish
             shutil.rmtree(staged, ignore_errors=True)
@@ -839,13 +837,25 @@ def read_table(spark: SparkSession, warehouse_dir: str, name: str) -> DataFrame:
     crashed vacuum are named in the base's manifest and excluded, so
     a crash between base publish and cleanup never double-counts
     (VERDICT r7 #2). Orphaned ``.staging`` dirs are outside the table
-    path and never read."""
+    path and never read.
+
+    r13: on a manifest-governed table the manifest is the ENTIRE read
+    set — root-level part files are ignored (they are provisioning
+    empties or a replaced plain-parquet snapshot awaiting GC). That
+    exclusion is what lets overwrite_rows migrate a root-file table
+    with ONE manifest commit: the instant `_batches.json` lands, the
+    old root files stop being data, so there is no window where both
+    count."""
     table_dir = table_path(warehouse_dir, name)
-    paths = [
-        os.path.join(table_dir, f)
-        for f in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    ]
+    paths = []
+    if _batches_manifest(table_dir) is None:
+        paths += [
+            os.path.join(table_dir, f)
+            for f in (
+                os.listdir(table_dir) if os.path.isdir(table_dir) else []
+            )
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
     paths += [
         os.path.join(table_dir, b) for b in list_batches(warehouse_dir, name)
     ]
@@ -856,20 +866,20 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     """Full-replace publish for rebuilt gold tables (idempotent
     re-runs).
 
-    Layout v2 (r11): on a manifest-governed (or manifest-eligible)
-    table the snapshot is ONE invisible batch dir committed by the
-    same single-file `_batches.json` swap every other mutation uses —
-    the table-dir rename-pair below survives only for legacy tables
-    (root-level part files / rename-layout batch dirs), where the
-    fault contract is old-or-new with rollback. The v2 contract is
-    strictly stronger: old-until-commit, no aside window at all, and
-    object-store-safe. The replaced batches are GC'd post-commit
-    (orphaned-invisible on a crash; the vacuum heal reclaims them).
-    The schema manifest (declared schema + CHECK constraints) stays
-    in the table dir untouched on v2; on legacy it is carried into
-    the staged snapshot (pre-r8 the dir swap deleted `_schema.json`,
-    so the SECOND rebuild ran unconstrained). A v2 snapshot table is
-    additionally stamped ``layout: snapshot`` BEFORE the data commit
+    Layout v2 (r11; r13 sunsets the legacy write branch): the
+    snapshot is ONE invisible batch dir committed by the same
+    single-file `_batches.json` swap every other mutation uses —
+    old-until-commit, no aside window at all, object-store-safe. A
+    legacy table (rename-layout batch dirs, or a plain root-part-file
+    parquet dir) migrates in this same commit: the manifest names
+    ONLY the new snapshot batch, and the instant it lands the old
+    batch dirs / root files stop being data (read_table ignores both
+    once a manifest exists), so there is no doubled or empty window;
+    they are GC'd post-commit (orphaned-invisible on a crash; the
+    vacuum heal reclaims them). The schema manifest (declared schema
+    + CHECK constraints) stays in the table dir untouched. A v2
+    snapshot table is additionally stamped ``layout: snapshot``
+    BEFORE the data commit
     (ADVICE r12: stamping after left a crash window in which a
     committed snapshot manifest carried no stamp, so row DML did not
     refuse it and a later edit was silently clobbered by the next
@@ -883,127 +893,85 @@ def overwrite_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     table_dir = table_path(warehouse_dir, name)
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
-    entries = os.listdir(table_dir) if os.path.isdir(table_dir) else []
-    root_files = [
-        f for f in entries
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
-    ]
-    legacy_batches = _batches_manifest(table_dir) is None and any(
-        d.startswith("batch-") for d in entries
+    staged = os.path.join(
+        staging_root, f"{name}-{uuid.uuid4().hex}"
     )
-
-    def _root_rows() -> int:
-        """Footer-only row count of the root part files (no Spark
-        job). Provisioning (setup_warehouse) pins schemas with an
-        EMPTY root write — 0 rows blocks nothing: the files
-        contribute no data, so a manifest-committed snapshot can
-        coexist with them (they are GC'd post-commit). Root files
-        that HOLD rows force the legacy dir swap: leaving them
-        alongside a committed batch would double the data, and
-        removing them is not atomic with the manifest commit.
-        Unreadable → treated as data (conservative)."""
+    # Writer lease (ADVICE r11, medium): a snapshot commit racing a
+    # vacuum's [batch listing → manifest commit] window would have
+    # its replaced batches RESURRECTED — the vacuum's base (built
+    # from the pre-overwrite live set) lands next to the new
+    # snapshot batch and the stale rows reappear; the snapshot's
+    # post-commit GC also races the vacuum's lazy reads of those
+    # dirs. overwrite_rows is a full-table mutation like every
+    # other leased mutator — it takes the same lease.
+    with writer_lock(warehouse_dir, name):
         try:
-            import pyarrow.parquet as pq
-
-            return sum(
-                pq.ParquetFile(
-                    os.path.join(table_dir, f)
-                ).metadata.num_rows
-                for f in root_files
-            )
-        except Exception:  # noqa: BLE001 — conservative fallback
-            return -1
-
-    if _batches_manifest(table_dir) is not None or (
-        BATCH_MANIFEST_DEFAULT
-        and not legacy_batches
-        and (not root_files or _root_rows() == 0)
-    ):
-        staged = os.path.join(
-            staging_root, f"{name}-{uuid.uuid4().hex}"
-        )
-        # Writer lease (ADVICE r11, medium): a snapshot commit racing a
-        # vacuum's [batch listing → manifest commit] window would have
-        # its replaced batches RESURRECTED — the vacuum's base (built
-        # from the pre-overwrite live set) lands next to the new
-        # snapshot batch and the stale rows reappear; the snapshot's
-        # post-commit GC also races the vacuum's lazy reads of those
-        # dirs. overwrite_rows is a full-table mutation like every
-        # other leased mutator — it takes the same lease.
-        with writer_lock(warehouse_dir, name):
-            try:
-                df.write.mode("overwrite").parquet(staged)
-                os.makedirs(table_dir, exist_ok=True)
-                # Stamp `layout: snapshot` BEFORE the data commit
-                # (ADVICE r11, low): a crash between a committed
-                # single-batch manifest and the stamp would leave a
-                # snapshot table the row-DML refusal does not
-                # recognize, so a later DELETE/UPDATE/MERGE would be
-                # silently clobbered by the next rebuild. The stamp is
-                # idempotent and harmless if the commit then fails —
-                # DML merely refuses a table that is ABOUT to become a
-                # snapshot.
-                m = _manifest(warehouse_dir, name)
-                if m.get("layout") != "snapshot":
-                    m["layout"] = "snapshot"
-                    if "schema" not in m:
-                        m["schema"] = (
-                            WAREHOUSE_TABLES[name].jsonValue()
-                            if name in WAREHOUSE_TABLES
-                            else df.schema.jsonValue()
-                        )
-                    _publish_manifest(warehouse_dir, name, m)
-                with _manifest_lock(table_dir, name) as still_mine:
-                    batch_id = _fresh_batch_id()
-                    os.replace(
-                        staged, os.path.join(table_dir, f"batch-{batch_id}")
+            df.write.mode("overwrite").parquet(staged)
+            os.makedirs(table_dir, exist_ok=True)
+            # Stamp `layout: snapshot` BEFORE the data commit
+            # (ADVICE r11, low): a crash between a committed
+            # single-batch manifest and the stamp would leave a
+            # snapshot table the row-DML refusal does not
+            # recognize, so a later DELETE/UPDATE/MERGE would be
+            # silently clobbered by the next rebuild. The stamp is
+            # idempotent and harmless if the commit then fails —
+            # DML merely refuses a table that is ABOUT to become a
+            # snapshot.
+            m = _manifest(warehouse_dir, name)
+            if m.get("layout") != "snapshot":
+                m["layout"] = "snapshot"
+                if "schema" not in m:
+                    m["schema"] = (
+                        WAREHOUSE_TABLES[name].jsonValue()
+                        if name in WAREHOUSE_TABLES
+                        else df.schema.jsonValue()
                     )
-                    cur = _batches_manifest(table_dir) or {
-                        "generation": -1,
-                        "live": [],
-                    }
-                    _commit_batches(
-                        table_dir,
-                        name,
-                        [f"batch-{batch_id}"],
-                        cur["generation"] + 1,
-                        still_mine,
-                    )
-                    prev_live = cur["live"]
-                for b in prev_live:  # post-commit GC of the old snapshot
-                    shutil.rmtree(
-                        os.path.join(table_dir, b), ignore_errors=True
-                    )
-                for f in root_files:  # provisioning empties (0 rows)
+                _publish_manifest(warehouse_dir, name, m)
+            with _manifest_lock(table_dir, name) as still_mine:
+                cur = _batches_manifest(table_dir)
+                # r13 sunset: a LEGACY table (rename-layout batch
+                # dirs / plain root part files) migrates in this very
+                # commit — the gen-0 manifest names only the new
+                # snapshot, which IS the migration (everything it
+                # replaces becomes invisible at the same instant).
+                # The replaced-dir listing happens BEFORE the naming
+                # rename so the new snapshot can never list itself.
+                prev_dirs = (
+                    cur["live"]
+                    if cur is not None
+                    else [
+                        d
+                        for d in os.listdir(table_dir)
+                        if d.startswith("batch-")
+                    ]
+                )
+                gen = cur["generation"] if cur is not None else -1
+                batch_id = _fresh_batch_id()
+                os.replace(
+                    staged, os.path.join(table_dir, f"batch-{batch_id}")
+                )
+                _commit_batches(
+                    table_dir,
+                    name,
+                    [f"batch-{batch_id}"],
+                    gen + 1,
+                    still_mine,
+                )
+            for b in prev_dirs:  # post-commit GC of the old snapshot
+                shutil.rmtree(
+                    os.path.join(table_dir, b), ignore_errors=True
+                )
+            for f in os.listdir(table_dir):
+                # replaced root part files (plain-parquet legacy) and
+                # provisioning empties — invisible since the commit
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
                     try:
                         os.unlink(os.path.join(table_dir, f))
                     except OSError:
                         pass
-            finally:
-                if os.path.exists(staged):
-                    shutil.rmtree(staged, ignore_errors=True)
-        return
-    batch_id = uuid.uuid4().hex
-    staged = os.path.join(staging_root, f"{name}-{batch_id}")
-    old = os.path.join(staging_root, f"{name}-{batch_id}-old")
-    try:
-        df.write.mode("overwrite").parquet(staged)
-        manifest = os.path.join(table_dir, SCHEMA_MANIFEST)
-        if os.path.exists(manifest):
-            shutil.copyfile(manifest, os.path.join(staged, SCHEMA_MANIFEST))
-        _check_fence()  # abort a TTL-fenced writer before the swap
-        if os.path.exists(table_dir):
-            os.replace(table_dir, old)
-        try:
-            os.replace(staged, table_dir)
-        except BaseException:
-            if os.path.exists(old) and not os.path.exists(table_dir):
-                os.replace(old, table_dir)  # roll the old snapshot back
-            raise
-    finally:
-        for leftover in (staged, old):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover, ignore_errors=True)
+        finally:
+            if os.path.exists(staged):
+                shutil.rmtree(staged, ignore_errors=True)
 
 
 def _rewrite_matching_batches(
@@ -1079,13 +1047,15 @@ def _rewrite_matching_batches(
             "snapshot tables are rebuilt wholesale (overwrite_rows), "
             "not row-rewritten"
         )
-    # root-level part files (provisioning / overwrite_rows snapshots)
-    # are not batch-granular; matches there need a snapshot rebuild
+    # root-level part files are not batch-granular; matches there
+    # need a snapshot rebuild. Only a LEGACY (manifest-less) table
+    # counts them — under a manifest they are replaced/provisioning
+    # junk no reader resolves (read_table r13).
     root = [
         os.path.join(table_dir, f)
         for f in (os.listdir(table_dir) if os.path.isdir(table_dir) else [])
         if f.endswith(".parquet") and not f.startswith((".", "_"))
-    ]
+    ] if _batches_manifest(table_dir) is None else []
     if root:
         hit = (
             find_matches(_read_paths(spark, warehouse_dir, name, root))
@@ -1114,102 +1084,83 @@ def _rewrite_matching_batches(
         return {"batches_rewritten": 0, "rows_matched": 0, "_affected": []}
     staging_root = os.path.join(warehouse_dir, ".staging")
     os.makedirs(staging_root, exist_ok=True)
-    if _batches_manifest(table_dir) is not None:
-        # layout v2: every rewritten batch publishes under a fresh
-        # VERSIONED name (`.rw<8hex>` — same stamp prefix, same -vb
-        # suffix, same fold identity via batch_fold_id) while staying
-        # invisible, then ALL affected batches swap in ONE manifest
-        # commit. That makes row DML cross-batch ATOMIC — a reader
-        # sees the whole delete/update or none of it — which the
-        # rename layout's per-dir swap sequence could not express
-        # (its crash mid-sequence left the DML half-applied; re-run
-        # converged but readers could observe the partial state).
-        renames: list[tuple[str, str]] = []
-        committed = False
-        try:
-            for b in affected:
-                src = os.path.join(table_dir, b)
-                new_df = transform(
-                    read_batch_dirs(spark, warehouse_dir, name, [b])
-                )
-                staged = os.path.join(
-                    staging_root, f"{name}-rw-{uuid.uuid4().hex[:8]}"
-                )
-                try:
-                    new_df.write.mode("overwrite").parquet(staged)
-                    absorbed = os.path.join(src, ABSORBED_MANIFEST)
-                    if os.path.exists(absorbed):
-                        shutil.copyfile(
-                            absorbed,
-                            os.path.join(staged, ABSORBED_MANIFEST),
-                        )
-                    new_name = _bump_rw(b)
-                    os.replace(
-                        staged, os.path.join(table_dir, new_name)
-                    )  # invisible until the manifest commit
-                except BaseException:
-                    if os.path.exists(staged):
-                        shutil.rmtree(staged, ignore_errors=True)
-                    raise
-                renames.append((b, new_name))
-            with _manifest_lock(table_dir, name) as still_mine:
-                cur = _batches_manifest(table_dir)
-                olds = {o for o, _ in renames}
-                live = [x for x in cur["live"] if x not in olds]
-                live.extend(n for _, n in renames)
+    if _batches_manifest(table_dir) is None:
+        # r13 sunset: the legacy per-dir aside-swap branch is gone —
+        # a manifest-less table migrates FIRST (gen-0 manifest from
+        # the absorbed-filtered listing, under the naming lock), then
+        # the one atomic cross-batch rewrite below applies.
+        with _manifest_lock(table_dir, name) as still_mine:
+            if _batches_manifest(table_dir) is None:
                 _commit_batches(
-                    table_dir, name, live, cur["generation"] + 1, still_mine
+                    table_dir,
+                    name,
+                    list_batches(warehouse_dir, name),
+                    0,
+                    still_mine,
                 )
-            committed = True
-        finally:
-            if not committed:
-                # pre-commit fault: the versioned dirs were never
-                # live — remove them so the table is EXACTLY unchanged
-                for _, n in renames:
-                    shutil.rmtree(
-                        os.path.join(table_dir, n), ignore_errors=True
-                    )
-        for o, _ in renames:  # post-commit GC of the replaced versions
-            shutil.rmtree(os.path.join(table_dir, o), ignore_errors=True)
-        return {
-            "batches_rewritten": len(affected),
-            "rows_matched": rows_matched,
-            # the LIVE (post-rewrite, versioned) names — consumers
-            # re-reading the affected dirs (merge_rows' insert half)
-            # must read what the manifest now names
-            "_affected": sorted(n for _, n in renames),
-        }
-    for b in affected:
-        src = os.path.join(table_dir, b)
-        new_df = transform(
-            read_batch_dirs(spark, warehouse_dir, name, [b])
-        )
-        token = uuid.uuid4().hex[:8]
-        staged = os.path.join(staging_root, f"{name}-rw-{token}")
-        aside = f"{staged}-old"
-        try:
-            new_df.write.mode("overwrite").parquet(staged)
-            absorbed = os.path.join(src, ABSORBED_MANIFEST)
-            if os.path.exists(absorbed):
-                shutil.copyfile(
-                    absorbed, os.path.join(staged, ABSORBED_MANIFEST)
-                )
-            _check_fence()  # abort a TTL-fenced writer before the swap
-            os.replace(src, aside)
+    # layout v2: every rewritten batch publishes under a fresh
+    # VERSIONED name (`.rw<8hex>` — same stamp prefix, same -vb
+    # suffix, same fold identity via batch_fold_id) while staying
+    # invisible, then ALL affected batches swap in ONE manifest
+    # commit. That makes row DML cross-batch ATOMIC — a reader
+    # sees the whole delete/update or none of it — which the
+    # rename layout's per-dir swap sequence could not express
+    # (its crash mid-sequence left the DML half-applied; re-run
+    # converged but readers could observe the partial state).
+    renames: list[tuple[str, str]] = []
+    committed = False
+    try:
+        for b in affected:
+            src = os.path.join(table_dir, b)
+            new_df = transform(
+                read_batch_dirs(spark, warehouse_dir, name, [b])
+            )
+            staged = os.path.join(
+                staging_root, f"{name}-rw-{uuid.uuid4().hex[:8]}"
+            )
             try:
-                os.replace(staged, src)
+                new_df.write.mode("overwrite").parquet(staged)
+                absorbed = os.path.join(src, ABSORBED_MANIFEST)
+                if os.path.exists(absorbed):
+                    shutil.copyfile(
+                        absorbed,
+                        os.path.join(staged, ABSORBED_MANIFEST),
+                    )
+                new_name = _bump_rw(b)
+                os.replace(
+                    staged, os.path.join(table_dir, new_name)
+                )  # invisible until the manifest commit
             except BaseException:
-                if os.path.exists(aside) and not os.path.exists(src):
-                    os.replace(aside, src)  # roll the old batch back
+                if os.path.exists(staged):
+                    shutil.rmtree(staged, ignore_errors=True)
                 raise
-        finally:
-            for leftover in (staged, aside):
-                if os.path.exists(leftover):
-                    shutil.rmtree(leftover, ignore_errors=True)
+            renames.append((b, new_name))
+        with _manifest_lock(table_dir, name) as still_mine:
+            cur = _batches_manifest(table_dir)
+            olds = {o for o, _ in renames}
+            live = [x for x in cur["live"] if x not in olds]
+            live.extend(n for _, n in renames)
+            _commit_batches(
+                table_dir, name, live, cur["generation"] + 1, still_mine
+            )
+        committed = True
+    finally:
+        if not committed:
+            # pre-commit fault: the versioned dirs were never
+            # live — remove them so the table is EXACTLY unchanged
+            for _, n in renames:
+                shutil.rmtree(
+                    os.path.join(table_dir, n), ignore_errors=True
+                )
+    for o, _ in renames:  # post-commit GC of the replaced versions
+        shutil.rmtree(os.path.join(table_dir, o), ignore_errors=True)
     return {
         "batches_rewritten": len(affected),
         "rows_matched": rows_matched,
-        "_affected": affected,
+        # the LIVE (post-rewrite, versioned) names — consumers
+        # re-reading the affected dirs (merge_rows' insert half)
+        # must read what the manifest now names
+        "_affected": sorted(n for _, n in renames),
     }
 
 
@@ -2048,49 +1999,58 @@ def _merge_batches(
         with open(os.path.join(staged, ABSORBED_MANIFEST), "w") as fh:
             json.dump({"absorbed": sorted(set(absorbed))}, fh)
         _check_fence()  # abort a TTL-fenced vacuum before base publish
-        if _batches_manifest(table_dir) is not None:
-            # layout v2: the rename below only NAMES the base (still
-            # invisible — not in the manifest); the commit is the ONE
-            # manifest swap removing the absorbed dirs and adding the
-            # base. Appends landing between this vacuum's listing and
-            # its commit survive: the live set is re-read under the
-            # lock. A crash before the commit orphans the base
-            # (invisible, GC'd next vacuum); after it, the absorbed
-            # dirs are orphans (ditto) — readers are consistent at
-            # every instant from the manifest alone.
-            os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+        if _batches_manifest(table_dir) is None:
+            # r13 sunset: a manifest-less table migrates before the
+            # base commits (legacy rename-commit write branch gone)
             with _manifest_lock(table_dir, name) as still_mine:
-                cur = _batches_manifest(table_dir)
-                gone = set(old)
-                # ADVICE r12 abort guard: every batch this base
-                # absorbed must STILL be live at commit time. If any
-                # vanished (a snapshot overwrite / concurrent rewrite
-                # replaced them since our listing), appending the base
-                # would RESURRECT the absorbed rows next to the data
-                # that superseded them. The writer lease makes this
-                # unreachable for in-tree mutators (all are leased);
-                # the guard keeps the commit safe even against an
-                # out-of-tree writer, failing loudly instead.
-                missing = gone - set(cur["live"])
-                if missing:
-                    shutil.rmtree(
-                        os.path.join(table_dir, f"batch-{batch_id}"),
-                        ignore_errors=True,
+                if _batches_manifest(table_dir) is None:
+                    _commit_batches(
+                        table_dir,
+                        name,
+                        list_batches(warehouse_dir, name),
+                        0,
+                        still_mine,
                     )
-                    raise ConcurrentWriterError(
-                        f"table {name!r}: vacuum abort — absorbed "
-                        f"batches {sorted(missing)[:3]}… were replaced "
-                        "by a concurrent commit after this vacuum's "
-                        "listing; committing the merged base would "
-                        "resurrect superseded rows. Rerun the vacuum."
-                    )
-                live = [b for b in cur["live"] if b not in gone]
-                live.append(f"batch-{batch_id}")
-                _commit_batches(
-                    table_dir, name, live, cur["generation"] + 1, still_mine
+        # layout v2: the rename below only NAMES the base (still
+        # invisible — not in the manifest); the commit is the ONE
+        # manifest swap removing the absorbed dirs and adding the
+        # base. Appends landing between this vacuum's listing and
+        # its commit survive: the live set is re-read under the
+        # lock. A crash before the commit orphans the base
+        # (invisible, GC'd next vacuum); after it, the absorbed
+        # dirs are orphans (ditto) — readers are consistent at
+        # every instant from the manifest alone.
+        os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+        with _manifest_lock(table_dir, name) as still_mine:
+            cur = _batches_manifest(table_dir)
+            gone = set(old)
+            # ADVICE r12 abort guard: every batch this base
+            # absorbed must STILL be live at commit time. If any
+            # vanished (a snapshot overwrite / concurrent rewrite
+            # replaced them since our listing), appending the base
+            # would RESURRECT the absorbed rows next to the data
+            # that superseded them. The writer lease makes this
+            # unreachable for in-tree mutators (all are leased);
+            # the guard keeps the commit safe even against an
+            # out-of-tree writer, failing loudly instead.
+            missing = gone - set(cur["live"])
+            if missing:
+                shutil.rmtree(
+                    os.path.join(table_dir, f"batch-{batch_id}"),
+                    ignore_errors=True,
                 )
-        else:
-            os.replace(staged, os.path.join(table_dir, f"batch-{batch_id}"))
+                raise ConcurrentWriterError(
+                    f"table {name!r}: vacuum abort — absorbed "
+                    f"batches {sorted(missing)[:3]}… were replaced "
+                    "by a concurrent commit after this vacuum's "
+                    "listing; committing the merged base would "
+                    "resurrect superseded rows. Rerun the vacuum."
+                )
+            live = [b for b in cur["live"] if b not in gone]
+            live.append(f"batch-{batch_id}")
+            _commit_batches(
+                table_dir, name, live, cur["generation"] + 1, still_mine
+            )
         for b in old:
             shutil.rmtree(os.path.join(table_dir, b), ignore_errors=True)
     finally:
@@ -2238,10 +2198,18 @@ def warehouse_maintenance(
                 # the grace interval (one maintenance pass) elapsed
                 migrate_batch_manifest(warehouse_dir, name)
             else:
-                m["legacy_layout_noticed_ns"] = _publish_stamp_ns()
-                if "schema" not in m and name in WAREHOUSE_TABLES:
-                    m["schema"] = WAREHOUSE_TABLES[name].jsonValue()
-                _publish_manifest(warehouse_dir, name, m)
+                # ADVICE r12 (low): the sunset stamp is a schema-
+                # manifest read-modify-write — serialize it under the
+                # table's writer lease like every other one, so it
+                # cannot publish a stale manifest copy over a racing
+                # leased DDL's just-committed constraint/rename.
+                with writer_lock(warehouse_dir, name):
+                    m = _manifest(warehouse_dir, name)
+                    if not m.get("legacy_layout_noticed_ns"):
+                        m["legacy_layout_noticed_ns"] = _publish_stamp_ns()
+                        if "schema" not in m and name in WAREHOUSE_TABLES:
+                            m["schema"] = WAREHOUSE_TABLES[name].jsonValue()
+                        _publish_manifest(warehouse_dir, name, m)
         reclaimed[name] = vacuum_table(
             spark,
             warehouse_dir,

@@ -149,12 +149,15 @@ def near_dup_pairs_stream(
         dname = f"epoch-{epoch_id:012d}"
         dest = os.path.join(pairs_dir, dname)
         m = _epochs_manifest(pairs_dir)
-        legacy = m is None and os.path.isdir(pairs_dir) and any(
-            d.startswith("epoch-") for d in os.listdir(pairs_dir)
-        )
+        legacy_epochs = [
+            d
+            for d in (
+                os.listdir(pairs_dir) if os.path.isdir(pairs_dir) else []
+            )
+            if d.startswith("epoch-")
+        ] if m is None else []
         committed = (
-            dname in m["epochs"] if m is not None
-            else (legacy and os.path.isdir(dest))
+            dname in m["epochs"] if m is not None else dname in legacy_epochs
         )
         if committed:
             return  # replayed epoch: pairs already published
@@ -165,33 +168,45 @@ def near_dup_pairs_stream(
             pairs.select("vec_id_1", "vec_id_2", "cosine").write.mode(
                 "overwrite"
             ).parquet(staged)
-            if legacy:
-                os.replace(staged, dest)  # pre-manifest layout
-            else:
-                # layout v2: the rename only NAMES the epoch dir
-                # (invisible — readers resolve the manifest); the
-                # COMMIT is one pointer swap under the naming lock.
-                # A crashed attempt's orphan dir is clobbered so the
-                # checkpoint replay converges.
-                os.makedirs(pairs_dir, exist_ok=True)
-                with commit_provider.naming_lock(
-                    os.path.join(pairs_dir, ".lock-epochs"),
-                    f"pairs {pairs_dir!r} (epoch manifest)",
-                    EPOCHS_LOCK_TTL_S,
-                ):
-                    cur = _epochs_manifest(pairs_dir) or {
-                        "generation": -1, "epochs": [],
-                    }
-                    if dname in cur["epochs"]:
-                        return  # concurrent replay won
-                    if os.path.isdir(dest):
-                        shutil.rmtree(dest, ignore_errors=True)
-                    os.replace(staged, dest)
-                    _commit_epochs(
-                        pairs_dir,
-                        cur["epochs"] + [dname],
-                        cur["generation"] + 1,
-                    )
+            # The rename only NAMES the epoch dir (invisible — readers
+            # resolve the manifest); the COMMIT is one pointer swap
+            # under the naming lock. A crashed attempt's orphan dir is
+            # clobbered so the checkpoint replay converges. r13
+            # sunset: the legacy rename-commit write branch is gone —
+            # a pre-manifest pairs dir is migrated in this same locked
+            # commit (its epoch-dir listing IS the committed set).
+            os.makedirs(pairs_dir, exist_ok=True)
+            with commit_provider.naming_lock(
+                os.path.join(pairs_dir, ".lock-epochs"),
+                f"pairs {pairs_dir!r} (epoch manifest)",
+                EPOCHS_LOCK_TTL_S,
+            ):
+                cur = _epochs_manifest(pairs_dir)
+                if cur is None:
+                    listed = [
+                        d
+                        for d in os.listdir(pairs_dir)
+                        if d.startswith("epoch-")
+                    ]
+                    if listed:  # legacy migration folds into this commit
+                        cur = {"generation": -1, "epochs": listed}
+                    else:
+                        # fresh dir: bootstrap an empty gen-0 manifest
+                        # BEFORE the naming rename, so a crash between
+                        # rename and commit leaves a detectable orphan
+                        # (not a dir a retry mis-reads as legacy)
+                        _commit_epochs(pairs_dir, [], 0)
+                        cur = {"generation": 0, "epochs": []}
+                if dname in cur["epochs"]:
+                    return  # concurrent replay (or legacy commit) won
+                if os.path.isdir(dest):
+                    shutil.rmtree(dest, ignore_errors=True)
+                os.replace(staged, dest)
+                _commit_epochs(
+                    pairs_dir,
+                    cur["epochs"] + [dname],
+                    cur["generation"] + 1,
+                )
         finally:
             if os.path.exists(staged):
                 shutil.rmtree(staged, ignore_errors=True)

@@ -10,19 +10,23 @@ call mechanical with the same two-signal discipline BENCH_SCALE
 uses: a query is FLAGGED only when BOTH
 
 - driver ratio   = driver tail time this round / previous round, and
-- isolated ratio = a FRESH builder rerun (BENCH_DETAIL, start load
-  under 30% of cores; end load is bench-driven on every run and
-  carries no isolation signal) / the min of the BENCH_BEST history
-  window (the best the query has done recently — old fast samples
-  survive a drifting box)
+- isolated ratio = a FRESH builder rerun (BENCH_DETAIL — written
+  ONLY by SPARK_GRAFT_BENCH_ISOLATED=1 runs since r13, so the
+  driver's unattended run can no longer clobber it; start load must
+  be <= 1.0 ABSOLUTE — the old <30%-of-cores bar accepted a load-2.9
+  box; end load is bench-driven on every run and carries no
+  isolation signal) / the min of the BENCH_BEST history window (the
+  best the query has done recently — old fast samples survive a
+  drifting box)
 
 exceed the bar. A driver-only spike is box noise (CLEARED by
 isolated evidence); an isolated-only spike with a quiet driver tail
 is a one-off isolated run artifact (also cleared — the next round's
 min absorbs it); both together is a real regression. If BENCH_DETAIL
-is not isolated (the driver's own run overwrote it), the script says
-so and demands a fresh `python bench.py` on an idle box before
-adjudicating.
+is not isolated, the script says so and demands a fresh
+`SPARK_GRAFT_BENCH_ISOLATED=1 python bench.py` on an idle box before
+adjudicating. Driver runs write BENCH_DRIVER_* and are never read
+here as isolated evidence.
 
 Usage: python scripts/bench_adjudicate.py [N]  (default: newest
 BENCH_r*.json) — writes BENCH_ADJUDICATION.json. Regenerate each
@@ -70,14 +74,19 @@ def main() -> int:
     cpus = detail.get("cpus", 32)
     starts = detail.get("load_1m_start", 99)
     starts = starts if isinstance(starts, list) else [starts]
-    detail_isolated = all(s / cpus <= 0.3 for s in starts)
+    # r13: absolute bar (<= 1.0) + the run must self-identify as an
+    # isolated (builder) run — a driver artifact can't masquerade
+    detail_isolated = all(s <= 1.0 for s in starts) and detail.get(
+        "isolated_run_flag", True  # pre-r13 records carry no flag
+    )
     iso_t = detail.get("queries", {}) if detail_isolated else {}
     if not detail_isolated:
         print(
             "WARNING: BENCH_DETAIL.json is NOT an isolated run "
             f"(start load {starts} on {cpus} cores) — run "
-            "`python bench.py` on an idle box first; adjudicating "
-            "from the history window only."
+            "`SPARK_GRAFT_BENCH_ISOLATED=1 python bench.py` on an "
+            "idle box first; adjudicating from the history window "
+            "only."
         )
 
     queries: dict[str, dict] = {}

@@ -105,3 +105,47 @@ def test_driver_collects_stay_metadata_sized():
             over.append(f"{rel}: {n} > {cap}")
     assert unexpected == [], f"collect() in new files: {unexpected}"
     assert over == [], f"collect() count grew: {over}"
+
+
+# every os.replace call site in the engine, with its justification.
+# r13 (VERDICT r12 #1 done-condition): NO os.replace may make a
+# target reader-visible — a rename is either (a) inside
+# commit_provider itself (the local-FS form of the atomic pointer
+# PUT / rename-aside steal), (b) pure NAMING under a naming lock
+# (the dir stays invisible until a manifest/pointer commit), or
+# (c) a one-time read+migrate layout upgrade. Adding a rename
+# anywhere else must fail this pin and force a conscious review.
+REPLACE_ALLOW = {
+    # (a) the provider's own primitives
+    "sources/commit_provider.py": 2,   # swap_pointer tmp->path; steal aside
+    # (b) naming-only renames, commit = pointer swap
+    "sources/versioned_dir.py": 1,     # staged -> v-{gen} under _lock
+    "operators/index_segments.py": 2,  # publish_segment / commit_base naming
+    "operators/funnel_txn.py": 1,      # roll-forward naming (record = commit)
+    "streaming/near_dup_pairs.py": 1,  # epoch dir naming under .lock-epochs
+    "sources/sinks.py": 7,             # append/overwrite/DML-rw/merge-base
+                                       # naming under _manifest_lock (4 sites,
+                                       # one spanning 3 physical calls), plus
+                                       # (c) _migrate_legacy_partitions'
+                                       # one-time layout upgrade (3 calls)
+    # local build artifact (executor zip), not a data commit
+    "session.py": 1,
+}
+
+
+def test_no_reader_visible_os_replace_outside_the_seam():
+    unexpected, over = [], []
+    for rel, src in _engine_files():
+        n = len(re.findall(r"os\.replace\(", src))
+        if n == 0:
+            continue
+        cap = REPLACE_ALLOW.get(rel)
+        if cap is None:
+            unexpected.append(f"{rel}: {n}")
+        elif n > cap:
+            over.append(f"{rel}: {n} > {cap}")
+    assert unexpected == [], (
+        "os.replace in new files (route the commit through "
+        f"commit_provider / versioned_dir instead): {unexpected}"
+    )
+    assert over == [], f"os.replace count grew: {over}"

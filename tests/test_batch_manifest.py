@@ -63,6 +63,18 @@ def _manifest(wh):
         return json.load(fh)
 
 
+def _strip_manifest(w, name="cleaning_records"):
+    """Construct a legacy rename-layout table from a committed one:
+    deleting `_batches.json` leaves exactly the pre-r11 byte layout
+    (commit = dir presence, absorbed-filtered listing). r13 removed
+    the legacy WRITE path, so tests build legacy states this way —
+    only valid on tables whose live set equals the dir listing (pure
+    appends, or post-vacuum with leftovers stranded explicitly)."""
+    p = os.path.join(sinks.table_path(w, name), sinks.BATCHES_MANIFEST)
+    if os.path.exists(p):
+        os.unlink(p)
+
+
 def _rows(spark, wh):
     return sinks.read_table(spark, wh, "cleaning_records").count()
 
@@ -76,7 +88,10 @@ def test_new_table_bootstraps_manifest(spark, wh):
     for i in range(3):
         sinks.append_rows(_mk(spark, i), wh, "cleaning_records")
     m = _manifest(wh)
-    assert m["generation"] == 2
+    # r13: gen 0 is the fresh table's EMPTY bootstrap manifest
+    # (committed before the first naming rename — closes the pre-r13
+    # first-append degradation window); each append bumps by one
+    assert m["generation"] == 3
     assert len(m["live"]) == 3
     assert _rows(spark, wh) == 3
     assert sinks.describe_table(wh, "cleaning_records")["layout"] == (
@@ -122,7 +137,7 @@ def test_concurrent_appends_all_commit(spark, wh):
     assert errs == []
     m = _manifest(wh)
     assert len(m["live"]) == 6
-    assert m["generation"] == 5
+    assert m["generation"] == 6  # gen 0 = the empty bootstrap (r13)
     assert _rows(spark, wh) == 6
 
 
@@ -310,18 +325,18 @@ def test_corrupt_manifest_refuses_listing_fallback(spark, wh):
 # --------------------------------------------------------------- #
 
 
-@pytest.mark.parametrize("layout", ["rename", "manifest"])
-def test_core_flow_identical_on_both_layouts(
-    spark, tmp_path, monkeypatch, layout
-):
-    monkeypatch.setattr(
-        sinks, "BATCH_MANIFEST_DEFAULT", layout == "manifest"
-    )
+@pytest.mark.parametrize("layout", ["legacy", "manifest"])
+def test_core_flow_identical_on_both_layouts(spark, tmp_path, layout):
+    """Reads are identical on a legacy (pre-r11) table and a manifest
+    one; the first WRITE on a legacy table migrates it in place (r13
+    sunset) and the whole DML/vacuum flow proceeds on the manifest."""
     w = str(tmp_path / f"wh-{layout}")
     sinks.setup_warehouse(spark, w)
     stamps = []
     for i in range(5):
         sinks.append_rows(_mk(spark, i), w, "cleaning_records")
+        if layout == "legacy":
+            _strip_manifest(w)  # keep the table on the legacy listing
         stamps.append(
             int(
                 sinks._batch_ns_prefix(
@@ -348,6 +363,14 @@ def test_core_flow_identical_on_both_layouts(
     )
     assert res["rows_deleted"] == 1
     assert _rows(spark, w) == 4
+    # r13: the write refused to extend the legacy layout — it
+    # migrated first, so the manifest now governs on BOTH arms
+    assert os.path.exists(
+        os.path.join(
+            sinks.table_path(w, "cleaning_records"),
+            sinks.BATCHES_MANIFEST,
+        )
+    )
     assert sinks.vacuum_table(
         spark, w, "cleaning_records", retain_last_n=2
     ) == 3
@@ -367,13 +390,13 @@ def test_core_flow_identical_on_both_layouts(
 
 
 def test_migration_from_rename_layout(spark, tmp_path, monkeypatch):
-    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", False)
     w = str(tmp_path / "wh-mig")
     sinks.setup_warehouse(spark, w)
     for i in range(4):
         sinks.append_rows(_mk(spark, i), w, "cleaning_records")
     sinks.vacuum_table(spark, w, "cleaning_records", retain_last_n=2)
     td = sinks.table_path(w, "cleaning_records")
+    _strip_manifest(w)  # pre-r11 layout: base + retained batch dirs
     # strand a crashed-vacuum leftover: a dir named by the base's
     # absorbed manifest, back on disk
     base = next(
@@ -393,7 +416,6 @@ def test_migration_from_rename_layout(spark, tmp_path, monkeypatch):
     assert leftover not in sinks.list_batches(w, "cleaning_records")
     assert _rows(spark, w) == before_rows
     # post-migration appends commit through the manifest
-    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", True)
     sinks.append_rows(_mk(spark, 9), w, "cleaning_records")
     with open(os.path.join(td, sinks.BATCHES_MANIFEST)) as fh:
         m = json.load(fh)
@@ -466,12 +488,11 @@ def test_maintenance_migrates_whole_warehouse(spark, tmp_path, monkeypatch):
     path: every legacy batch-log table converts to the manifest
     layout in one maintenance window, reads unchanged; fresh or
     already-migrated tables are untouched (idempotent)."""
-    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", False)
     w = str(tmp_path / "wh-roll")
     sinks.setup_warehouse(spark, w)
     for i in range(3):
         sinks.append_rows(_mk(spark, i), w, "cleaning_records")
-    monkeypatch.setattr(sinks, "BATCH_MANIFEST_DEFAULT", True)
+    _strip_manifest(w)
     before = _rows(spark, w)
     sinks.warehouse_maintenance(spark, w, retain_last_n=24,
                                 migrate_layout=True)
@@ -679,14 +700,10 @@ def test_legacy_layout_sunset_grace_then_migrate(spark, tmp_path):
     (surfaced by describe_table.layout_sunset) and auto-migrated on
     the next; migrate_layout=False opts out permanently."""
     w = str(tmp_path / "wh")
-    default_before = sinks.BATCH_MANIFEST_DEFAULT
-    sinks.BATCH_MANIFEST_DEFAULT = False
-    try:
-        sinks.setup_warehouse(spark, w)
-        for i in range(2):
-            sinks.append_rows(_mk(spark, i), w, "cleaning_records")
-    finally:
-        sinks.BATCH_MANIFEST_DEFAULT = default_before
+    sinks.setup_warehouse(spark, w)
+    for i in range(2):
+        sinks.append_rows(_mk(spark, i), w, "cleaning_records")
+    _strip_manifest(w)
     d = sinks.describe_table(w, "cleaning_records")
     assert d["layout"] == "rename" and "pending" in d["layout_sunset"]
     # pass 1: notice stamped, still legacy
@@ -703,13 +720,9 @@ def test_legacy_layout_sunset_grace_then_migrate(spark, tmp_path):
 
 def test_legacy_layout_sunset_opt_out(spark, tmp_path):
     w = str(tmp_path / "wh")
-    default_before = sinks.BATCH_MANIFEST_DEFAULT
-    sinks.BATCH_MANIFEST_DEFAULT = False
-    try:
-        sinks.setup_warehouse(spark, w)
-        sinks.append_rows(_mk(spark, 1), w, "cleaning_records")
-    finally:
-        sinks.BATCH_MANIFEST_DEFAULT = default_before
+    sinks.setup_warehouse(spark, w)
+    sinks.append_rows(_mk(spark, 1), w, "cleaning_records")
+    _strip_manifest(w)
     for _ in range(3):
         sinks.warehouse_maintenance(
             spark, w, retain_last_n=24, migrate_layout=False

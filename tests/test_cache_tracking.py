@@ -21,7 +21,7 @@ def test_cross_query_caches_released(spark, sf_dir):
     with cache_tracking._LOCK:
         owned = [
             df
-            for owner, df in cache_tracking._CACHES
+            for owner, df, _h in cache_tracking._CACHES
             if owner == "q_near_dup_jaccard"
         ]
     assert owned, "q_near_dup_jaccard's kept persist must be tracked"
@@ -40,7 +40,7 @@ def test_same_query_warm_rerun_keeps_cache(spark, sf_dir):
     cache_tracking.release_all()
     _run(qs, "q_near_dup_jaccard", spark, sf_dir)
     with cache_tracking._LOCK:
-        first = [df for _, df in cache_tracking._CACHES]
+        first = [df for _, df, _h in cache_tracking._CACHES]
     assert first
     _run(qs, "q_near_dup_jaccard", spark, sf_dir)
     assert all(df.storageLevel.useMemory for df in first)
@@ -60,6 +60,6 @@ def test_iterative_queries_track_their_leaks(spark, sf_dir):
     _run(qs, "q_dup_groups", spark, sf_dir)
     # pagerank's caches were released when dup_groups began
     with cache_tracking._LOCK:
-        owners = {owner for owner, _ in cache_tracking._CACHES}
+        owners = {owner for owner, _, _h in cache_tracking._CACHES}
     assert owners <= {"q_dup_groups"}
     assert cache_tracking.release_all() > 0

@@ -42,7 +42,10 @@ def test_new_index_bootstraps_manifest(spark, tmp_path):
     update_minhash_index(spark, _docs(spark, range(5)), idx, batch_id="b0")
     update_minhash_index(spark, _docs(spark, range(5, 9)), idx, batch_id="b1")
     m = _manifest(idx)
-    assert m["generation"] == 1
+    # r13: gen 0 is the fresh index's EMPTY bootstrap manifest
+    # (committed before the first naming rename so a crash there
+    # leaves a detectable orphan); each publish then bumps by one
+    assert m["generation"] == 2
     assert sorted(m["batches"]) == ["batch-b0", "batch-b1"]
     base, batches = iseg.live_segments(idx)
     assert base is None and [os.path.basename(b) for b in batches] == [
@@ -167,27 +170,29 @@ def test_gc_spares_committed_but_unregistered_funnel_surface(
     assert len(iseg.live_segments(idx)[1]) == len(after)
 
 
-def test_legacy_layout_unchanged_and_migrates(spark, tmp_path, monkeypatch):
-    """With the default off, publishes stay rename-committed (no
-    manifest file); migrate_index_manifest upgrades in place without
-    promoting absorbed leftovers, and later publishes commit through
-    the manifest."""
+def test_legacy_layout_unchanged_and_migrates(spark, tmp_path):
+    """A pre-r12 rename-layout index (constructed by stripping the
+    manifest from a committed one — byte-identical: every dir's
+    content is the same, commit = dir presence) reads through the
+    absorbed-filtered listing; migrate_index_manifest upgrades in
+    place without promoting absorbed leftovers, and later publishes
+    commit through the manifest (r13: writes on a legacy index always
+    migrate first — the rename-commit write branch is gone)."""
     idx = str(tmp_path / "idx")
-    monkeypatch.setattr(iseg, "SEGMENTS_MANIFEST_DEFAULT", False)
     for i in range(3):
         update_minhash_index(
             spark, _docs(spark, range(4 * i, 4 * i + 4)), idx,
             batch_id=f"b{i}",
         )
+    compact_minhash_index(spark, idx)  # base committed; b* absorbed
+    os.unlink(os.path.join(idx, iseg.SEGMENTS_MANIFEST))  # -> legacy
     assert not os.path.exists(os.path.join(idx, iseg.SEGMENTS_MANIFEST))
-    compact_minhash_index(spark, idx)  # legacy base; b* dirs absorbed
-    # a crashed-vacuum leftover: absorbed dir still on disk (GC
-    # deferred) — migration must NOT promote it to live
+    # absorbed dirs still on disk (GC deferred) = the crashed-vacuum
+    # leftover state — migration must NOT promote them to live
     base, batches = iseg.live_segments(idx)
     assert base is not None and batches == []
     leftover = [d for d in os.listdir(idx) if d.startswith("batch-")]
     assert leftover  # absorbed dirs awaiting GC
-    monkeypatch.setattr(iseg, "SEGMENTS_MANIFEST_DEFAULT", True)
     gen = iseg.migrate_index_manifest(idx)
     assert gen == 0
     assert iseg.migrate_index_manifest(idx) == 0  # idempotent
@@ -242,14 +247,13 @@ def test_funnel_maintenance_migrates_legacy_index(spark, tmp_path, monkeypatch):
 
     state = str(tmp_path / "state")
     idx = os.path.join(state, "minhash")
-    monkeypatch.setattr(iseg, "SEGMENTS_MANIFEST_DEFAULT", False)
     for i in range(2):
         update_minhash_index(
             spark, _docs(spark, range(4 * i, 4 * i + 4)), idx,
             batch_id=f"b{i}",
         )
+    os.unlink(os.path.join(idx, iseg.SEGMENTS_MANIFEST))  # -> legacy
     assert not os.path.exists(os.path.join(idx, iseg.SEGMENTS_MANIFEST))
-    monkeypatch.setattr(iseg, "SEGMENTS_MANIFEST_DEFAULT", True)
     out = str(tmp_path / "out")
     merged = pipeline.funnel_maintenance(spark, state, out)
     assert os.path.exists(os.path.join(idx, iseg.SEGMENTS_MANIFEST))

@@ -344,13 +344,15 @@ def _clustered_emb(spark, offset_dim, id_base=0, n=150, seed=11):
 def test_rebuild_ivfpq_index_retrains_and_swaps_atomically(
     spark, tmp_path, monkeypatch
 ):
-    """VERDICT r5 #7: offline IVF-PQ refresh. Build on corpus v1,
-    drift to v2 (cluster peaks moved, new ids), rebuild — the probe
-    must serve v2 with retrained centroids/codebooks and pass the
-    approximation-ratio gate (>=0.7 of brute-force top-k quality).
-    The swap is one directory rename of the self-contained nested
-    index; an injected rename fault mid-swap must leave the OLD index
-    fully serving (rollback), with the retry converging."""
+    """VERDICT r5 #7 + r12 #1: offline IVF-PQ refresh. Build on corpus
+    v1, drift to v2 (cluster peaks moved, new ids), rebuild — the
+    probe must serve v2 with retrained centroids/codebooks and pass
+    the approximation-ratio gate (>=0.7 of brute-force top-k quality).
+    The COMMIT is one `_current.json` pointer swap through the
+    commit-provider seam; a crash at the former two-rename kill window
+    (staged named, pointer not yet swapped) must leave the OLD index
+    fully serving — the pre-r13 code left NO index visible there —
+    with the retry converging over the invisible orphan."""
     import os
 
     import pytest
@@ -358,14 +360,21 @@ def test_rebuild_ivfpq_index_retrains_and_swaps_atomically(
 
     from roborock_data_pipeline_spark.functions.arrays import cosine
     from roborock_data_pipeline_spark.operators import similarity as S
+    from roborock_data_pipeline_spark.sources import (
+        commit_provider,
+        versioned_dir,
+    )
 
     rows1, emb1 = _clustered_emb(spark, 0, id_base=0)
     rows2, emb2 = _clustered_emb(spark, 5, id_base=10_000, seed=13)
     idx = str(tmp_path / "ivfpq")
     S.write_ivfpq_index(emb1, idx)
-    # self-contained nested layout: no sibling metadata dirs
-    assert os.path.isdir(os.path.join(idx, "_centroids"))
-    assert os.path.isdir(os.path.join(idx, "_codebook"))
+    # self-contained nested layout inside the pointer-named version
+    # dir: no sibling metadata dirs
+    live1 = versioned_dir.resolve(idx)
+    assert live1 == os.path.join(idx, "v-000001")
+    assert os.path.isdir(os.path.join(live1, "_centroids"))
+    assert os.path.isdir(os.path.join(live1, "_codebook"))
     assert not os.path.isdir(idx + "_centroids")
 
     q1 = rows1[0][1]
@@ -373,22 +382,26 @@ def test_rebuild_ivfpq_index_retrains_and_swaps_atomically(
                                  exclude_vec_id=0).collect()
     assert [r["label"] for r in got1] == [0] * 5
 
-    # injected fault on the swap rename: old index must keep serving
-    real = os.replace
+    # crash at the commit point: the pointer swap for THIS index dies
+    # after the naming rename (the exact window that used to leave no
+    # index) — old index must keep serving, orphan invisible
+    real_swap = commit_provider.BACKEND.swap_pointer
     state = {"fired": False}
 
-    def bomb(src, dst, *a, **k):
-        if str(dst) == idx and not state["fired"]:
+    def bomb(path, data):
+        if path == os.path.join(idx, "_current.json") and not state["fired"]:
             state["fired"] = True
-            raise OSError("injected swap failure")
-        return real(src, dst, *a, **k)
+            raise OSError("injected commit crash")
+        return real_swap(path, data)
 
-    monkeypatch.setattr("os.replace", bomb)
+    monkeypatch.setattr(commit_provider.BACKEND, "swap_pointer", bomb)
     with pytest.raises(OSError, match="injected"):
         S.rebuild_ivfpq_index(spark, idx, emb2)
     monkeypatch.undo()
     assert state["fired"]
-    assert not os.listdir(os.path.join(str(tmp_path), ".staging"))
+    assert os.path.isdir(os.path.join(idx, "v-000002"))  # orphan, named
+    assert versioned_dir.resolve(idx) == live1  # ...but NOT live
+    assert not [d for d in os.listdir(idx) if d.startswith(".staging-")]
     still = S.ivfpq_probe_indexed(spark, idx, q1, k=5, nprobe=1, rerank=20,
                                   exclude_vec_id=0).collect()
     assert [(r["vec_id"], r["cosine"]) for r in still] == [

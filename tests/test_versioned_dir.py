@@ -1,0 +1,282 @@
+"""Versioned-directory publish (sources/versioned_dir) — the r13 seam
+closure for the three surfaces VERDICT r12 #1 named (IVF-PQ rebuild,
+semantic centroids, JSONL export) plus the lifetime gold snapshot.
+
+What these tests pin:
+- the COMMIT is one `_current.json` pointer swap; a crash at the
+  former two-rename kill window (staged named, pointer not swapped)
+  leaves the OLD version fully serving — the pre-r13 code left NO
+  directory visible there;
+- retries converge over the invisible orphan;
+- a lost ACKed PUT (FaultInjectingBackend) fails the publish whole;
+- legacy (pre-seam) roots stay readable and get one publish of GC
+  grace before their files are reclaimed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from roborock_data_pipeline_spark.sources import (
+    commit_provider as cp,
+    versioned_dir as vd,
+)
+
+
+def _write_marker(staged: str, tag: str) -> None:
+    with open(os.path.join(staged, "data.txt"), "w") as fh:
+        fh.write(tag)
+
+
+def _read_live(root: str) -> str:
+    live = vd.resolve(root)
+    assert live is not None
+    with open(os.path.join(live, "data.txt")) as fh:
+        return fh.read()
+
+
+def test_publish_resolve_roundtrip_and_grace(tmp_path):
+    root = str(tmp_path / "surface")
+    s1 = vd.staging_dir(root)
+    _write_marker(s1, "v1")
+    live1 = vd.publish(root, s1)
+    assert live1.endswith("v-000001")
+    assert _read_live(root) == "v1"
+    assert vd.generation(root) == 1
+
+    s2 = vd.staging_dir(root)
+    _write_marker(s2, "v2")
+    vd.publish(root, s2)
+    assert _read_live(root) == "v2"
+    # one publish of grace: v1 still on disk for in-flight readers
+    assert os.path.isdir(live1)
+
+    s3 = vd.staging_dir(root)
+    _write_marker(s3, "v3")
+    vd.publish(root, s3)
+    assert _read_live(root) == "v3"
+    assert not os.path.isdir(live1)  # grace elapsed, GC'd
+    assert os.path.isdir(os.path.join(root, "v-000002"))
+
+
+def test_crash_before_pointer_keeps_old_serving(tmp_path, monkeypatch):
+    """The exact window the pre-r13 two-rename swap turned into 'no
+    directory visible': staged content has been NAMED v-000002 but the
+    pointer swap dies. Old version must keep serving; the orphan is
+    invisible; the retry converges by clobbering it."""
+    root = str(tmp_path / "surface")
+    s1 = vd.staging_dir(root)
+    _write_marker(s1, "v1")
+    vd.publish(root, s1)
+
+    real = cp.BACKEND.swap_pointer
+    state = {"fired": False}
+
+    def bomb(path, data):
+        if path.endswith(vd.CURRENT_POINTER) and not state["fired"]:
+            state["fired"] = True
+            raise OSError("injected pointer crash")
+        return real(path, data)
+
+    monkeypatch.setattr(cp.BACKEND, "swap_pointer", bomb)
+    s2 = vd.staging_dir(root)
+    _write_marker(s2, "v2-crashed")
+    with pytest.raises(OSError, match="injected"):
+        vd.publish(root, s2)
+    monkeypatch.undo()
+    assert state["fired"]
+    assert os.path.isdir(os.path.join(root, "v-000002"))  # named orphan
+    assert _read_live(root) == "v1"  # ...but old still serves
+
+    s3 = vd.staging_dir(root)
+    _write_marker(s3, "v2-retry")
+    vd.publish(root, s3)  # clobbers the orphan, commits gen 2
+    assert _read_live(root) == "v2-retry"
+    assert vd.generation(root) == 2
+
+
+def test_lost_acked_put_fails_publish_whole(tmp_path, monkeypatch):
+    """Object-store mode: the pointer PUT is ACKed but never becomes
+    readable — commit_pointer's verified read-back must fail the
+    publish (CommitLostError) with the old version still live."""
+    root = str(tmp_path / "surface")
+    s1 = vd.staging_dir(root)
+    _write_marker(s1, "v1")
+    vd.publish(root, s1)
+    fb = cp.FaultInjectingBackend(lose_swaps_at={0})
+    monkeypatch.setattr(cp, "BACKEND", fb)
+    monkeypatch.setattr(cp, "_VERIFY_WAIT_S", 0.001)
+    s2 = vd.staging_dir(root)
+    _write_marker(s2, "v2")
+    with pytest.raises(cp.CommitLostError):
+        vd.publish(root, s2)
+    monkeypatch.setattr(cp, "BACKEND", cp.LocalFSBackend())
+    assert _read_live(root) == "v1"
+    # retry on a healthy backend converges
+    s3 = vd.staging_dir(root)
+    _write_marker(s3, "v2")
+    vd.publish(root, s3)
+    assert _read_live(root) == "v2"
+
+
+def test_legacy_root_readable_then_graced_out(tmp_path):
+    """A pre-seam root (data directly in the directory) resolves to
+    itself; the first versioned publish leaves the legacy files in
+    place (they are the grace holder), the second removes them."""
+    root = str(tmp_path / "surface")
+    os.makedirs(root)
+    with open(os.path.join(root, "data.txt"), "w") as fh:
+        fh.write("legacy")
+    assert vd.resolve(root) == root
+    assert vd.generation(root) is None
+
+    s1 = vd.staging_dir(root)
+    _write_marker(s1, "v1")
+    vd.publish(root, s1)
+    assert _read_live(root) == "v1"
+    assert os.path.exists(os.path.join(root, "data.txt"))  # grace
+
+    s2 = vd.staging_dir(root)
+    _write_marker(s2, "v2")
+    vd.publish(root, s2)
+    assert _read_live(root) == "v2"
+    assert not os.path.exists(os.path.join(root, "data.txt"))  # GC'd
+
+
+def test_corrupt_pointer_raises_loudly(tmp_path):
+    root = str(tmp_path / "surface")
+    s1 = vd.staging_dir(root)
+    _write_marker(s1, "v1")
+    vd.publish(root, s1)
+    with open(os.path.join(root, vd.CURRENT_POINTER), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt version pointer"):
+        vd.resolve(root)
+
+
+def test_pointer_naming_missing_dir_raises(tmp_path):
+    root = str(tmp_path / "surface")
+    s1 = vd.staging_dir(root)
+    _write_marker(s1, "v1")
+    live = vd.publish(root, s1)
+    import shutil
+
+    shutil.rmtree(live)
+    with pytest.raises(ValueError, match="missing"):
+        vd.resolve(root)
+
+
+def test_fresh_or_empty_root_resolves_none(tmp_path):
+    assert vd.resolve(str(tmp_path / "nope")) is None
+    root = str(tmp_path / "empty")
+    os.makedirs(root)
+    assert vd.resolve(root) is None
+    # staging leftovers alone are NOT data (crashed create detection)
+    vd.staging_dir(root)
+    assert vd.resolve(root) is None
+
+
+# ------------------------------------------------------------------ #
+# the three migrated surfaces end-to-end                              #
+# ------------------------------------------------------------------ #
+
+
+def test_export_crash_before_pointer_keeps_old(spark, sf_dir, tmp_path,
+                                               monkeypatch):
+    """export_jsonl_shards through the seam: a publish crash at the
+    former kill window leaves the previous export fully readable
+    (manifest + shards consistent), and the retry converges."""
+    from roborock_data_pipeline_spark.sources.export import (
+        export_jsonl_shards,
+        read_export,
+        read_manifest,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    m1 = export_jsonl_shards(docs, out, key_col="doc_id", n_shards=4)
+
+    real = cp.BACKEND.swap_pointer
+    state = {"fired": False}
+
+    def bomb(path, data):
+        if path == os.path.join(out, vd.CURRENT_POINTER) and not state["fired"]:
+            state["fired"] = True
+            raise OSError("injected export crash")
+        return real(path, data)
+
+    monkeypatch.setattr(cp.BACKEND, "swap_pointer", bomb)
+    with pytest.raises(OSError, match="injected"):
+        export_jsonl_shards(docs.limit(10), out, key_col="doc_id",
+                            n_shards=4)
+    monkeypatch.undo()
+    assert state["fired"]
+    # old export fully serving — manifest AND shard data
+    assert read_manifest(out) == m1
+    assert read_export(spark, out).count() == m1["total_rows"]
+    # retry converges
+    m2 = export_jsonl_shards(docs.limit(10), out, key_col="doc_id",
+                             n_shards=4)
+    assert m2["total_rows"] == 10
+    assert read_export(spark, out).count() == 10
+
+
+def test_semantic_centroids_crash_before_pointer(spark, sf_dir, tmp_path,
+                                                 monkeypatch):
+    """create_semantic_index centroids through the seam: a crashed
+    re-create leaves the COMMITTED centroids serving (probes see one
+    consistent generation); has_centroids treats a crashed first
+    create (staging only) as NOT created."""
+    from roborock_data_pipeline_spark.operators.incremental_semdedup import (
+        create_semantic_index,
+        has_centroids,
+        update_semantic_index,
+    )
+    from roborock_data_pipeline_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "sem")
+    croot = os.path.join(idx, "centroids")
+
+    # crashed FIRST create: pointer swap dies -> not created
+    real = cp.BACKEND.swap_pointer
+    state = {"fired": False}
+
+    def bomb(path, data):
+        if path == os.path.join(croot, vd.CURRENT_POINTER) and not state["fired"]:
+            state["fired"] = True
+            raise OSError("injected centroid crash")
+        return real(path, data)
+
+    monkeypatch.setattr(cp.BACKEND, "swap_pointer", bomb)
+    with pytest.raises(OSError, match="injected"):
+        create_semantic_index(spark, emb, idx)
+    monkeypatch.undo()
+    assert state["fired"]
+    assert not has_centroids(idx)  # crashed create reads as absent
+
+    # healthy create, then the index works end-to-end
+    create_semantic_index(spark, emb, idx)
+    assert has_centroids(idx)
+    pairs = update_semantic_index(
+        spark, emb.where("vec_id % 7 = 0"), idx, threshold=0.25,
+        batch_id="b1",
+    )
+    assert pairs.count() >= 0  # executes against committed centroids
+
+
+def test_versioned_pointer_is_sole_commit(tmp_path):
+    """The pointer file is tiny JSON naming exactly {generation, dir}
+    — the single object an object-store port must PUT atomically."""
+    root = str(tmp_path / "surface")
+    s1 = vd.staging_dir(root)
+    _write_marker(s1, "v1")
+    vd.publish(root, s1)
+    with open(os.path.join(root, vd.CURRENT_POINTER)) as fh:
+        m = json.load(fh)
+    assert set(m) == {"generation", "dir"}
+    assert m == {"generation": 1, "dir": "v-000001"}

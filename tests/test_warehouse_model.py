@@ -104,13 +104,28 @@ def _df_current_schema(spark, wh, rows9):
 def test_random_dml_interleavings_match_model(spark, start_legacy, ops):
     wh = tempfile.mkdtemp()
     sinks.setup_warehouse(spark, wh)
-    # r11: half the examples start on the legacy rename layout, so the
-    # sequences exercise legacy ops, v2 ops, AND the mid-sequence
-    # migration between them (the "migrate" op upgrades in place; on
-    # a v2-start table it is a no-op)
-    default_before = sinks.BATCH_MANIFEST_DEFAULT
-    sinks.BATCH_MANIFEST_DEFAULT = not start_legacy
     model: list[tuple] = []  # mirrors cleaning_records rows (base 9 cols)
+    # r13 sunset (VERDICT r12 #5): the legacy WRITE ops are gone from
+    # the alphabet — half the examples START from a legacy
+    # rename-layout table instead (a committed append with the
+    # manifest stripped, byte-identical to pre-r11), so the sequences
+    # exercise reads on the legacy listing plus the auto-migration the
+    # FIRST write performs, interleaved with the explicit "migrate"
+    # and tri-state "maintenance" ops.
+    if start_legacy:
+        import os as _os
+
+        seed = [_row(DEVICES[0], 1, 5, "seed")]
+        sinks.append_rows(
+            _df_current_schema(spark, wh, seed), wh, "cleaning_records"
+        )
+        model.extend(seed)
+        _os.unlink(
+            _os.path.join(
+                sinks.table_path(wh, "cleaning_records"),
+                sinks.BATCHES_MANIFEST,
+            )
+        )
     widened = False
     rename_n = 0  # clean_mode -> mode_v1 -> mode_v2 -> ...
     add_n = 0
@@ -170,7 +185,6 @@ def test_random_dml_interleavings_match_model(spark, start_legacy, ops):
                 )
             elif op[0] == "migrate":
                 sinks.migrate_batch_manifest(wh, "cleaning_records")
-                sinks.BATCH_MANIFEST_DEFAULT = True  # stay v2 after
             elif op[0] == "maintenance":
                 # default tri-state path: content must be preserved
                 # whether this pass stamps the sunset notice, performs
@@ -221,7 +235,6 @@ def test_random_dml_interleavings_match_model(spark, start_legacy, ops):
                 v is None for r in collected for v in r[9:]
             ), (op, ops)
     finally:
-        sinks.BATCH_MANIFEST_DEFAULT = default_before
         shutil.rmtree(wh, ignore_errors=True)
 
 
