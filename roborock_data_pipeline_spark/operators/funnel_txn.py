@@ -106,11 +106,10 @@ def finalize(record: str) -> None:
     surface onto its final path, then retire the record. Idempotent —
     safe to re-run after a crash at any point past the commit link,
     concurrently with another recovery of the same record."""
-    try:
-        with open(record) as fh:
-            rec = json.load(fh)
-    except FileNotFoundError:
+    raw = commit_provider.read_pointer(record)
+    if raw is None:
         return  # a concurrent recovery finished and retired it
+    rec = json.loads(raw)
     from roborock_data_pipeline_spark.operators.index_segments import (
         register_segment,
     )
@@ -144,10 +143,7 @@ def finalize(record: str) -> None:
         # the transaction's commit point; this pointer swap is the
         # per-surface roll-forward (idempotent, replayed by recovery)
         register_segment(parent, dname)
-    try:
-        os.unlink(record)
-    except FileNotFoundError:
-        pass
+    commit_provider.BACKEND.delete_pointer(record)
 
 
 def recover(out_dir: str) -> int:
@@ -156,15 +152,15 @@ def recover(out_dir: str) -> int:
     a crash mid-finalize heals at the next touch of the funnel.
     Returns the number of records finalized."""
     tdir = txn_dir(out_dir)
-    if not os.path.isdir(tdir):
-        return 0
-    # exact-shape match (ADVICE r12): only `commit-*.json` is a
-    # committed record — a staging temp (dot-prefixed by the commit
-    # provider, but be robust to any suffixed name) must NEVER be
-    # rolled forward as if its transaction reached the commit point
+    # seam-native listing (r13: the record store may be an object
+    # store, not a directory). Exact-shape match (ADVICE r12): only
+    # `commit-*.json` is a committed record — a staging temp
+    # (dot-prefixed by the commit provider, but be robust to any
+    # suffixed name) must NEVER be rolled forward as if its
+    # transaction reached the commit point
     records = sorted(
         f
-        for f in os.listdir(tdir)
+        for f in commit_provider.BACKEND.list_keys(tdir)
         if f.startswith(RECORD_PREFIX) and f.endswith(".json")
     )
     for f in records:

@@ -726,11 +726,15 @@ def fold_health(warehouse: str) -> dict[str, dict[str, object]]:
     }
 
 
-def warehouse_health(warehouse: str) -> dict[str, dict[str, object]]:
+def warehouse_health(
+    warehouse: str, funnel_state_dir: str | None = None
+) -> dict[str, dict[str, object]]:
     """One operator snapshot: describe_table per table (batch counts,
     retention, schema, lock holder/age/staleness) merged with the
-    fold-state signals — everything a 100 TB maintenance dashboard
-    polls, with zero Spark jobs."""
+    fold-state signals — and, when ``funnel_state_dir`` is given, the
+    index layer's ``funnel_health`` under ``_indexes`` (VERDICT r12
+    #8) — everything a 100 TB maintenance dashboard polls, with zero
+    Spark jobs."""
     report = sinks.describe_warehouse(warehouse)
     for t, f in fold_health(warehouse).items():
         report.setdefault(t, {}).update(
@@ -760,7 +764,27 @@ def warehouse_health(warehouse: str) -> dict[str, dict[str, object]]:
     if last:
         report["_blocked_pairs_regime"] = last
         report["_blocked_pairs_regime_history"] = history
+    if funnel_state_dir is not None:
+        report["_indexes"] = funnel_health(funnel_state_dir)
     return report
+
+
+def funnel_health(state_dir: str) -> dict[str, dict[str, object] | None]:
+    """Index-layer health (VERDICT r12 #8): describe_index over the
+    funnel's persisted indexes (MinHash / semantic / BM25) — layout +
+    generation, live segment counts, compaction age, GC backlog,
+    orphan count, centroid generation, legacy sunset notice. Pure
+    file reads, zero Spark jobs; merged into ``warehouse_health``
+    when it is called with ``funnel_state_dir``."""
+    from roborock_data_pipeline_spark.operators.index_segments import (
+        describe_index,
+    )
+
+    return {
+        name: describe_index(os.path.join(state_dir, name))
+        for name in ("minhash", "semantic", "bm25")
+        if os.path.isdir(os.path.join(state_dir, name))
+    } or {}
 
 
 def gold_maintenance(

@@ -63,11 +63,13 @@ class LeaseToken:
     identity proof (local FS: an fd pinning the lock file's inode,
     opened on the temp file BEFORE the hard link published it — the
     link shares the inode and the held fd blocks inode reuse, so a
-    steal+re-acquire at the same path can never read as ours)."""
+    steal+re-acquire at the same path can never read as ours; object
+    store: the conditional insert's version number in ``ident``)."""
 
     path: str
     holder: str
     fd: int | None = None
+    ident: int | None = None
 
     def close(self) -> None:
         """Drop the identity pin WITHOUT releasing (for permanent
@@ -161,6 +163,25 @@ class LocalFSBackend:
                 os.unlink(tmp)
             except OSError:
                 pass
+
+    # -- pointer namespace ops -------------------------------------- #
+
+    def list_keys(self, dir_path: str) -> list[str]:
+        """Names (not paths) of the pointer objects under one
+        directory/prefix — the object-store LIST-by-prefix analog.
+        Dot-prefixed staging temps are never real keys."""
+        try:
+            return sorted(
+                f for f in os.listdir(dir_path) if not f.startswith(".")
+            )
+        except FileNotFoundError:
+            return []
+
+    def delete_pointer(self, path: str) -> None:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
 
     # -- lease protocol -------------------------------------------- #
 
@@ -366,3 +387,161 @@ class FaultInjectingBackend(LocalFSBackend):
                 self._stale[path] = (old, left - 1)
             return old
         return super().read_pointer(path)
+
+
+class InMemoryObjectStoreBackend:
+    """A faithful in-memory model of an object store's commit
+    primitives — the DEPLOYMENT RECIPE made runnable (VERDICT r12 #4):
+    swapping ``BACKEND`` to (the production analog of) this class is
+    the entire port, and the lifecycle suites run against it to prove
+    the protocols never lean on anything POSIX-only.
+
+    Properties it deliberately does NOT have:
+
+    - **no rename**: pointers/locks live in a dict keyed by path; a
+      swap is one whole-object PUT, a lock acquire is one conditional
+      insert (If-None-Match), a steal is one conditional delete.
+      ``os.replace`` simply does not exist here — any engine code
+      path that still depended on it for a COMMIT would fail loudly.
+    - **bounded read staleness** (``stale_reads``): the first N
+      ``read_pointer`` calls after a swap serve the PRE-swap bytes,
+      modeling eventual consistency; ``commit_pointer``'s verified
+      read-back retry must absorb exactly this.
+    - **identity = version number**: each insert gets a monotonically
+      increasing id (the ETag/lock-version analog); ``is_mine`` /
+      ``steal`` verify it instead of an inode.
+
+    Data (parquet dirs) stays on the real filesystem on every
+    backend — only the commit instants route here, which is the whole
+    design claim: a deployment maps this class onto S3/GCS
+    conditional PUTs or a DynamoDB lock table and changes NOTHING
+    else. Enable for a test run with SPARK_GRAFT_COMMIT_BACKEND=memory
+    (tests/conftest.py swaps BACKEND session-wide).
+    """
+
+    name = "in-memory-object-store"
+
+    def __init__(self, stale_reads: int = 0):
+        import threading
+
+        self._objs: dict[str, bytes] = {}
+        self._ids: dict[str, int] = {}
+        self._mtimes: dict[str, float] = {}
+        self._stale: dict[str, tuple[bytes | None, int]] = {}
+        self._next = 0
+        self._stale_n = stale_reads
+        self._mu = threading.Lock()
+
+    # -- pointer commits ------------------------------------------ #
+
+    def swap_pointer(self, path: str, data: bytes) -> None:
+        with self._mu:
+            if self._stale_n:
+                self._stale[path] = (self._objs.get(path), self._stale_n)
+            self._next += 1
+            self._objs[path] = data
+            self._ids[path] = self._next
+            self._mtimes[path] = time.time()
+
+    def read_pointer(self, path: str) -> bytes | None:
+        with self._mu:
+            entry = self._stale.get(path)
+            if entry is not None:
+                old, left = entry
+                if left <= 1:
+                    del self._stale[path]
+                else:
+                    self._stale[path] = (old, left - 1)
+                return old
+            return self._objs.get(path)
+
+    # -- create-if-absent ------------------------------------------ #
+
+    def put_if_absent(self, path: str, data: bytes) -> LeaseToken | None:
+        with self._mu:
+            if path in self._objs:
+                return None
+            self._next += 1
+            self._objs[path] = data
+            self._ids[path] = self._next
+            self._mtimes[path] = time.time()
+            return LeaseToken(
+                path=path,
+                holder=data.decode("utf-8", "replace"),
+                ident=self._next,
+            )
+
+    # -- pointer namespace ops -------------------------------------- #
+
+    def list_keys(self, dir_path: str) -> list[str]:
+        prefix = dir_path.rstrip("/") + "/"
+        with self._mu:
+            return sorted(
+                k[len(prefix):]
+                for k in self._objs
+                if k.startswith(prefix) and "/" not in k[len(prefix):]
+            )
+
+    def delete_pointer(self, path: str) -> None:
+        with self._mu:
+            self._objs.pop(path, None)
+            self._ids.pop(path, None)
+            self._mtimes.pop(path, None)
+
+    # -- lease protocol -------------------------------------------- #
+
+    def is_mine(self, token: LeaseToken) -> bool:
+        with self._mu:
+            return self._ids.get(token.path) == token.ident
+
+    def heartbeat(self, token: LeaseToken) -> bool:
+        with self._mu:
+            if self._ids.get(token.path) != token.ident:
+                return False
+            self._mtimes[token.path] = time.time()
+            return True
+
+    def release(self, token: LeaseToken) -> None:
+        with self._mu:
+            if self._ids.get(token.path) == token.ident:
+                self._objs.pop(token.path, None)
+                self._ids.pop(token.path, None)
+                self._mtimes.pop(token.path, None)
+        token.close()
+
+    def inspect(self, path: str) -> LeaseInfo:
+        with self._mu:
+            if path not in self._objs:
+                return LeaseInfo(None, None, None)
+            return LeaseInfo(
+                holder=self._objs[path].decode("utf-8", "replace").strip(),
+                age_s=time.time() - self._mtimes[path],
+                identity=self._ids[path],
+            )
+
+    def steal(self, path: str, identity: int | None, name: str,
+              min_age_s: float = 0.0) -> None:
+        """Conditional delete: remove the lease only if it is STILL
+        the judged one (same version id, still silent past
+        ``min_age_s``) — the object-store form of the local backend's
+        identity+freshness-checked rename-aside."""
+        with self._mu:
+            cur = self._ids.get(path)
+            if cur is None:
+                raise ConcurrentWriterError(
+                    f"{name!r}: another writer took over the stale "
+                    "lock first; rerun if still needed"
+                )
+            fresh = (
+                min_age_s > 0
+                and time.time() - self._mtimes[path] < min_age_s
+            )
+            if identity is None or cur != identity or fresh:
+                raise ConcurrentWriterError(
+                    f"{name!r}: the stale lock was re-acquired (or its "
+                    "holder's heartbeat resumed) during this one's "
+                    "takeover attempt; rerun if still needed"
+                )
+            self._objs.pop(path, None)
+            self._ids.pop(path, None)
+            self._mtimes.pop(path, None)

@@ -100,10 +100,10 @@ def table_schema(warehouse_dir: str, name: str) -> T.StructType:
     read-with-explicit-schema semantics), exactly Delta/Iceberg's
     additive-evolution behavior."""
     p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    raw = commit_provider.read_pointer(p)
     try:
-        with open(p) as fh:
-            return T.StructType.fromJson(json.load(fh)["schema"])
-    except (OSError, ValueError, KeyError):
+        return T.StructType.fromJson(json.loads(raw)["schema"])
+    except (TypeError, ValueError, KeyError):
         return WAREHOUSE_TABLES[name]
 
 
@@ -131,19 +131,19 @@ def _write_schema_manifest(
 
 def _schema_version(warehouse_dir: str, name: str) -> int:
     p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    raw = commit_provider.read_pointer(p)
     try:
-        with open(p) as fh:
-            return int(json.load(fh)["version"])
-    except (OSError, ValueError, KeyError):
+        return int(json.loads(raw)["version"])
+    except (TypeError, ValueError, KeyError):
         return 0
 
 
 def _manifest(warehouse_dir: str, name: str) -> dict:
     p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
+    raw = commit_provider.read_pointer(p)
     try:
-        with open(p) as fh:
-            return json.load(fh)
-    except (OSError, ValueError):
+        return json.loads(raw)
+    except (TypeError, ValueError):
         return {}
 
 
@@ -352,7 +352,9 @@ def setup_warehouse(spark: SparkSession, warehouse_dir: str) -> None:
         path = table_path(warehouse_dir, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             spark.createDataFrame([], schema).write.mode("ignore").parquet(path)
-        if not os.path.exists(os.path.join(path, SCHEMA_MANIFEST)):
+        if commit_provider.read_pointer(
+            os.path.join(path, SCHEMA_MANIFEST)
+        ) is None:
             _write_schema_manifest(warehouse_dir, name, schema, 0)
 
 
@@ -403,7 +405,7 @@ def _fuse_constraints(
     non-nullable columns PRESENT in df are asserted (overwrite paths
     may publish projections); no-op for tables without a manifest."""
     p = os.path.join(table_path(warehouse_dir, name), SCHEMA_MANIFEST)
-    if not os.path.exists(p):
+    if commit_provider.read_pointer(p) is None:
         return df
     declared = {f.name: f for f in table_schema(warehouse_dir, name).fields}
     for c in df.columns:
@@ -523,12 +525,12 @@ def _batches_manifest(table_dir: str) -> dict | None:
     the directory listing would promote uncommitted orphan dirs to
     live data — worse than failing the read."""
     path = os.path.join(table_dir, BATCHES_MANIFEST)
-    try:
-        with open(path) as fh:
-            m = json.load(fh)
-        return {"generation": int(m["generation"]), "live": list(m["live"])}
-    except FileNotFoundError:
+    raw = commit_provider.read_pointer(path)
+    if raw is None:
         return None
+    try:
+        m = json.loads(raw)
+        return {"generation": int(m["generation"]), "live": list(m["live"])}
     except (ValueError, KeyError, TypeError) as exc:
         raise ValueError(
             f"corrupt batch manifest {path!r}: {exc} — refusing the "
@@ -635,7 +637,9 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
     commit log); the staged-rename is the HDFS-/local-FS-native form.
     """
     table_dir = table_path(warehouse_dir, name)
-    if os.path.exists(os.path.join(table_dir, SCHEMA_MANIFEST)):
+    if commit_provider.read_pointer(
+        os.path.join(table_dir, SCHEMA_MANIFEST)
+    ) is not None:
         # schema enforcement at the door (Delta-style): unknown
         # columns are refused (evolve first — add_table_column);
         # missing NULLABLE columns are filled with typed nulls so

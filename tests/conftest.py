@@ -9,6 +9,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# VERDICT r12 #4: the lifecycle suites run on BOTH commit backends.
+# SPARK_GRAFT_COMMIT_BACKEND=memory swaps the seam to the in-memory
+# object-store model (no rename, conditional PUTs, version-number
+# identity) for the whole session — the runnable form of the
+# deployment recipe ("swapping BACKEND is the entire port"). Tests
+# that are inherently local-FS-shaped (corrupting a pointer FILE on
+# disk, constructing a legacy rename layout, injecting os.replace
+# faults) declare it with the `local_fs_only` marker.
+_BACKEND = os.environ.get("SPARK_GRAFT_COMMIT_BACKEND", "local-fs")
+if _BACKEND == "memory":
+    from roborock_data_pipeline_spark.sources import commit_provider
+
+    commit_provider.BACKEND = commit_provider.InMemoryObjectStoreBackend(
+        stale_reads=1  # bounded eventual consistency on every read
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "local_fs_only(reason): test manipulates pointer FILES or the "
+        "legacy rename layout directly - meaningless on the in-memory "
+        "object-store backend",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if _BACKEND != "memory":
+        return
+    skip = pytest.mark.skip(
+        reason="local-FS-only (SPARK_GRAFT_COMMIT_BACKEND=memory)"
+    )
+    for item in items:
+        if item.get_closest_marker("local_fs_only"):
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -56,11 +56,12 @@ def wh(tmp_path, spark):
 
 
 def _manifest(wh):
+    from roborock_data_pipeline_spark.sources import commit_provider
+
     p = os.path.join(
         sinks.table_path(wh, "cleaning_records"), sinks.BATCHES_MANIFEST
     )
-    with open(p) as fh:
-        return json.load(fh)
+    return json.loads(commit_provider.read_pointer(p))
 
 
 def _strip_manifest(w, name="cleaning_records"):
@@ -292,6 +293,7 @@ def test_dml_rewrites_swap_in_one_commit(spark, wh):
     assert got == 6
 
 
+@pytest.mark.local_fs_only("manipulates the lock FILE/inode directly; the memory backend has version-id fencing covered in test_commit_provider")
 def test_manifest_lock_fence_blocks_stolen_holder(wh):
     td = sinks.table_path(wh, "cleaning_records")
     os.makedirs(td, exist_ok=True)
@@ -309,6 +311,7 @@ def test_manifest_lock_fence_blocks_stolen_holder(wh):
     os.unlink(lock)
 
 
+@pytest.mark.local_fs_only("corrupts the pointer FILE on disk; the memory backend cannot hold a torn object")
 def test_corrupt_manifest_refuses_listing_fallback(spark, wh):
     sinks.append_rows(_mk(spark, 1), wh, "cleaning_records")
     p = os.path.join(
@@ -325,7 +328,18 @@ def test_corrupt_manifest_refuses_listing_fallback(spark, wh):
 # --------------------------------------------------------------- #
 
 
-@pytest.mark.parametrize("layout", ["legacy", "manifest"])
+@pytest.mark.parametrize(
+    "layout",
+    [
+        pytest.param(
+            "legacy",
+            marks=pytest.mark.local_fs_only(
+                "legacy rename layout is a local-FS artifact"
+            ),
+        ),
+        "manifest",
+    ],
+)
 def test_core_flow_identical_on_both_layouts(spark, tmp_path, layout):
     """Reads are identical on a legacy (pre-r11) table and a manifest
     one; the first WRITE on a legacy table migrates it in place (r13
@@ -344,12 +358,14 @@ def test_core_flow_identical_on_both_layouts(spark, tmp_path, layout):
                 )
             )
         )
-    has_manifest = os.path.exists(
+    from roborock_data_pipeline_spark.sources import commit_provider
+
+    has_manifest = commit_provider.read_pointer(
         os.path.join(
             sinks.table_path(w, "cleaning_records"),
             sinks.BATCHES_MANIFEST,
         )
-    )
+    ) is not None
     assert has_manifest == (layout == "manifest")
     assert _rows(spark, w) == 5
     assert (
@@ -365,12 +381,12 @@ def test_core_flow_identical_on_both_layouts(spark, tmp_path, layout):
     assert _rows(spark, w) == 4
     # r13: the write refused to extend the legacy layout — it
     # migrated first, so the manifest now governs on BOTH arms
-    assert os.path.exists(
+    assert commit_provider.read_pointer(
         os.path.join(
             sinks.table_path(w, "cleaning_records"),
             sinks.BATCHES_MANIFEST,
         )
-    )
+    ) is not None
     assert sinks.vacuum_table(
         spark, w, "cleaning_records", retain_last_n=2
     ) == 3
@@ -389,6 +405,7 @@ def test_core_flow_identical_on_both_layouts(spark, tmp_path, layout):
 # --------------------------------------------------------------- #
 
 
+@pytest.mark.local_fs_only("legacy rename layout is a local-FS artifact (constructed by deleting the manifest file)")
 def test_migration_from_rename_layout(spark, tmp_path, monkeypatch):
     w = str(tmp_path / "wh-mig")
     sinks.setup_warehouse(spark, w)
@@ -417,8 +434,7 @@ def test_migration_from_rename_layout(spark, tmp_path, monkeypatch):
     assert _rows(spark, w) == before_rows
     # post-migration appends commit through the manifest
     sinks.append_rows(_mk(spark, 9), w, "cleaning_records")
-    with open(os.path.join(td, sinks.BATCHES_MANIFEST)) as fh:
-        m = json.load(fh)
+    m = _manifest(w)
     assert m["generation"] == 1
     assert _rows(spark, w) == before_rows + 1
 
@@ -483,6 +499,7 @@ def test_incremental_refresh_not_double_counted_by_dml(
     assert gold1 == gold0
 
 
+@pytest.mark.local_fs_only("legacy rename layout is a local-FS artifact")
 def test_maintenance_migrates_whole_warehouse(spark, tmp_path, monkeypatch):
     """warehouse_maintenance(migrate_layout=True) is the rollout
     path: every legacy batch-log table converts to the manifest
@@ -534,6 +551,7 @@ except Exception as e:  # noqa: BLE001
 """
 
 
+@pytest.mark.local_fs_only("cross-process SIGSTOP lease test; the in-memory backend is in-process by construction")
 def test_manifest_lock_sigstop_holder_cannot_commit(
     spark, wh, monkeypatch, tmp_path
 ):
@@ -647,10 +665,14 @@ def test_vacuum_aborts_when_absorbed_batches_replaced(spark, wh):
     # batch — the two the vacuum is about to absorb are no longer live
     m = _manifest(wh)
     survivor = [b for b in m["live"] if b not in old]
-    with open(os.path.join(td, sinks.BATCHES_MANIFEST), "w") as fh:
-        json.dump(
-            {"generation": m["generation"] + 1, "live": survivor}, fh
-        )
+    from roborock_data_pipeline_spark.sources import commit_provider
+
+    commit_provider.BACKEND.swap_pointer(
+        os.path.join(td, sinks.BATCHES_MANIFEST),
+        json.dumps(
+            {"generation": m["generation"] + 1, "live": survivor}
+        ).encode(),
+    )
     with pytest.raises(sinks.ConcurrentWriterError, match="resurrect"):
         sinks._merge_batches(spark, wh, "cleaning_records", old)
     after = _manifest(wh)
@@ -694,6 +716,7 @@ def test_snapshot_stamp_lands_before_data_commit(spark, wh, monkeypatch):
         sinks.delete_rows(spark, wh, "daily_summary", "1=1")
 
 
+@pytest.mark.local_fs_only("legacy rename layout is a local-FS artifact")
 def test_legacy_layout_sunset_grace_then_migrate(spark, tmp_path):
     """r12 sunset (VERDICT r11 #8): a legacy table met by DEFAULT
     maintenance is stamped with a sunset notice on the first pass
@@ -718,6 +741,7 @@ def test_legacy_layout_sunset_grace_then_migrate(spark, tmp_path):
     assert sinks.read_table(spark, w, "cleaning_records").count() == 2
 
 
+@pytest.mark.local_fs_only("legacy rename layout is a local-FS artifact")
 def test_legacy_layout_sunset_opt_out(spark, tmp_path):
     w = str(tmp_path / "wh")
     sinks.setup_warehouse(spark, w)

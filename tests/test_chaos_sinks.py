@@ -23,6 +23,17 @@ from pyspark.sql import types as T
 from roborock_data_pipeline_spark.sources.tables import load
 
 
+
+def _record_exists(out, batch_id):
+    """Backend-agnostic commit-record probe (the record store is the
+    commit seam, which may be the in-memory object store)."""
+    from roborock_data_pipeline_spark.operators import funnel_txn
+    from roborock_data_pipeline_spark.sources import commit_provider
+
+    return commit_provider.read_pointer(
+        funnel_txn.record_path(out, batch_id)
+    ) is not None
+
 def _fail_replace_once(monkeypatch, match: str) -> dict:
     """Patch os.replace to raise ONCE for destinations under `match`
     (everything else passes through — Spark's own JVM-side file ops
@@ -207,7 +218,7 @@ def test_curate_funnel_crash_mid_finalize_rolls_forward(
         pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
     assert state["fired"]
     monkeypatch.undo()
-    assert os.path.exists(funnel_txn.record_path(out, "b2")), (
+    assert _record_exists(out, "b2"), (
         "commit record must survive a crashed finalize"
     )
     visible = sorted(d for d in os.listdir(out) if d.startswith("batch-"))
@@ -219,7 +230,7 @@ def test_curate_funnel_crash_mid_finalize_rolls_forward(
     f2 = pipeline.mode_curate_stream(spark, d2, emb, state_dir, out, "b2")
     ctl2 = pipeline.mode_curate_stream(spark, d2, emb, ctl_state, ctl_out, "b2")
     assert f2 == ctl2
-    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    assert not _record_exists(out, "b2")
     assert _staging_empty(out)
     assert (
         pipeline.read_curated_stream(spark, out).count()
@@ -273,7 +284,7 @@ def test_curate_funnel_crash_after_commit_link_before_any_rename(
     monkeypatch.undo()
 
     # committed but not yet rolled forward: no surface visible
-    assert os.path.exists(funnel_txn.record_path(out, "b2"))
+    assert _record_exists(out, "b2")
     for surface in (
         os.path.join(state_dir, "minhash"),
         os.path.join(state_dir, "semantic"),
@@ -292,7 +303,7 @@ def test_curate_funnel_crash_after_commit_link_before_any_rename(
         out,
     ):
         assert "batch-b2" in _segments(surface), surface
-    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    assert not _record_exists(out, "b2")
     assert _staging_empty(out)
     kept = sorted(
         r["doc_id"]
@@ -336,7 +347,7 @@ def test_curate_funnel_crash_at_commit_link(
     assert state["fired"]
     monkeypatch.undo()
 
-    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    assert not _record_exists(out, "b2")
     for surface in (
         os.path.join(state_dir, "minhash"),
         os.path.join(state_dir, "semantic"),
@@ -393,7 +404,7 @@ def test_curate_funnel_crash_between_index_stages(spark, sf_dir, tmp_path,
     assert not os.path.isdir(os.path.join(state_dir, "minhash", "batch-b2"))
     assert not os.path.isdir(os.path.join(state_dir, "semantic", "batch-b2"))
     assert not os.path.isdir(os.path.join(out, "batch-b2"))
-    assert not os.path.exists(funnel_txn.record_path(out, "b2"))
+    assert not _record_exists(out, "b2")
     for surface in (os.path.join(state_dir, "minhash"),
                     os.path.join(state_dir, "semantic"), out):
         assert _staging_empty(surface), surface
@@ -490,14 +501,16 @@ def test_append_rows_rename_fault_then_retry(spark, tmp_path, monkeypatch):
 
 
 def test_gold_snapshot_swap_fault_rolls_old_back(spark, tmp_path, monkeypatch):
-    """Lifetime snapshot two-rename swap: a fault on the PUBLISH
-    rename (old already moved aside) must roll the old snapshot back
-    — readers see old-or-new, never a missing table — and the
-    un-advanced watermark makes the retry re-fold the same batches."""
+    """Lifetime snapshot publish (r13: one `_current.json` pointer
+    commit through the seam): a fault AT the commit point — the exact
+    window where the pre-r13 two-rename swap could leave NO table —
+    must leave the old snapshot fully serving, and the un-advanced
+    in-snapshot watermark makes the retry re-fold the same batches."""
     import datetime as dt
 
     from roborock_data_pipeline_spark import pipeline, schemas
-    from roborock_data_pipeline_spark.sources import sinks
+    from roborock_data_pipeline_spark.sources import commit_provider, sinks
+    from roborock_data_pipeline_spark.sources import versioned_dir as vd
 
     w = str(tmp_path)
     sinks.setup_warehouse(spark, w)
@@ -516,22 +529,24 @@ def test_gold_snapshot_swap_fault_rolls_old_back(spark, tmp_path, monkeypatch):
         schemas.CLEANING_RECORDS,
     )
     sinks.append_rows(df2, w, "cleaning_records")
-    # fail exactly the publish rename (dst == the live table dir);
-    # the move-aside rename has a .staging dst and passes through
+    # fail exactly the pointer commit for the lifetime table's
+    # `_current.json` (the new data dir is already NAMED but not live)
     table_dir = sinks.table_path(w, pipeline.LIFETIME_TABLE)
-    real = os.replace
+    pointer = os.path.join(table_dir, vd.CURRENT_POINTER)
+    real_swap = commit_provider.BACKEND.swap_pointer
     state = {"fired": False}
 
-    def bomb(src, dst, *a, **k):
-        if str(dst) == table_dir and not state["fired"] and ".staging" in str(src):
+    def bomb(path, data):
+        if path == pointer and not state["fired"]:
             state["fired"] = True
             raise OSError("injected failure on snapshot publish")
-        return real(src, dst, *a, **k)
+        return real_swap(path, data)
 
-    monkeypatch.setattr("os.replace", bomb)
+    monkeypatch.setattr(commit_provider.BACKEND, "swap_pointer", bomb)
     with pytest.raises(OSError, match="injected"):
         pipeline.refresh_device_lifetime(spark, w)
     monkeypatch.undo()
+    assert state["fired"]
     # old snapshot rolled back: readable, un-advanced
     assert sorted(pipeline.read_device_lifetime(spark, w).collect()) == before
     # retry folds the same batch and converges

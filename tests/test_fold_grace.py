@@ -187,8 +187,10 @@ def test_lifetime_refresh_folds_late_publish_without_double_count(
 ):
     _append(spark, warehouse, [_rec(1, "robo-a", 10.0, 20)])
     pipeline.refresh_device_lifetime(spark, warehouse)
+    # r13: the watermark lives INSIDE the pointer-resolved live
+    # snapshot version dir (data + watermark commit in one swap)
     wm_file = os.path.join(
-        sinks.table_path(warehouse, pipeline.LIFETIME_TABLE),
+        pipeline._lifetime_live(warehouse),
         pipeline.LIFETIME_WATERMARK,
     )
     with open(wm_file) as fh:
@@ -211,8 +213,10 @@ def test_lifetime_legacy_watermark_file_migrates(spark, warehouse):
     (whole band folded) and upgrades to JSON on the next refresh."""
     _append(spark, warehouse, [_rec(1, "robo-a", 10.0, 20)])
     pipeline.refresh_device_lifetime(spark, warehouse)
+    # r13: the watermark lives INSIDE the pointer-resolved live
+    # snapshot version dir (data + watermark commit in one swap)
     wm_file = os.path.join(
-        sinks.table_path(warehouse, pipeline.LIFETIME_TABLE),
+        pipeline._lifetime_live(warehouse),
         pipeline.LIFETIME_WATERMARK,
     )
     with open(wm_file) as fh:
@@ -224,6 +228,10 @@ def test_lifetime_legacy_watermark_file_migrates(spark, warehouse):
     assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "noop"
     _append(spark, warehouse, [_rec(2, "robo-a", 30.0, 40)])
     assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "delta"
+    # re-resolve: the delta refresh published a NEW snapshot version
+    wm_file = os.path.join(
+        pipeline._lifetime_live(warehouse), pipeline.LIFETIME_WATERMARK
+    )
     with open(wm_file) as fh:
         assert json.loads(fh.read())["folded"]  # upgraded format
     row = pipeline.read_device_lifetime(spark, warehouse).collect()[0]
@@ -312,8 +320,10 @@ def test_noop_refresh_records_proven_folded_base(spark, warehouse):
     assert base in pipeline._read_rollup_state(warehouse)["folded"]
 
     assert pipeline.refresh_device_lifetime(spark, warehouse)["mode"] == "noop"
+    # r13: the watermark lives INSIDE the pointer-resolved live
+    # snapshot version dir (data + watermark commit in one swap)
     wm_file = os.path.join(
-        sinks.table_path(warehouse, pipeline.LIFETIME_TABLE),
+        pipeline._lifetime_live(warehouse),
         pipeline.LIFETIME_WATERMARK,
     )
     with open(wm_file) as fh:

@@ -33,8 +33,13 @@ def _docs(spark, ids):
 
 
 def _manifest(idx):
-    with open(os.path.join(idx, iseg.SEGMENTS_MANIFEST)) as fh:
-        return json.load(fh)
+    from roborock_data_pipeline_spark.sources import commit_provider
+
+    return json.loads(
+        commit_provider.read_pointer(
+            os.path.join(idx, iseg.SEGMENTS_MANIFEST)
+        )
+    )
 
 
 def test_new_index_bootstraps_manifest(spark, tmp_path):
@@ -170,6 +175,7 @@ def test_gc_spares_committed_but_unregistered_funnel_surface(
     assert len(iseg.live_segments(idx)[1]) == len(after)
 
 
+@pytest.mark.local_fs_only("legacy rename layout is a local-FS artifact (constructed by deleting the manifest file)")
 def test_legacy_layout_unchanged_and_migrates(spark, tmp_path):
     """A pre-r12 rename-layout index (constructed by stripping the
     manifest from a committed one — byte-identical: every dir's
@@ -238,6 +244,7 @@ def test_epoch_sink_manifest(spark, tmp_path):
     assert got.count() == 1  # the orphan is invisible
 
 
+@pytest.mark.local_fs_only("legacy rename layout is a local-FS artifact")
 def test_funnel_maintenance_migrates_legacy_index(spark, tmp_path, monkeypatch):
     """The index twin of the warehouse sunset: a pre-r12 rename-layout
     index dir is upgraded to the manifest layout by the next
@@ -263,6 +270,7 @@ def test_funnel_maintenance_migrates_legacy_index(spark, tmp_path, monkeypatch):
     assert iseg.is_committed(idx, "b0")
 
 
+@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend; the memory backend gets the same faults natively via stale_reads")
 def test_index_publish_lost_put_fails_whole(spark, tmp_path, monkeypatch):
     """Object-store fault symmetry with the warehouse test: an index
     segment publish whose manifest PUT is ACKed but LOST fails whole
@@ -297,3 +305,57 @@ def test_index_publish_lost_put_fails_whole(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(cp, "BACKEND", cp.LocalFSBackend())
     assert iseg.is_committed(idx, "b2")
     assert len(_manifest(idx)["batches"]) == 3
+
+
+def test_describe_index_and_funnel_health(spark, tmp_path):
+    """VERDICT r12 #8: the index layer's metadata-only health surface.
+    describe_index reports layout/generation/live counts/GC backlog
+    without a Spark job; funnel_health aggregates the funnel's index
+    dirs; warehouse_health merges it under _indexes."""
+    from roborock_data_pipeline_spark import pipeline
+
+    state = str(tmp_path / "state")
+    idx = os.path.join(state, "minhash")
+    for i in range(3):
+        update_minhash_index(
+            spark, _docs(spark, range(4 * i, 4 * i + 4)), idx,
+            batch_id=f"b{i}",
+        )
+    d = iseg.describe_index(idx)
+    assert d["layout"] == "segments-manifest"
+    assert d["generation"] == 3  # empty bootstrap + 3 publishes
+    assert d["live_batches"] == 3 and d["base"] is None
+    assert d["gc_backlog_dirs"] == 0 and d["pending_or_orphan_dirs"] == 0
+    assert d["layout_sunset"] is None
+
+    compact_minhash_index(spark, idx)  # base commits; GC deferred
+    d = iseg.describe_index(idx)
+    assert d["base"] is not None and d["live_batches"] == 0
+    assert d["absorbed_in_base"] == 3
+    assert d["gc_backlog_dirs"] == 3  # absorbed dirs awaiting GC grace
+    assert d["base_age_s"] is not None and d["base_age_s"] >= 0
+
+    fh = pipeline.funnel_health(state)
+    assert set(fh) == {"minhash"}
+    assert fh["minhash"]["layout"] == "segments-manifest"
+    assert iseg.describe_index(str(tmp_path / "absent")) is None
+
+    # merged into the warehouse dashboard, still zero Spark jobs
+    from roborock_data_pipeline_spark.sources import sinks
+
+    w = str(tmp_path / "wh")
+    sinks.setup_warehouse(spark, w)
+    report = pipeline.warehouse_health(w, funnel_state_dir=state)
+    assert report["_indexes"]["minhash"]["layout"] == "segments-manifest"
+
+
+@pytest.mark.local_fs_only(
+    "legacy rename layout is a local-FS artifact"
+)
+def test_describe_index_surfaces_legacy_sunset(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    update_minhash_index(spark, _docs(spark, range(4)), idx, batch_id="b0")
+    os.unlink(os.path.join(idx, iseg.SEGMENTS_MANIFEST))
+    d = iseg.describe_index(idx)
+    assert d["layout"] == "rename" and "sunset" in d["layout_sunset"]
+    assert d["generation"] is None and d["live_batches"] == 1
