@@ -302,9 +302,14 @@ def main() -> None:
     n_ok = sum(1 for v in out.values() if v["ok"])
     report = {
         "base": args.base, "scaled": args.scaled,
-        "anchor": "every query DuckDB-oracle-matched at sf0.1 "
-                  "(CORRECTNESS_FULL.json); sf1 truth derived per "
-                  "method fields",
+        # r13 (VERDICT r12 #3): name the ACTUAL scale being checked
+        "anchor": (
+            "every query DuckDB-oracle-matched at sf0.1 "
+            "(CORRECTNESS_FULL.json); "
+            f"{os.path.basename(args.scaled.rstrip('/'))} truth "
+            "derived per method fields (replica factor "
+            f"{N_REP})"
+        ),
         "ok": n_ok, "total": len(out), "queries": out,
     }
     with open(args.out, "w") as fh:

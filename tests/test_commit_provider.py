@@ -188,3 +188,101 @@ def test_append_commit_lost_put_fails_whole_and_retries(
     sinks.vacuum_table(spark, wh, "cleaning_records", 99)
     on_disk = [d for d in os.listdir(td) if d.startswith("batch-")]
     assert set(on_disk) == live
+
+
+# ------------------------------------------------------------------ #
+# ADVICE r12 (medium): staging temps can never read as records        #
+# ------------------------------------------------------------------ #
+
+
+def test_crashed_put_temp_never_matches_record_listing(tmp_path):
+    """A put_if_absent staging temp is dot-prefixed: a writer killed
+    between the temp write and the link leaves NOTHING a prefix-based
+    record scan (funnel recover's `commit-*.json` listing) could
+    mistake for a committed transaction record — the pre-r13 naming
+    (`{path}.acq-<hex>`) matched `startswith('commit-')` and could
+    roll forward a transaction that never reached its commit point."""
+    from roborock_data_pipeline_spark.operators import funnel_txn
+
+    out = str(tmp_path / "out")
+    tdir = funnel_txn.txn_dir(out)
+    os.makedirs(tdir)
+    record = funnel_txn.record_path(out, "b1")
+
+    # simulate the kill: stage exactly as the provider does, no link
+    orig_link = os.link
+    staged_names = []
+
+    def no_link(src, dst):
+        staged_names.append(os.path.basename(src))
+        raise OSError(9999, "injected kill before link")
+
+    try:
+        os.link = no_link
+        with pytest.raises(OSError, match="injected"):
+            cp.BACKEND.put_if_absent(record, b"{}")
+    finally:
+        os.link = orig_link
+    assert staged_names and all(
+        n.startswith(".") for n in staged_names
+    ), staged_names
+    # the temp was unlinked even on the non-EEXIST failure (ADVICE
+    # r12: the old code leaked it), and recover sees zero records
+    assert os.listdir(tdir) == []
+    assert funnel_txn.recover(out) == 0
+
+    # a manually-stranded dot-temp (kill between write and unlink)
+    # is still invisible to recovery's exact-shape match
+    with open(os.path.join(tdir, ".acq-deadbeef-commit-b9.json"), "wb") as fh:
+        fh.write(b"{}")
+    assert funnel_txn.recover(out) == 0
+
+
+# ------------------------------------------------------------------ #
+# the in-memory object-store backend (VERDICT r12 #4)                 #
+# ------------------------------------------------------------------ #
+
+
+def test_memory_backend_full_lease_protocol():
+    b = cp.InMemoryObjectStoreBackend()
+    t = b.put_if_absent("/l/x", b"w1")
+    assert t is not None and b.is_mine(t)
+    assert b.put_if_absent("/l/x", b"w2") is None  # conditional insert
+    info = b.inspect("/l/x")
+    assert info.holder == "w1" and info.identity == t.ident
+    assert b.heartbeat(t)
+    # steal refuses a fresh lease (freshness bar)
+    with pytest.raises(cp.ConcurrentWriterError):
+        b.steal("/l/x", info.identity, "t", min_age_s=60.0)
+    # steal refuses a stale-identity judgment
+    with pytest.raises(cp.ConcurrentWriterError):
+        b.steal("/l/x", (info.identity or 0) + 99, "t")
+    # a correct judgment (no freshness bar) takes the lease
+    b.steal("/l/x", info.identity, "t")
+    assert b.inspect("/l/x").holder is None
+    assert not b.is_mine(t)
+    # release of a lost lease is a no-op, not an error
+    b.release(t)
+
+
+def test_memory_backend_staleness_absorbed_by_commit_pointer(monkeypatch):
+    b = cp.InMemoryObjectStoreBackend(stale_reads=2)
+    monkeypatch.setattr(cp, "BACKEND", b)
+    monkeypatch.setattr(cp, "_VERIFY_WAIT_S", 0.001)
+    cp.commit_pointer("/p/x", b"v1")  # retry absorbs the stale window
+    assert cp.read_pointer("/p/x") in (None, b"v1")  # may still be stale
+    assert b.read_pointer("/p/x") == b"v1"  # drained
+    cp.commit_pointer("/p/x", b"v2")
+    b.read_pointer("/p/x")  # drain
+    assert b.read_pointer("/p/x") == b"v2"
+
+
+def test_memory_backend_list_and_delete():
+    b = cp.InMemoryObjectStoreBackend()
+    b.swap_pointer("/t/_txn/commit-a.json", b"{}")
+    b.swap_pointer("/t/_txn/commit-b.json", b"{}")
+    b.swap_pointer("/t/_txn/nested/commit-c.json", b"{}")
+    assert b.list_keys("/t/_txn") == ["commit-a.json", "commit-b.json"]
+    b.delete_pointer("/t/_txn/commit-a.json")
+    assert b.list_keys("/t/_txn") == ["commit-b.json"]
+    assert b.list_keys("/t/absent") == []
