@@ -2384,6 +2384,18 @@ def _migrate_legacy_partitions(table_dir: str) -> dict[str, str]:
 
     def _walk(rel: str) -> None:
         full = os.path.join(table_dir, rel) if rel else table_dir
+        # r13: heal a crashed earlier attempt first — files stranded
+        # in an invisible `.mig-*` staging dir move BACK before this
+        # retry re-partitions, so a kill mid-move can never strand
+        # rows out of the retry's version segment
+        for e in os.listdir(full):
+            if e.startswith(".mig-"):
+                stray = os.path.join(full, e)
+                for f in os.listdir(stray):
+                    os.replace(
+                        os.path.join(stray, f), os.path.join(full, f)
+                    )
+                os.rmdir(stray)
         entries = os.listdir(full)
         part_dirs = [
             e for e in entries

@@ -123,11 +123,11 @@ REPLACE_ALLOW = {
     "operators/index_segments.py": 2,  # publish_segment / commit_base naming
     "operators/funnel_txn.py": 1,      # roll-forward naming (record = commit)
     "streaming/near_dup_pairs.py": 1,  # epoch dir naming under .lock-epochs
-    "sources/sinks.py": 7,             # append/overwrite/DML-rw/merge-base
-                                       # naming under _manifest_lock (4 sites,
-                                       # one spanning 3 physical calls), plus
-                                       # (c) _migrate_legacy_partitions'
-                                       # one-time layout upgrade (3 calls)
+    "sources/sinks.py": 8,             # append/overwrite/DML-rw/merge-base
+                                       # naming under _manifest_lock (4 sites),
+                                       # plus (c) _migrate_legacy_partitions'
+                                       # one-time layout upgrade (3 calls +
+                                       # the crashed-attempt heal move-back)
     # local build artifact (executor zip), not a data commit
     "session.py": 1,
 }
