@@ -133,6 +133,7 @@ def test_staleness_beyond_window_is_a_lost_commit(tmp_path, monkeypatch):
 # ------------------------------------------------------------------ #
 
 
+@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend against an FS warehouse; the memory backend models the same faults natively")
 def test_append_commit_lost_put_fails_whole_and_retries(
     spark, tmp_path, monkeypatch
 ):
@@ -195,6 +196,7 @@ def test_append_commit_lost_put_fails_whole_and_retries(
 # ------------------------------------------------------------------ #
 
 
+@pytest.mark.local_fs_only("pins the LocalFS put_if_absent staging-temp naming; the memory backend stages nothing on disk")
 def test_crashed_put_temp_never_matches_record_listing(tmp_path):
     """A put_if_absent staging temp is dot-prefixed: a writer killed
     between the temp write and the link leaves NOTHING a prefix-based

@@ -98,6 +98,7 @@ def test_crash_before_pointer_keeps_old_serving(tmp_path, monkeypatch):
     assert vd.generation(root) == 2
 
 
+@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend; the memory backend models lost PUTs natively")
 def test_lost_acked_put_fails_publish_whole(tmp_path, monkeypatch):
     """Object-store mode: the pointer PUT is ACKed but never becomes
     readable — commit_pointer's verified read-back must fail the
@@ -146,6 +147,7 @@ def test_legacy_root_readable_then_graced_out(tmp_path):
     assert not os.path.exists(os.path.join(root, "data.txt"))  # GC'd
 
 
+@pytest.mark.local_fs_only("corrupts the pointer FILE on disk")
 def test_corrupt_pointer_raises_loudly(tmp_path):
     root = str(tmp_path / "surface")
     s1 = vd.staging_dir(root)
@@ -276,7 +278,6 @@ def test_versioned_pointer_is_sole_commit(tmp_path):
     s1 = vd.staging_dir(root)
     _write_marker(s1, "v1")
     vd.publish(root, s1)
-    with open(os.path.join(root, vd.CURRENT_POINTER)) as fh:
-        m = json.load(fh)
+    m = json.loads(cp.read_pointer(os.path.join(root, vd.CURRENT_POINTER)))
     assert set(m) == {"generation", "dir"}
     assert m == {"generation": 1, "dir": "v-000001"}

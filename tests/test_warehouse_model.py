@@ -115,12 +115,15 @@ def test_random_dml_interleavings_match_model(spark, start_legacy, ops):
     if start_legacy:
         import os as _os
 
+        from roborock_data_pipeline_spark.sources import commit_provider
+
         seed = [_row(DEVICES[0], 1, 5, "seed")]
         sinks.append_rows(
             _df_current_schema(spark, wh, seed), wh, "cleaning_records"
         )
         model.extend(seed)
-        _os.unlink(
+        # strip via the seam so the construction works on any backend
+        commit_provider.BACKEND.delete_pointer(
             _os.path.join(
                 sinks.table_path(wh, "cleaning_records"),
                 sinks.BATCHES_MANIFEST,
