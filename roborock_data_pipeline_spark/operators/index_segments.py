@@ -63,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from roborock_data_pipeline_spark.sources import commit_provider
 from roborock_data_pipeline_spark.sources.commit_provider import (  # noqa: F401
@@ -530,9 +531,7 @@ def describe_index(index_dir: str) -> dict[str, object] | None:
     except OSError:
         st = None
     out["base_age_s"] = (
-        round(__import__("time").time() - st.st_mtime, 1)
-        if st is not None
-        else None
+        round(time.time() - st.st_mtime, 1) if st is not None else None
     )
     # semantic index: surface the frozen-centroid metadata generation
     croot = os.path.join(index_dir, "centroids")
