@@ -119,7 +119,29 @@ def generation(root: str) -> int | None:
 def publish(root: str, staged: str) -> str:
     """Commit ``staged`` as the new live version of ``root`` and
     return the live path. One pointer swap is the commit; superseded
-    versions get one publish of grace (module docstring)."""
+    versions get one publish of grace (module docstring).
+
+    The naming lock's contract is a MILLISECOND hold, but a version
+    dir can be arbitrarily large — so nothing slow runs inside it:
+    doomed dirs (a crashed attempt's orphan, grace-expired versions,
+    graced-out legacy dirs) are RENAMED to invisible ``.trash-*``
+    names under the lock (pure metadata) and bulk-deleted after
+    release. Deleting outside the lock is safe precisely BECAUSE of
+    the rename: a concurrent publish can never be touching a dir that
+    has already left the version namespace — deleting in place out
+    there would race the next publisher's freshly-named (not yet
+    committed) version dir. A kill between trash-rename and delete
+    leaves ``.trash-*`` orphans, swept by the next publish."""
+    trash: list[str] = []
+
+    def _to_trash(p: str) -> None:
+        t = os.path.join(root, f".trash-{uuid.uuid4().hex[:8]}")
+        try:
+            os.replace(p, t)
+            trash.append(t)
+        except OSError:
+            pass
+
     with _lock(root):
         m = _pointer(root)
         gen = (m["generation"] + 1) if m is not None else 1
@@ -128,43 +150,57 @@ def publish(root: str, staged: str) -> str:
         if os.path.isdir(dest):
             # a crashed publish's invisible orphan (named, never
             # committed — the pointer cannot name gen+1 yet)
-            shutil.rmtree(dest, ignore_errors=True)
+            _to_trash(dest)
         os.replace(staged, dest)  # pure naming: invisible until the swap
         commit_provider.commit_pointer(
             os.path.join(root, CURRENT_POINTER),
             json.dumps({"generation": gen, "dir": dname}).encode(),
         )
         prev = m["dir"] if m is not None else None
-        _gc(root, keep={dname, prev}, legacy_had_grace=prev is not None)
+        _gc_mark(
+            root,
+            keep={dname, prev},
+            legacy_had_grace=prev is not None,
+            to_trash=_to_trash,
+            trash=trash,
+        )
+    for t in trash:
+        if os.path.isdir(t):
+            shutil.rmtree(t, ignore_errors=True)
+        else:
+            try:
+                os.unlink(t)
+            except OSError:
+                pass
     return dest
 
 
-def _gc(root: str, keep: set, legacy_had_grace: bool) -> None:
-    """Remove superseded versions, dead staging orphans, and — once a
-    prior VERSIONED publish was the grace holder (the legacy files'
-    own grace window has passed) — the legacy root-level data files."""
+def _gc_mark(root: str, keep: set, legacy_had_grace: bool,
+             to_trash, trash: list[str]) -> None:
+    """Mark for removal (rename-to-trash, metadata-only): superseded
+    versions, dead staging orphans, a previous publish's undeleted
+    trash, and — once a prior VERSIONED publish was the grace holder
+    (the legacy files' own grace window has passed) — the legacy
+    root-level data files."""
     now = time.time()
     for d in os.listdir(root):
         p = os.path.join(root, d)
         if d.startswith("v-"):
             if d not in keep:
-                shutil.rmtree(p, ignore_errors=True)
+                to_trash(p)
+        elif d.startswith(".trash-"):
+            trash.append(p)  # a killed publish's undeleted trash
         elif d.startswith(".staging-"):
             try:
                 dead = now - os.stat(p).st_mtime > _STALE_STAGING_S
             except OSError:
                 dead = False
             if dead:
-                shutil.rmtree(p, ignore_errors=True)
+                to_trash(p)
         elif d == CURRENT_POINTER or d.startswith("."):
             continue
         elif legacy_had_grace:
             # pre-seam layout's data files, superseded for a full
-            # publish cycle by now
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
-            else:
-                try:
-                    os.unlink(p)
-                except OSError:
-                    pass
+            # publish cycle by now (files unlink after the lock too —
+            # one syscall each, but a legacy PARQUET DIR can be big)
+            to_trash(p)

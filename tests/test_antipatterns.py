@@ -119,7 +119,9 @@ REPLACE_ALLOW = {
     # (a) the provider's own primitives
     "sources/commit_provider.py": 2,   # swap_pointer tmp->path; steal aside
     # (b) naming-only renames, commit = pointer swap
-    "sources/versioned_dir.py": 1,     # staged -> v-{gen} under _lock
+    "sources/versioned_dir.py": 2,     # staged -> v-{gen} + the
+                                       # trash-rename (both invisible
+                                       # names, under _lock)
     "operators/index_segments.py": 2,  # publish_segment / commit_base naming
     "operators/funnel_txn.py": 1,      # roll-forward naming (record = commit)
     "streaming/near_dup_pairs.py": 1,  # epoch dir naming under .lock-epochs
