@@ -88,6 +88,33 @@ SEGMENTS_MANIFEST = "_segments.json"
 SEGMENTS_LOCK_TTL_S = 60.0
 
 
+def _trash_name(index_dir: str) -> str:
+    import uuid
+
+    return os.path.join(index_dir, f".trash-{uuid.uuid4().hex[:8]}")
+
+
+def _to_trash(p: str, trash: list[str]) -> None:
+    """Rename a doomed dir to an invisible `.trash-*` name — one
+    metadata op, so it can run inside the millisecond-contract naming
+    lock; the caller bulk-deletes AFTER releasing the lock (deleting
+    in place out there would race a concurrent writer's freshly-named
+    uncommitted dir; the rename removes it from the namespace first).
+    A kill before the delete leaves trash orphans swept by the next
+    GC/publish."""
+    t = _trash_name(os.path.dirname(p))
+    try:
+        os.replace(p, t)
+        trash.append(t)
+    except OSError:
+        pass
+
+
+def _empty_trash(trash: list[str]) -> None:
+    for t in trash:
+        shutil.rmtree(t, ignore_errors=True)
+
+
 def _seg_lock(index_dir: str):
     return commit_provider.naming_lock(
         os.path.join(index_dir, ".lock-segments"),
@@ -180,6 +207,7 @@ def publish_segment(staged: str, dest: str) -> None:
     is gone — new writes never extend a legacy layout)."""
     index_dir, dname = os.path.split(dest.rstrip(os.sep))
     os.makedirs(index_dir, exist_ok=True)
+    trash: list[str] = []
     with _seg_lock(index_dir):
         m = _manifest_or_migrate(index_dir)
         if dname in m["batches"] or dname == m["base"] or (
@@ -195,8 +223,9 @@ def publish_segment(staged: str, dest: str) -> None:
             )
         if os.path.isdir(dest):
             # a crashed same-id attempt's orphan (named, never
-            # committed): clobber it so the retry converges
-            shutil.rmtree(dest, ignore_errors=True)
+            # committed): clobber it so the retry converges — trash-
+            # renamed here (metadata-only), deleted after the lock
+            _to_trash(dest, trash)
         os.replace(staged, dest)
         if dname.startswith("base-"):
             _commit_segments(
@@ -209,6 +238,7 @@ def publish_segment(staged: str, dest: str) -> None:
                 m["batches"] + [dname],
                 m["generation"] + 1,
             )
+    _empty_trash(trash)
 
 
 def register_segment(index_dir: str, dname: str) -> None:
@@ -414,6 +444,7 @@ def commit_base(index_dir: str, staged: str, gen: int,
     dname = f"base-{gen:06d}"
     dest = os.path.join(index_dir, dname)
     absorbed_set = set(absorbed)
+    trash: list[str] = []
     with _seg_lock(index_dir):
         if next_base_gen(index_dir) != gen:
             raise ConcurrentWriterError(
@@ -423,7 +454,7 @@ def commit_base(index_dir: str, staged: str, gen: int,
             )
         m = _manifest_or_migrate(index_dir)
         if os.path.isdir(dest):
-            shutil.rmtree(dest, ignore_errors=True)  # crashed orphan
+            _to_trash(dest, trash)  # crashed orphan; deleted post-lock
         os.replace(staged, dest)
         _commit_segments(
             index_dir,
@@ -435,6 +466,7 @@ def commit_base(index_dir: str, staged: str, gen: int,
             ],
             m["generation"] + 1,
         )
+    _empty_trash(trash)
     return dest
 
 
@@ -455,9 +487,13 @@ def gc_superseded(index_dir: str) -> None:
     pointer swap] window in commit_base and rmtree a base that is
     milliseconds from being committed — the committed manifest would
     then name a deleted directory. The lock makes the sweep's view of
-    "not the live base" stable for its whole (milliseconds) run."""
+    "not the live base" stable — and the sweep itself stays
+    metadata-only (trash renames; the bulk deletes run AFTER the lock
+    releases, on dirs already outside the segment namespace), so GC
+    of many absorbed segments cannot hold the lock past its TTL."""
     if not os.path.isdir(index_dir):
         return
+    trash: list[str] = []
     with _seg_lock(index_dir):
         m = _segments_manifest(index_dir)
         base, _ = live_segments(index_dir)
@@ -471,10 +507,13 @@ def gc_superseded(index_dir: str) -> None:
         live = os.path.basename(base) if base is not None else None
         for d in os.listdir(index_dir):
             p = os.path.join(index_dir, d)
-            if d.startswith("base-") and d != live:
-                shutil.rmtree(p, ignore_errors=True)
+            if d.startswith(".trash-"):
+                trash.append(p)  # a killed actor's undeleted trash
+            elif d.startswith("base-") and d != live:
+                _to_trash(p, trash)
             elif d.startswith("batch-") and d[len("batch-"):] in absorbed:
-                shutil.rmtree(p, ignore_errors=True)
+                _to_trash(p, trash)
+    _empty_trash(trash)
 
 
 def describe_index(index_dir: str) -> dict[str, object] | None:

@@ -122,7 +122,7 @@ REPLACE_ALLOW = {
     "sources/versioned_dir.py": 2,     # staged -> v-{gen} + the
                                        # trash-rename (both invisible
                                        # names, under _lock)
-    "operators/index_segments.py": 2,  # publish_segment / commit_base naming
+    "operators/index_segments.py": 3,  # publish/commit_base naming + trash rename
     "operators/funnel_txn.py": 1,      # roll-forward naming (record = commit)
     "streaming/near_dup_pairs.py": 1,  # epoch dir naming under .lock-epochs
     "sources/sinks.py": 8,             # append/overwrite/DML-rw/merge-base
