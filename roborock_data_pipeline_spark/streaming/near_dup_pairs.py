@@ -176,6 +176,13 @@ def near_dup_pairs_stream(
             # a pre-manifest pairs dir is migrated in this same locked
             # commit (its epoch-dir listing IS the committed set).
             os.makedirs(pairs_dir, exist_ok=True)
+            for d in os.listdir(pairs_dir):
+                # sweep a killed epoch's undeleted trash (already out
+                # of the epoch namespace; concurrent rmtree is safe)
+                if d.startswith(".trash-"):
+                    shutil.rmtree(
+                        os.path.join(pairs_dir, d), ignore_errors=True
+                    )
             with commit_provider.naming_lock(
                 os.path.join(pairs_dir, ".lock-epochs"),
                 f"pairs {pairs_dir!r} (epoch manifest)",
@@ -200,13 +207,25 @@ def near_dup_pairs_stream(
                 if dname in cur["epochs"]:
                     return  # concurrent replay (or legacy commit) won
                 if os.path.isdir(dest):
-                    shutil.rmtree(dest, ignore_errors=True)
+                    # crashed attempt's orphan: trash-rename inside
+                    # the lock (metadata-only), delete after release
+                    orphan_trash = os.path.join(
+                        pairs_dir, f".trash-{uuid.uuid4().hex[:8]}"
+                    )
+                    try:
+                        os.replace(dest, orphan_trash)
+                    except OSError:
+                        orphan_trash = None
+                else:
+                    orphan_trash = None
                 os.replace(staged, dest)
                 _commit_epochs(
                     pairs_dir,
                     cur["epochs"] + [dname],
                     cur["generation"] + 1,
                 )
+            if orphan_trash is not None:
+                shutil.rmtree(orphan_trash, ignore_errors=True)
         finally:
             if os.path.exists(staged):
                 shutil.rmtree(staged, ignore_errors=True)

@@ -124,7 +124,7 @@ REPLACE_ALLOW = {
                                        # names, under _lock)
     "operators/index_segments.py": 3,  # publish/commit_base naming + trash rename
     "operators/funnel_txn.py": 1,      # roll-forward naming (record = commit)
-    "streaming/near_dup_pairs.py": 1,  # epoch dir naming under .lock-epochs
+    "streaming/near_dup_pairs.py": 2,  # epoch naming + trash rename
     "sources/sinks.py": 8,             # append/overwrite/DML-rw/merge-base
                                        # naming under _manifest_lock (4 sites),
                                        # plus (c) _migrate_legacy_partitions'
