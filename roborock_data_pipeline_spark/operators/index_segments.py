@@ -566,7 +566,11 @@ def describe_index(index_dir: str) -> dict[str, object] | None:
         ),
     }
     try:
-        st = os.stat(os.path.join(index_dir, base)) if base else None
+        # `base` is already index_dir-joined (live_segments returns
+        # full paths) — re-joining doubled the dir for relative
+        # index_dir paths and silently reported base_age_s None
+        # (ADVICE r13 low)
+        st = os.stat(base) if base else None
     except OSError:
         st = None
     out["base_age_s"] = (

@@ -540,6 +540,65 @@ def _batches_manifest(table_dir: str) -> dict | None:
         ) from exc
 
 
+def _root_data_files(table_dir: str) -> list[str]:
+    """Root-level part files of a table dir — the pre-r11
+    plain-parquet layout (provisioning empties or an old
+    overwrite_rows snapshot). Visible to readers ONLY while no batch
+    manifest exists."""
+    if not os.path.isdir(table_dir):
+        return []
+    return sorted(
+        f
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    )
+
+
+def _root_rows(table_dir: str) -> int:
+    """Footer row count over the table's root-level part files
+    (pyarrow metadata only — no data pages read). ADVICE r13 (high):
+    the instant the FIRST batch manifest commits, read_table stops
+    reading root files, so every first-manifest path must prove they
+    are row-free (provisioning empties) before committing — otherwise
+    a pre-r11 plain-parquet table that receives an append has its
+    root rows silently vanish from all subsequent reads. An
+    unreadable footer is treated as data-bearing and raises: guessing
+    "empty" here is exactly the silent loss this guard exists to
+    stop."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in _root_data_files(table_dir):
+        path = os.path.join(table_dir, f)
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception as exc:
+            raise ValueError(
+                f"unreadable root parquet file {path!r} while deciding "
+                "the first batch-manifest commit: committing would "
+                "silently exclude it from every read — inspect or "
+                f"remove the file first ({exc})"
+            ) from exc
+    return total
+
+
+def _refuse_root_rows(table_dir: str, name: str, verb: str) -> None:
+    """The first-manifest guard (ADVICE r13 high). Called INSIDE the
+    manifest lock by every path about to commit generation 0 on a
+    manifest-less table."""
+    n = _root_rows(table_dir)
+    if n > 0:
+        raise ValueError(
+            f"table {name!r} holds {n} row(s) in root-level part "
+            "files (plain-parquet legacy layout): committing a batch "
+            f"manifest during {verb} would silently drop them from "
+            "every subsequent read — migrate first with "
+            "migrate_root_file_table(spark, warehouse_dir, "
+            f"{name!r}), or rebuild the table via overwrite_rows "
+            "(both fold the root rows into a manifest-named batch)"
+        )
+
+
 @contextmanager
 def _manifest_lock(table_dir: str, name: str):
     """Serializes [stamp → naming rename → manifest swap] across every
@@ -614,8 +673,82 @@ def migrate_batch_manifest(warehouse_dir: str, name: str) -> int:
             m = _batches_manifest(table_dir)
             if m is not None:
                 return m["generation"]
+            # ADVICE r13 (high): same first-manifest guard as
+            # append_rows — a mixed legacy table (batch dirs AND
+            # data-bearing root files) must fold the root rows in via
+            # migrate_root_file_table, not drop them here
+            _refuse_root_rows(table_dir, name, "migrate_batch_manifest")
             live = list_batches(warehouse_dir, name)
             _commit_batches(table_dir, name, live, 0, still_mine)
+        return 0
+
+
+def migrate_root_file_table(
+    spark: SparkSession, warehouse_dir: str, name: str
+) -> int:
+    """Migrate a plain-parquet table — rows in root-level part files
+    (the pre-r11 provisioning/snapshot layout), possibly mixed with
+    legacy batch dirs — to the manifest layout WITHOUT losing the
+    root rows (ADVICE r13 high: the r13 layout sunset made every
+    first-manifest commit exclude root files, and the bootstrap /
+    migration paths never verified they were row-free; those paths
+    now refuse loudly, and this is the remedy the error names).
+
+    The whole legacy read set (root files + absorbed-filtered batch
+    dirs) is rewritten as ONE snapshot batch named by the gen-0
+    manifest, so the replaced files/dirs become invisible at the
+    commit instant — no window where both or neither count — and are
+    GC'd after. Idempotent: returns the current generation if a
+    manifest already exists. Linearization: every other first-commit
+    path refuses while root rows exist, so no new batch dir can
+    appear between this function's read and its commit; the in-lock
+    re-listing below keeps any that somehow did."""
+    table_dir = table_path(warehouse_dir, name)
+    with writer_lock(warehouse_dir, name):
+        m = _batches_manifest(table_dir)
+        if m is not None:
+            return m["generation"]
+        read_dirs = set(list_batches(warehouse_dir, name))
+        root_files = _root_data_files(table_dir)
+        df = read_table(spark, warehouse_dir, name)
+        staging_root = os.path.join(warehouse_dir, ".staging")
+        os.makedirs(staging_root, exist_ok=True)
+        staged = os.path.join(staging_root, f"{name}-{uuid.uuid4().hex}")
+        try:
+            df.write.mode("overwrite").parquet(staged)
+            with _manifest_lock(table_dir, name) as still_mine:
+                m = _batches_manifest(table_dir)
+                if m is not None:
+                    # lost the migration race to an overwrite_rows —
+                    # its commit already covered the legacy read set
+                    return m["generation"]
+                late = [
+                    d
+                    for d in list_batches(warehouse_dir, name)
+                    if d not in read_dirs
+                ]
+                batch_id = _fresh_batch_id()
+                os.replace(
+                    staged, os.path.join(table_dir, f"batch-{batch_id}")
+                )
+                _commit_batches(
+                    table_dir,
+                    name,
+                    [f"batch-{batch_id}"] + late,
+                    0,
+                    still_mine,
+                )
+        finally:
+            if os.path.exists(staged):
+                shutil.rmtree(staged, ignore_errors=True)
+        # post-commit GC: invisible since the manifest landed
+        for b in read_dirs:
+            shutil.rmtree(os.path.join(table_dir, b), ignore_errors=True)
+        for f in root_files:
+            try:
+                os.unlink(os.path.join(table_dir, f))
+            except OSError:
+                pass
         return 0
 
 
@@ -730,6 +863,11 @@ def append_rows(df: DataFrame, warehouse_dir: str, name: str) -> None:
         with _manifest_lock(table_dir, name) as still_mine:
             m = _batches_manifest(table_dir)
             if m is None:
+                # ADVICE r13 (high): the first manifest makes root
+                # part files stop being data — prove they are row-free
+                # (provisioning empties) before committing, else a
+                # pre-r11 plain-parquet table loses its rows here
+                _refuse_root_rows(table_dir, name, "append_rows")
                 if any(
                     d.startswith("batch-") for d in os.listdir(table_dir)
                 ):
@@ -1095,6 +1233,7 @@ def _rewrite_matching_batches(
         # the one atomic cross-batch rewrite below applies.
         with _manifest_lock(table_dir, name) as still_mine:
             if _batches_manifest(table_dir) is None:
+                _refuse_root_rows(table_dir, name, "row DML")
                 _commit_batches(
                     table_dir,
                     name,
@@ -2008,6 +2147,7 @@ def _merge_batches(
             # base commits (legacy rename-commit write branch gone)
             with _manifest_lock(table_dir, name) as still_mine:
                 if _batches_manifest(table_dir) is None:
+                    _refuse_root_rows(table_dir, name, "vacuum_table")
                     _commit_batches(
                         table_dir,
                         name,
@@ -2191,16 +2331,31 @@ def warehouse_maintenance(
         td = table_path(warehouse_dir, name)
         if not os.path.isdir(td):
             continue
-        legacy = _batches_manifest(td) is None and any(
-            d.startswith("batch-") for d in os.listdir(td)
+        # ADVICE r13 (high): a plain root-file table (rows in root
+        # part files, no batch dirs) is ALSO legacy — pre-r14
+        # maintenance never migrated it, and the first append would
+        # have dropped its root rows (now it refuses). Data-bearing
+        # root files route through migrate_root_file_table, which
+        # folds them into the gen-0 snapshot batch.
+        root_rows = 0 if _batches_manifest(td) is not None else _root_rows(td)
+        legacy = _batches_manifest(td) is None and (
+            root_rows > 0
+            or any(d.startswith("batch-") for d in os.listdir(td))
         )
+
+        def _migrate() -> None:
+            if root_rows > 0:
+                migrate_root_file_table(spark, warehouse_dir, name)
+            else:
+                migrate_batch_manifest(warehouse_dir, name)
+
         if legacy and migrate_layout is True:
-            migrate_batch_manifest(warehouse_dir, name)
+            _migrate()
         elif legacy and migrate_layout is None:
             m = _manifest(warehouse_dir, name)
             if m.get("legacy_layout_noticed_ns"):
                 # the grace interval (one maintenance pass) elapsed
-                migrate_batch_manifest(warehouse_dir, name)
+                _migrate()
             else:
                 # ADVICE r12 (low): the sunset stamp is a schema-
                 # manifest read-modify-write — serialize it under the
@@ -2214,6 +2369,13 @@ def warehouse_maintenance(
                         if "schema" not in m and name in WAREHOUSE_TABLES:
                             m["schema"] = WAREHOUSE_TABLES[name].jsonValue()
                         _publish_manifest(warehouse_dir, name, m)
+        if root_rows > 0 and _batches_manifest(td) is None:
+            # still in the sunset grace window (or migrate_layout is
+            # False): vacuum's migrate-first would refuse while root
+            # rows exist — leave the table untouched this pass rather
+            # than fail the whole maintenance run
+            reclaimed[name] = 0
+            continue
         reclaimed[name] = vacuum_table(
             spark,
             warehouse_dir,

@@ -349,6 +349,31 @@ def test_describe_index_and_funnel_health(spark, tmp_path):
     assert report["_indexes"]["minhash"]["layout"] == "segments-manifest"
 
 
+def test_describe_index_base_age_on_relative_dir(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 (low): live_segments returns index_dir-joined paths,
+    and describe_index re-joined them — doubling the dir for a
+    RELATIVE index_dir (idx/idx/base-...), so os.stat raised and
+    base_age_s silently reported None (a dashboard reads a missing
+    compaction-age signal as unknown). The absolute-path test above
+    never caught it because join() discards the first arg when the
+    second is absolute."""
+    idx = str(tmp_path / "relidx")  # build absolute (Spark's JVM cwd
+    # does not follow pytest's chdir), then DESCRIBE relative —
+    # describe_index is pure-Python metadata
+    for i in range(2):
+        update_minhash_index(
+            spark, _docs(spark, range(4 * i, 4 * i + 4)), idx,
+            batch_id=f"b{i}",
+        )
+    compact_minhash_index(spark, idx)
+    monkeypatch.chdir(tmp_path)
+    d = iseg.describe_index("relidx")
+    assert d["base"] is not None
+    assert d["base_age_s"] is not None and d["base_age_s"] >= 0
+
+
 @pytest.mark.local_fs_only(
     "legacy rename layout is a local-FS artifact"
 )
