@@ -209,6 +209,13 @@ def main() -> None:
     # (round-3 measured 8s vs 0.35s isolated for the same query).
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     times: dict[str, float] = {}
+    # In-run load series (VERDICT r13 #1): the r13 driver run's
+    # start/end endpoints (3.22 → 6.38) hid a mid-run co-tenant spike
+    # that inflated Python-worker-heavy queries 5-14x. Sampling the
+    # 1-minute loadavg after EVERY query makes contamination provable
+    # from the artifact alone: a clean run's series stays ~flat at
+    # the bench's own load; a contaminated one shows the intruder.
+    load_series: list[float] = []
     for name in HEADLINE:
         # isolate queries from each other's persisted data (minhash
         # postings, k-means working sets, pagerank iterations...):
@@ -225,6 +232,7 @@ def main() -> None:
             ).save()
             samples.append(time.perf_counter() - t0)
         times[name] = round(min(samples), 3)
+        load_series.append(round(os.getloadavg()[0], 2))
 
     # Self-policing regression gate (VERDICT r3 #3, re-based per
     # VERDICT r5 #3): diff against the MEDIAN of the last N committed
@@ -340,6 +348,12 @@ def main() -> None:
               "regressions": regressions,
               "load_1m_start": load_1m_start,
               "load_1m_end": round(os.getloadavg()[0], 2),
+              # one sample per headline query, in HEADLINE order —
+              # the in-run contamination record (r13 #1)
+              "load_1m_series": load_series,
+              "load_1m_max": round(
+                  max([load_1m_start] + load_series), 2
+              ),
               "cpus": cpus,
               # start load is the honest marker: the bench itself
               # drives the end load. r13 (VERDICT r12 #2): the bar is
@@ -359,6 +373,9 @@ def main() -> None:
                       "regressions": (regressions[:10]
                                       if regressions is not None else None),
                       "load_1m_start": load_1m_start,
+                      "load_1m_max": round(
+                          max([load_1m_start] + load_series), 2
+                      ),
                       "isolated_start": load_1m_start <= 1.0,
                       "detail": f"{prefix}_DETAIL.json"}))
     spark.stop()
