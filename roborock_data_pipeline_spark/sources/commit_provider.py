@@ -272,6 +272,31 @@ class LocalFSBackend:
             )
         os.unlink(aside)
 
+    def sweep_steal_litter(self, path: str, ttl_s: float) -> int:
+        """GC ``.stale-*`` asides left by steals that LOST their
+        restore race (VERDICT r13 #4: the ``FileExistsError`` branch
+        above strands the aside forever — dot-invisible to listings
+        but unbounded litter an object-store deployment pays for).
+        Judged by CTIME, not mtime: the rename-aside PRESERVES the
+        stale holder's last-heartbeat mtime (old by construction —
+        that is why it was judged stale), while ctime updates at the
+        rename itself, so ctime-age measures how long the aside has
+        existed. An in-flight steal's aside lives microseconds
+        between rename and restore/unlink; one silent past the lock's
+        own TTL is unambiguously dead."""
+        import glob as _glob
+
+        n = 0
+        now = time.time()
+        for aside in _glob.glob(path + ".stale-*"):
+            try:
+                if now - os.stat(aside).st_ctime > ttl_s:
+                    os.unlink(aside)
+                    n += 1
+            except OSError:
+                pass
+        return n
+
 
 BACKEND: LocalFSBackend = LocalFSBackend()
 
@@ -333,6 +358,13 @@ def naming_lock(lock_path: str, name: str, ttl_s: float):
             )
         time.sleep(0.005)
         token = BACKEND.put_if_absent(lock_path, pid)
+
+    # r14 (VERDICT r13 #4): each acquisition GCs TTL-aged `.stale-*`
+    # asides from steals that lost their restore race. Safe while
+    # holding the lock: no steal can be in flight against a
+    # heartbeat-fresh holder, and the ctime+TTL bar keeps any
+    # (impossible) in-flight aside untouched anyway.
+    BACKEND.sweep_steal_litter(lock_path, ttl_s)
 
     def _still_mine() -> bool:
         return BACKEND.is_mine(token)
@@ -421,7 +453,8 @@ class InMemoryObjectStoreBackend:
 
     name = "in-memory-object-store"
 
-    def __init__(self, stale_reads: int = 0):
+    def __init__(self, stale_reads: int = 0,
+                 lose_swaps_at: set[int] = frozenset()):
         import threading
 
         self._objs: dict[str, bytes] = {}
@@ -430,12 +463,25 @@ class InMemoryObjectStoreBackend:
         self._stale: dict[str, tuple[bytes | None, int]] = {}
         self._next = 0
         self._stale_n = stale_reads
+        # r14 (VERDICT r13 #5): the ACKed-lost-PUT mode on the
+        # rename-free backend — swap_pointer call indexes that are
+        # acknowledged but never applied, so the CommitLostError
+        # protocol paths (verified read-back, mutation-fails-whole)
+        # are exercised where os.replace does not exist at all.
+        self._lose_at = set(lose_swaps_at)
+        self._swap_calls = 0
+        self.lost: list[str] = []
         self._mu = threading.Lock()
 
     # -- pointer commits ------------------------------------------ #
 
     def swap_pointer(self, path: str, data: bytes) -> None:
         with self._mu:
+            idx = self._swap_calls
+            self._swap_calls += 1
+            if idx in self._lose_at:
+                self.lost.append(path)
+                return  # ACKed, never applied (lost PUT)
             if self._stale_n:
                 self._stale[path] = (self._objs.get(path), self._stale_n)
             self._next += 1
@@ -545,3 +591,23 @@ class InMemoryObjectStoreBackend:
             self._objs.pop(path, None)
             self._ids.pop(path, None)
             self._mtimes.pop(path, None)
+
+    def lose_next_swaps(self, offsets: set[int]) -> None:
+        """Arm the lost-PUT schedule RELATIVE to the current swap
+        count — lets a test provision its warehouse cleanly first and
+        then aim the faults at the op alphabet (the FS twin does the
+        same by swapping the backend in after setup)."""
+        with self._mu:
+            self._lose_at |= {self._swap_calls + int(o) for o in offsets}
+
+    def clear_faults(self) -> None:
+        """Model 'the store recovered': stop injecting, keep state."""
+        with self._mu:
+            self._lose_at.clear()
+            self._stale_n = 0
+            self._stale.clear()
+
+    def sweep_steal_litter(self, path: str, ttl_s: float) -> int:
+        """The object-store steal is ONE conditional delete — it
+        creates no aside, so there is no litter to sweep."""
+        return 0

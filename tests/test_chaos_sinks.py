@@ -598,3 +598,66 @@ def test_overwrite_rows_fault_rolls_old_back(spark, tmp_path, monkeypatch):
     sinks.overwrite_rows(two, w, "daily_summary")  # retry converges
     rows = sinks.read_table(spark, w, "daily_summary").collect()
     assert [r["date"] for r in rows] == ["2024-03-02"]
+
+
+def test_gold_snapshot_lost_put_on_memory_backend(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #5: the lifetime gold snapshot's `_current.json`
+    commit with an ACKed-BUT-LOST PUT on the RENAME-FREE backend (the
+    FaultInjecting twin is FS-based, so this protocol path was only
+    exercised rename-full). commit_pointer's verified read-back must
+    fail the refresh WHOLE (CommitLostError), the old snapshot must
+    keep serving, and the un-advanced in-snapshot watermark makes the
+    retry re-fold the same batch and converge."""
+    import datetime as dt
+
+    from roborock_data_pipeline_spark import pipeline, schemas
+    from roborock_data_pipeline_spark.sources import commit_provider as cp
+    from roborock_data_pipeline_spark.sources import sinks
+    from roborock_data_pipeline_spark.sources import versioned_dir as vd
+
+    b = cp.InMemoryObjectStoreBackend()
+    monkeypatch.setattr(cp, "BACKEND", b)
+    monkeypatch.setattr(cp, "_VERIFY_WAIT_S", 0.001)
+    w = str(tmp_path)
+    sinks.setup_warehouse(spark, w)
+    ts = dt.datetime(2024, 3, 1, 9)
+    df = spark.createDataFrame(
+        [(ts, "a", ts, 30.0, 10.0, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    sinks.append_rows(df, w, "cleaning_records")
+    pipeline.refresh_device_lifetime(spark, w)
+    before = sorted(pipeline.read_device_lifetime(spark, w).collect())
+
+    ts2 = dt.datetime(2024, 3, 2, 9)
+    df2 = spark.createDataFrame(
+        [(ts2, "a", ts2, 15.0, 5.5, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    sinks.append_rows(df2, w, "cleaning_records")
+    table_dir = sinks.table_path(w, pipeline.LIFETIME_TABLE)
+    pointer = os.path.join(table_dir, vd.CURRENT_POINTER)
+    real_swap = b.swap_pointer
+    state = {"fired": False}
+
+    def lossy(path, data):
+        if path == pointer and not state["fired"]:
+            state["fired"] = True
+            return  # ACKed, never applied — the lost-PUT mode
+        return real_swap(path, data)
+
+    monkeypatch.setattr(b, "swap_pointer", lossy)
+    with pytest.raises(cp.CommitLostError):
+        pipeline.refresh_device_lifetime(spark, w)
+    assert state["fired"]
+    # the lost commit failed the refresh WHOLE: old snapshot serving
+    assert sorted(pipeline.read_device_lifetime(spark, w).collect()) == before
+    # store recovered: the retry folds the same batch and converges
+    monkeypatch.setattr(b, "swap_pointer", real_swap)
+    out = pipeline.refresh_device_lifetime(spark, w)
+    assert out == {"new_batches": 1, "mode": "delta"}
+    got = {r["device_name"]: r["total_clean_count"]
+           for r in pipeline.read_device_lifetime(spark, w).collect()}
+    assert got == {"a": 2}

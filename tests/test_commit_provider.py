@@ -288,3 +288,68 @@ def test_memory_backend_list_and_delete():
     b.delete_pointer("/t/_txn/commit-a.json")
     assert b.list_keys("/t/_txn") == ["commit-b.json"]
     assert b.list_keys("/t/absent") == []
+
+
+def test_memory_backend_lost_put_raises_commit_lost(monkeypatch):
+    """VERDICT r13 #5: the ACKed-lost-PUT fault on the RENAME-FREE
+    backend — commit_pointer's verified read-back must surface
+    CommitLostError where os.replace does not exist at all."""
+    b = cp.InMemoryObjectStoreBackend()
+    monkeypatch.setattr(cp, "BACKEND", b)
+    monkeypatch.setattr(cp, "_VERIFY_WAIT_S", 0.001)
+    cp.commit_pointer("/p/x", b"v1")
+    b.lose_next_swaps({0})  # the NEXT swap is ACKed, never applied
+    with pytest.raises(cp.CommitLostError, match="lost"):
+        cp.commit_pointer("/p/x", b"v2")
+    assert b.lost == ["/p/x"]
+    # the store still serves the last committed state, and recovers
+    assert b.read_pointer("/p/x") == b"v1"
+    b.clear_faults()
+    cp.commit_pointer("/p/x", b"v2")
+    assert b.read_pointer("/p/x") == b"v2"
+
+
+@pytest.mark.local_fs_only(
+    "steal asides are a local-FS rename artifact; the memory "
+    "backend's steal is one conditional delete (sweep is a no-op)"
+)
+def test_naming_lock_sweeps_ttl_aged_steal_litter(tmp_path):
+    """VERDICT r13 #4: `.stale-*` asides stranded by a steal that
+    LOST its restore race are GC'd by the next naming-lock
+    acquisition — judged by ctime age vs the lock's TTL (the rename
+    preserves the stale holder's old mtime, so mtime can't tell an
+    in-flight aside from litter)."""
+    import time as _time
+
+    lock = str(tmp_path / ".lock-x")
+    litter = lock + ".stale-deadbeef"
+    with open(litter, "w") as fh:
+        fh.write("999 zombie")
+    _time.sleep(0.25)
+    young = lock + ".stale-cafef00d"
+    with open(young, "w") as fh:
+        fh.write("1000 in-flight")
+    with cp.naming_lock(lock, "t", 0.1):
+        pass
+    assert not os.path.exists(litter)  # ctime-aged past the TTL
+    assert os.path.exists(young)  # younger than the TTL: untouched
+
+
+@pytest.mark.local_fs_only(
+    "steal asides are a local-FS rename artifact"
+)
+def test_steal_litter_no_unbounded_accumulation(tmp_path):
+    """Stress the sweep: repeated lost-restore-race litter never
+    accumulates past one acquisition cycle."""
+    import time as _time
+
+    lock = str(tmp_path / ".lock-y")
+    for i in range(10):
+        with open(f"{lock}.stale-{i:08x}", "w") as fh:
+            fh.write(f"{i} zombie")
+    _time.sleep(0.25)
+    with cp.naming_lock(lock, "t", 0.1):
+        pass
+    import glob as g
+
+    assert g.glob(lock + ".stale-*") == []

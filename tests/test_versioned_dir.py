@@ -281,3 +281,111 @@ def test_versioned_pointer_is_sole_commit(tmp_path):
     m = json.loads(cp.read_pointer(os.path.join(root, vd.CURRENT_POINTER)))
     assert set(m) == {"generation", "dir"}
     assert m == {"generation": 1, "dir": "v-000001"}
+
+
+def test_staging_heartbeat_liveness(tmp_path):
+    """VERDICT r13 #2: staging liveness is the writer's HEARTBEAT,
+    not wall-clock since its last write. A slow-but-alive writer —
+    staging mtime aged far past the old bar, heartbeat fresh —
+    survives a concurrent publish; once the heartbeat goes silent
+    past the TTL the staging is swept."""
+    import time as _time
+
+    root = str(tmp_path / "surface")
+    slow = vd.staging_dir(root)
+    _write_marker(slow, "slow")
+    old = _time.time() - 2 * vd._STALE_STAGING_S
+    os.utime(slow, (old, old))  # hours since the last data file
+    vd._touch_heartbeat(slow)  # the live writer's thread keeps beating
+
+    s = vd.staging_dir(root)
+    _write_marker(s, "v1")
+    vd.publish(root, s)
+    assert os.path.isdir(slow), "live slow writer's staging was swept"
+
+    # the writer dies: heartbeat silent past the TTL -> swept
+    dead = _time.time() - 2 * vd._STAGING_TTL_S
+    os.utime(os.path.join(slow, vd._HEARTBEAT_FILE), (dead, dead))
+    s2 = vd.staging_dir(root)
+    _write_marker(s2, "v2")
+    vd.publish(root, s2)
+    assert not os.path.isdir(slow)
+
+
+def test_heartbeatless_staging_uses_conservative_mtime_bar(tmp_path):
+    """A pre-r14 orphan (no heartbeat file) keeps the old dir-mtime
+    bar: young -> kept, aged past _STALE_STAGING_S -> swept."""
+    import time as _time
+
+    root = str(tmp_path / "surface")
+    orphan = vd.staging_dir(root)
+    os.unlink(os.path.join(orphan, vd._HEARTBEAT_FILE))
+    s = vd.staging_dir(root)
+    _write_marker(s, "v1")
+    vd.publish(root, s)
+    assert os.path.isdir(orphan)  # young: not swept
+
+    old = _time.time() - 2 * vd._STALE_STAGING_S
+    os.utime(orphan, (old, old))
+    s2 = vd.staging_dir(root)
+    _write_marker(s2, "v2")
+    vd.publish(root, s2)
+    assert not os.path.isdir(orphan)
+
+
+def test_heartbeat_thread_refreshes_and_exits(tmp_path, monkeypatch):
+    import shutil
+    import time as _time
+
+    monkeypatch.setattr(vd, "_STAGING_HEARTBEAT_S", 0.05)
+    root = str(tmp_path / "surface")
+    s = vd.staging_dir(root)
+    hb = os.path.join(s, vd._HEARTBEAT_FILE)
+    t0 = os.stat(hb).st_mtime
+    deadline = _time.time() + 5
+    while os.stat(hb).st_mtime == t0 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert os.stat(hb).st_mtime > t0, "heartbeat thread never beat"
+    # thread exits on its own once the dir leaves the namespace
+    shutil.rmtree(s)
+    _time.sleep(0.2)
+    assert not os.path.exists(s)
+
+
+def test_published_version_carries_no_heartbeat(tmp_path):
+    root = str(tmp_path / "surface")
+    s = vd.staging_dir(root)
+    _write_marker(s, "v1")
+    live = vd.publish(root, s)
+    assert not os.path.exists(os.path.join(live, vd._HEARTBEAT_FILE))
+    assert _read_live(root) == "v1"
+
+
+def test_resolve_retries_pointer_on_missing_dir(tmp_path, monkeypatch):
+    """VERDICT r13 #3: between a reader's pointer read and its isdir
+    probe, two back-to-back publishes can trash-rename the version
+    the stale pointer named. resolve() must re-read the pointer once
+    and succeed; the raise is reserved for genuine out-of-band
+    deletion (pinned by test_pointer_naming_missing_dir_raises)."""
+    root = str(tmp_path / "surface")
+    for tag in ("v1", "v2", "v3"):
+        s = vd.staging_dir(root)
+        _write_marker(s, tag)
+        vd.publish(root, s)
+    # v-000001 is GC'd by now; serve a STALE pointer naming it on the
+    # first read, the real (current) pointer on the second
+    ptr = os.path.join(root, vd.CURRENT_POINTER)
+    real = cp.read_pointer(ptr)
+    stale = json.dumps({"generation": 1, "dir": "v-000001"}).encode()
+    seq = [stale]
+    orig = cp.read_pointer
+
+    def fake(path):
+        if path == ptr and seq:
+            return seq.pop(0)
+        return orig(path)
+
+    monkeypatch.setattr(cp, "read_pointer", fake)
+    live = vd.resolve(root)
+    assert live is not None and live.endswith("v-000003")
+    assert real == orig(ptr)  # the committed pointer was never touched

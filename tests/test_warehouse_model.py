@@ -271,6 +271,75 @@ _fault_ops = st.one_of(
 )
 
 
+def _drive_fault_schedule(spark, wh, ops):
+    """Shared op-alphabet driver for the fault-injection model tests
+    (FS and rename-free backends): apply ``ops`` against the real
+    warehouse AND the in-memory ``model``, absorbing CommitLostError
+    as mutation-failed-WHOLE (resync the model from the committed
+    state); assert read == model after every op. Returns (model,
+    n_lost)."""
+    from roborock_data_pipeline_spark.sources import commit_provider as cp
+
+    model: list[tuple] = []
+    cons_n = 0
+    n_lost = 0
+    for op in ops:
+        try:
+            if op[0] == "append":
+                rows = [_row(d, day, a, "ok") for d, day, a in op[1]]
+                sinks.append_rows(
+                    _df_current_schema(spark, wh, rows),
+                    wh, "cleaning_records",
+                )
+                model.extend(rows)
+            elif op[0] == "delete":
+                sinks.delete_rows(
+                    spark, wh, "cleaning_records",
+                    f"device_name = '{op[1]}'",
+                )
+                model = [r for r in model if r[1] != op[1]]
+            elif op[0] == "update":
+                sinks.update_rows(
+                    spark, wh, "cleaning_records",
+                    f"device_name = '{op[1]}'",
+                    {"area_sqm": str(float(op[2]))},
+                )
+                model = [
+                    r if r[1] != op[1]
+                    else r[:4] + (float(op[2]),) + r[5:]
+                    for r in model
+                ]
+            elif op[0] == "vacuum":
+                sinks.vacuum_table(spark, wh, "cleaning_records", op[1])
+            elif op[0] == "add_constraint":
+                cons_n += 1
+                sinks.add_table_constraint(
+                    wh, "cleaning_records", f"c_{cons_n}",
+                    "area_sqm IS NULL OR area_sqm >= 0",
+                )
+        except cp.CommitLostError:
+            # the mutation failed WHOLE: resync the model to the
+            # last committed state; everything after must proceed
+            # from it (locks released, manifests readable)
+            n_lost += 1
+            model = [
+                tuple(r)[:9]
+                for r in sinks.read_table(
+                    spark, wh, "cleaning_records"
+                ).collect()
+            ]
+            if op[0] == "add_constraint":
+                cons_n -= 1
+        got = sorted(
+            _key(tuple(r))
+            for r in sinks.read_table(
+                spark, wh, "cleaning_records"
+            ).collect()
+        )
+        assert got == sorted(_key(r) for r in model), (op, ops)
+    return model, n_lost
+
+
 @given(
     st.lists(_fault_ops, min_size=2, max_size=5),
     st.sets(st.integers(0, 10), max_size=2),
@@ -295,69 +364,63 @@ def test_model_against_fault_injecting_backend(spark, ops, lose_at):
         cp.BACKEND = cp.FaultInjectingBackend(
             lose_swaps_at=lose_at, stale_reads_after_swap=1
         )
-        model: list[tuple] = []
-        cons_n = 0
-        n_lost = 0
-        for op in ops:
-            try:
-                if op[0] == "append":
-                    rows = [_row(d, day, a, "ok") for d, day, a in op[1]]
-                    sinks.append_rows(
-                        _df_current_schema(spark, wh, rows),
-                        wh, "cleaning_records",
-                    )
-                    model.extend(rows)
-                elif op[0] == "delete":
-                    sinks.delete_rows(
-                        spark, wh, "cleaning_records",
-                        f"device_name = '{op[1]}'",
-                    )
-                    model = [r for r in model if r[1] != op[1]]
-                elif op[0] == "update":
-                    sinks.update_rows(
-                        spark, wh, "cleaning_records",
-                        f"device_name = '{op[1]}'",
-                        {"area_sqm": str(float(op[2]))},
-                    )
-                    model = [
-                        r if r[1] != op[1]
-                        else r[:4] + (float(op[2]),) + r[5:]
-                        for r in model
-                    ]
-                elif op[0] == "vacuum":
-                    sinks.vacuum_table(
-                        spark, wh, "cleaning_records", op[1]
-                    )
-                elif op[0] == "add_constraint":
-                    cons_n += 1
-                    sinks.add_table_constraint(
-                        wh, "cleaning_records", f"c_{cons_n}",
-                        "area_sqm IS NULL OR area_sqm >= 0",
-                    )
-            except cp.CommitLostError:
-                # the mutation failed WHOLE: resync the model to the
-                # last committed state; everything after must proceed
-                # from it (locks released, manifests readable)
-                n_lost += 1
-                model = [
-                    tuple(r)[:9]
-                    for r in sinks.read_table(
-                        spark, wh, "cleaning_records"
-                    ).collect()
-                ]
-                if op[0] == "add_constraint":
-                    cons_n -= 1
-            got = sorted(
-                _key(tuple(r))
-                for r in sinks.read_table(
-                    spark, wh, "cleaning_records"
-                ).collect()
-            )
-            assert got == sorted(_key(r) for r in model), (op, ops, lose_at)
+        model, n_lost = _drive_fault_schedule(spark, wh, ops)
         # a lost commit never bricks the table: one clean append and a
         # heal-vacuum always succeed afterwards (fresh backend = the
         # store recovered)
         cp.BACKEND = cp.LocalFSBackend()
+        rows = [_row("robo-a", 1, 7, "ok")]
+        sinks.append_rows(
+            _df_current_schema(spark, wh, rows), wh, "cleaning_records"
+        )
+        model.extend(rows)
+        sinks.vacuum_table(spark, wh, "cleaning_records", 0)
+        got = sorted(
+            _key(tuple(r))
+            for r in sinks.read_table(
+                spark, wh, "cleaning_records"
+            ).collect()
+        )
+        assert got == sorted(_key(r) for r in model), (ops, lose_at, n_lost)
+    finally:
+        cp.BACKEND = backend_before
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+@given(
+    st.lists(_fault_ops, min_size=2, max_size=5),
+    st.sets(st.integers(0, 10), max_size=2),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_model_against_memory_backend_with_lost_puts(spark, ops, lose_at):
+    """VERDICT r13 #5: the same fault schedule on the RENAME-FREE
+    backend. FaultInjectingBackend subclasses LocalFSBackend, so the
+    CommitLostError protocol paths were previously only exercised
+    rename-full; here every pointer commit is one dict PUT —
+    ``os.replace`` does not exist — the swap-call indexes in lose_at
+    are ACKed-never-applied, and every read after a swap serves the
+    pre-swap bytes once (absorbed by commit_pointer's verified
+    read-back). Invariant unchanged: a lost commit fails the mutation
+    WHOLE and the warehouse keeps serving the last committed state."""
+    from roborock_data_pipeline_spark.sources import commit_provider as cp
+
+    wh = tempfile.mkdtemp()
+    backend_before = cp.BACKEND
+    try:
+        b = cp.InMemoryObjectStoreBackend(stale_reads=1)
+        cp.BACKEND = b
+        sinks.setup_warehouse(spark, wh)
+        # faults armed AFTER provisioning, relative to the current
+        # swap count — the memory twin of swapping the backend in
+        b.lose_next_swaps(lose_at)
+        model, n_lost = _drive_fault_schedule(spark, wh, ops)
+        # recovery: the SAME backend (its dict IS the store — a fresh
+        # one would be an empty bucket), faults stopped
+        b.clear_faults()
         rows = [_row("robo-a", 1, 7, "ok")]
         sinks.append_rows(
             _df_current_schema(spark, wh, rows), wh, "cleaning_records"
