@@ -582,5 +582,10 @@ def describe_index(index_dir: str) -> dict[str, object] | None:
         from roborock_data_pipeline_spark.sources import versioned_dir
 
         out["centroids_generation"] = versioned_dir.generation(croot)
+        # r14 (VERDICT r13 #6): the centroids root is a full
+        # versioned surface — surface its backlog/age too
+        out["centroids_versioned"] = versioned_dir.describe_versioned_dir(
+            croot
+        )
         out["centroids_committed"] = versioned_dir.resolve(croot) is not None
     return out

@@ -727,14 +727,23 @@ def fold_health(warehouse: str) -> dict[str, dict[str, object]]:
 
 
 def warehouse_health(
-    warehouse: str, funnel_state_dir: str | None = None
+    warehouse: str,
+    funnel_state_dir: str | None = None,
+    versioned_roots: dict[str, str] | None = None,
 ) -> dict[str, dict[str, object]]:
     """One operator snapshot: describe_table per table (batch counts,
     retention, schema, lock holder/age/staleness) merged with the
     fold-state signals — and, when ``funnel_state_dir`` is given, the
     index layer's ``funnel_health`` under ``_indexes`` (VERDICT r12
     #8) — everything a 100 TB maintenance dashboard polls, with zero
-    Spark jobs."""
+    Spark jobs.
+
+    r14 (VERDICT r13 #6): ``_versioned`` describes every
+    ``_current.json`` surface — the lifetime gold snapshot always,
+    plus any caller-registered roots (the IVF-PQ index dir, a JSONL
+    export dir) via ``versioned_roots`` (name → root path):
+    generation, grace/staging/trash backlog, legacy-root flag,
+    live-dir age."""
     report = sinks.describe_warehouse(warehouse)
     for t, f in fold_health(warehouse).items():
         report.setdefault(t, {}).update(
@@ -764,6 +773,17 @@ def warehouse_health(
     if last:
         report["_blocked_pairs_regime"] = last
         report["_blocked_pairs_regime_history"] = history
+    vroots = {
+        LIFETIME_TABLE: sinks.table_path(warehouse, LIFETIME_TABLE),
+        **(versioned_roots or {}),
+    }
+    described = {
+        name: versioned_dir.describe_versioned_dir(path)
+        for name, path in vroots.items()
+    }
+    report["_versioned"] = {
+        name: d for name, d in described.items() if d is not None
+    }
     if funnel_state_dir is not None:
         report["_indexes"] = funnel_health(funnel_state_dir)
     return report

@@ -175,6 +175,71 @@ def generation(root: str) -> int | None:
     return m["generation"] if m is not None else None
 
 
+def describe_versioned_dir(root: str) -> dict | None:
+    """Metadata-only health snapshot of a versioned surface (VERDICT
+    r13 #6: the IVF-PQ index root, JSONL export root, and lifetime
+    gold snapshot are all ``_current.json`` surfaces with no describe
+    — a dashboard could not see their generation, staging/trash
+    backlog, or a legacy root pending migration). Pure listings +
+    stat, zero Spark jobs; None for an absent/empty root.
+
+    ``staging_dead`` counts stagings the next publish WILL sweep
+    (heartbeat silent past the TTL, or heartbeat-less past the mtime
+    bar) — a persistently nonzero value means writers are dying
+    mid-stage; a growing ``trash_backlog`` means publishes are being
+    killed between trash-rename and bulk delete."""
+    if not os.path.isdir(root):
+        return None
+    m = _pointer(root)
+    entries = os.listdir(root)
+    versions = sorted(d for d in entries if d.startswith("v-"))
+    stagings = [d for d in entries if d.startswith(".staging-")]
+    trash = [d for d in entries if d.startswith(".trash-")]
+    legacy = [d for d in entries if not d.startswith((".", "_", "v-"))]
+    if m is None and not (versions or stagings or trash or legacy):
+        return None
+    now = time.time()
+    dead = 0
+    for d in stagings:
+        p = os.path.join(root, d)
+        hb = os.path.join(p, _HEARTBEAT_FILE)
+        try:
+            if os.path.exists(hb):
+                dead += now - os.stat(hb).st_mtime > _STAGING_TTL_S
+            else:
+                dead += now - os.stat(p).st_mtime > _STALE_STAGING_S
+        except OSError:
+            pass
+    out: dict = {
+        "layout": "versioned-pointer" if m is not None else "legacy-root",
+        "generation": m["generation"] if m is not None else None,
+        "live": (
+            m["dir"] if m is not None
+            else ("(legacy root)" if legacy else None)
+        ),
+        "versions_on_disk": len(versions),
+        "grace_dirs": len(
+            [v for v in versions if m is None or v != m["dir"]]
+        ),
+        "staging_dirs": len(stagings),
+        "staging_dead": int(dead),
+        "trash_backlog": len(trash),
+        "legacy_files": len(legacy),
+        # True = pre-seam data still serving (or graced-out files
+        # awaiting the second publish's GC)
+        "legacy_root_flag": m is None and bool(legacy),
+        "live_age_s": None,
+    }
+    if m is not None:
+        try:
+            out["live_age_s"] = round(
+                now - os.stat(os.path.join(root, m["dir"])).st_mtime, 1
+            )
+        except OSError:
+            pass
+    return out
+
+
 def publish(root: str, staged: str) -> str:
     """Commit ``staged`` as the new live version of ``root`` and
     return the live path. One pointer swap is the commit; superseded

@@ -389,3 +389,80 @@ def test_resolve_retries_pointer_on_missing_dir(tmp_path, monkeypatch):
     live = vd.resolve(root)
     assert live is not None and live.endswith("v-000003")
     assert real == orig(ptr)  # the committed pointer was never touched
+
+
+def test_describe_versioned_dir_surface(tmp_path):
+    """VERDICT r13 #6: metadata-only describe for `_current.json`
+    surfaces — generation, grace/staging/trash backlog, legacy flag,
+    live age. Zero Spark jobs (pure listings)."""
+    import time as _time
+
+    assert vd.describe_versioned_dir(str(tmp_path / "absent")) is None
+
+    # legacy root: pre-seam data files, no pointer
+    leg = str(tmp_path / "legacy")
+    os.makedirs(leg)
+    with open(os.path.join(leg, "data.txt"), "w") as fh:
+        fh.write("old")
+    d = vd.describe_versioned_dir(leg)
+    assert d["layout"] == "legacy-root" and d["legacy_root_flag"]
+    assert d["generation"] is None and d["legacy_files"] == 1
+
+    # versioned surface with one superseded version in grace
+    root = str(tmp_path / "surface")
+    for tag in ("v1", "v2"):
+        s = vd.staging_dir(root)
+        _write_marker(s, tag)
+        vd.publish(root, s)
+    d = vd.describe_versioned_dir(root)
+    assert d["layout"] == "versioned-pointer"
+    assert d["generation"] == 2 and d["live"] == "v-000002"
+    assert d["versions_on_disk"] == 2 and d["grace_dirs"] == 1
+    assert d["live_age_s"] is not None and d["live_age_s"] >= 0
+    assert not d["legacy_root_flag"]
+
+    # a live staging counts; a heartbeat-silent one counts as dead
+    s = vd.staging_dir(root)
+    d = vd.describe_versioned_dir(root)
+    assert d["staging_dirs"] == 1 and d["staging_dead"] == 0
+    dead = _time.time() - 2 * vd._STAGING_TTL_S
+    os.utime(os.path.join(s, vd._HEARTBEAT_FILE), (dead, dead))
+    d = vd.describe_versioned_dir(root)
+    assert d["staging_dead"] == 1
+
+    # undeleted trash from a killed publish is visible backlog
+    os.makedirs(os.path.join(root, ".trash-deadbeef"))
+    assert vd.describe_versioned_dir(root)["trash_backlog"] == 1
+
+
+def test_warehouse_health_surfaces_versioned_dirs(spark, tmp_path):
+    import datetime as dt
+
+    from roborock_data_pipeline_spark import pipeline, schemas
+    from roborock_data_pipeline_spark.sources import sinks
+
+    w = str(tmp_path / "wh")
+    sinks.setup_warehouse(spark, w)
+    ts = dt.datetime(2024, 3, 1, 9)
+    df = spark.createDataFrame(
+        [(ts, "a", ts, 30.0, 10.0, "s", "v", 0, "ok")],
+        schemas.CLEANING_RECORDS,
+    )
+    sinks.append_rows(df, w, "cleaning_records")
+    pipeline.refresh_device_lifetime(spark, w)
+
+    ivf = str(tmp_path / "ivf")
+    s = vd.staging_dir(ivf)
+    _write_marker(s, "idx")
+    vd.publish(ivf, s)
+
+    report = pipeline.warehouse_health(w, versioned_roots={"ivfpq": ivf})
+    v = report["_versioned"]
+    assert v["device_lifetime"]["layout"] == "versioned-pointer"
+    assert v["device_lifetime"]["generation"] >= 1
+    assert v["ivfpq"]["generation"] == 1
+    # an absent registered root is simply omitted, not an error
+    report = pipeline.warehouse_health(
+        w, versioned_roots={"gone": str(tmp_path / "nope")}
+    )
+    assert "gone" not in report["_versioned"]
