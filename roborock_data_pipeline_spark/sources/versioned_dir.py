@@ -115,13 +115,20 @@ def staging_dir(root: str) -> str:
     os.makedirs(staged)
     _touch_heartbeat(staged)
 
+    hb = os.path.join(staged, _HEARTBEAT_FILE)
+
     def _beat() -> None:
         while True:
             time.sleep(_STAGING_HEARTBEAT_S)
-            if not os.path.isdir(staged):
-                return  # published or cleaned up — writer is done
             try:
-                _touch_heartbeat(staged)
+                # utime ONLY — never re-create: a beat that recreated
+                # the file could race the writer's own cleanup rmtree
+                # (or publish's unlink) and resurrect a heartbeat in a
+                # half-removed dir, leaving an orphan staging that
+                # looks alive forever. Once any cleanup unlinks the
+                # file, the next beat gets ENOENT and the thread exits
+                # permanently.
+                os.utime(hb)
             except OSError:
                 return
     threading.Thread(

@@ -125,8 +125,11 @@ REPLACE_ALLOW = {
     "operators/index_segments.py": 3,  # publish/commit_base naming + trash rename
     "operators/funnel_txn.py": 1,      # roll-forward naming (record = commit)
     "streaming/near_dup_pairs.py": 2,  # epoch naming + trash rename
-    "sources/sinks.py": 8,             # append/overwrite/DML-rw/merge-base
-                                       # naming under _manifest_lock (4 sites),
+    "sources/sinks.py": 9,             # append/overwrite/DML-rw/merge-base
+                                       # naming under _manifest_lock (4 sites)
+                                       # + migrate_root_file_table's naming
+                                       # (r14, same pattern: invisible until
+                                       # the gen-0 manifest swap),
                                        # plus (c) _migrate_legacy_partitions'
                                        # one-time layout upgrade (3 calls +
                                        # the crashed-attempt heal move-back)

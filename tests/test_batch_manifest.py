@@ -311,14 +311,19 @@ def test_manifest_lock_fence_blocks_stolen_holder(wh):
     os.unlink(lock)
 
 
-@pytest.mark.local_fs_only("corrupts the pointer FILE on disk; the memory backend cannot hold a torn object")
 def test_corrupt_manifest_refuses_listing_fallback(spark, wh):
+    """r14 (VERDICT r13 #8): ported off the local_fs_only list — the
+    poison lands through the seam's own swap_pointer (a PUT of
+    non-JSON bytes, which an operator mishap can produce on ANY
+    backend), so the refusal runs on the memory backend too."""
+    from roborock_data_pipeline_spark.sources import commit_provider as cp
+
     sinks.append_rows(_mk(spark, 1), wh, "cleaning_records")
     p = os.path.join(
         sinks.table_path(wh, "cleaning_records"), sinks.BATCHES_MANIFEST
     )
-    with open(p, "w") as fh:
-        fh.write("{not json")
+    cp.BACKEND.swap_pointer(p, b"{not json")
+    cp.read_pointer(p)  # drain a possible modeled-stale read
     with pytest.raises(ValueError, match="corrupt batch manifest"):
         sinks.list_batches(wh, "cleaning_records")
 

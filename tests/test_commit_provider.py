@@ -133,7 +133,7 @@ def test_staleness_beyond_window_is_a_lost_commit(tmp_path, monkeypatch):
 # ------------------------------------------------------------------ #
 
 
-@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend against an FS warehouse; the memory backend models the same faults natively")
+@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend against an FS warehouse; the memory backend runs the same faults natively (r14: test_memory_backend_lost_put_raises_commit_lost + test_model_against_memory_backend_with_lost_puts)")
 def test_append_commit_lost_put_fails_whole_and_retries(
     spark, tmp_path, monkeypatch
 ):

@@ -270,7 +270,7 @@ def test_funnel_maintenance_migrates_legacy_index(spark, tmp_path, monkeypatch):
     assert iseg.is_committed(idx, "b0")
 
 
-@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend; the memory backend gets the same faults natively via stale_reads")
+@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend; the memory backend gets staleness natively via stale_reads and lost PUTs via lose_swaps_at (r14)")
 def test_index_publish_lost_put_fails_whole(spark, tmp_path, monkeypatch):
     """Object-store fault symmetry with the warehouse test: an index
     segment publish whose manifest PUT is ACKed but LOST fails whole

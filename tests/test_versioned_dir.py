@@ -98,7 +98,7 @@ def test_crash_before_pointer_keeps_old_serving(tmp_path, monkeypatch):
     assert vd.generation(root) == 2
 
 
-@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend; the memory backend models lost PUTs natively")
+@pytest.mark.local_fs_only("drives the FS-based FaultInjectingBackend; the memory backend runs lost PUTs natively (r14: test_gold_snapshot_lost_put_on_memory_backend)")
 def test_lost_acked_put_fails_publish_whole(tmp_path, monkeypatch):
     """Object-store mode: the pointer PUT is ACKed but never becomes
     readable — commit_pointer's verified read-back must fail the
@@ -147,14 +147,17 @@ def test_legacy_root_readable_then_graced_out(tmp_path):
     assert not os.path.exists(os.path.join(root, "data.txt"))  # GC'd
 
 
-@pytest.mark.local_fs_only("corrupts the pointer FILE on disk")
 def test_corrupt_pointer_raises_loudly(tmp_path):
+    """r14 (VERDICT r13 #8): ported off the local_fs_only list — the
+    poison lands through the seam's own swap_pointer, so the refusal
+    runs on the memory backend too."""
     root = str(tmp_path / "surface")
     s1 = vd.staging_dir(root)
     _write_marker(s1, "v1")
     vd.publish(root, s1)
-    with open(os.path.join(root, vd.CURRENT_POINTER), "w") as fh:
-        fh.write("{not json")
+    p = os.path.join(root, vd.CURRENT_POINTER)
+    cp.BACKEND.swap_pointer(p, b"{not json")
+    cp.read_pointer(p)  # drain a possible modeled-stale read
     with pytest.raises(ValueError, match="corrupt version pointer"):
         vd.resolve(root)
 
