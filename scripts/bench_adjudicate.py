@@ -43,6 +43,15 @@ import re
 import sys
 
 BAR = 1.5
+# Same absolute-damage guard as bench.py's regression gate (r4
+# evidence: per-session variance of an UNCHANGED sub-second query is
+# up to ~1.5x on this box): an isolated sample must be BOTH >BAR over
+# the history floor AND >=0.3s absolute above it to corroborate a
+# driver spike — the floor is a min over the window, so one lucky
+# outlier sample would otherwise set an unmeetable bar for every
+# later honest run (the min-ratchet failure mode VERDICT r5 #3
+# removed from the bench gate itself).
+ABS_S = 0.3
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -143,9 +152,18 @@ def main() -> int:
                     "bench.py on an idle box)"
                 )
                 flagged.append(q)  # unproven ≠ cleared: surface it
-            elif ir > BAR:
+            elif ir > BAR and iso - floor >= ABS_S:
                 row["verdict"] = "FLAGGED (driver AND isolated regressed)"
                 flagged.append(q)
+            elif ir > BAR:
+                row["verdict"] = (
+                    "cleared (isolated ratio over the history-min "
+                    f"floor but < {ABS_S}s absolute - within this "
+                    "box's measured sub-second noise; the floor is a "
+                    "window min, so one lucky sample does not set the "
+                    "bar)"
+                )
+                cleared.append(q)
             else:
                 row["verdict"] = (
                     "cleared (driver spike not reproduced by the "
@@ -168,7 +186,11 @@ def main() -> int:
             if detail_isolated
             else "UNAVAILABLE - BENCH_DETAIL not isolated; history-only"
         ),
-        "rule": "flag iff driver_ratio > bar AND isolated_ratio > bar",
+        "rule": (
+            "flag iff driver_ratio > bar AND isolated_ratio > bar "
+            f"AND isolated exceeds the history floor by >= {ABS_S}s "
+            "absolute (bench.py's own noise guard)"
+        ),
         "n_compared": len(cur_t),
         "n_prev_tail_overlap": len(set(cur_t) & set(prev_t)),
         "flagged": flagged,
