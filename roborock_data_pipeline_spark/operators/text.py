@@ -485,10 +485,11 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     not automatically faster than a shuffle the data already needs."""
     docs = load(spark, sf_dir, "documents")
     # Two deliberate choices in this prologue:
-    # - tokenize ONCE per row before the shingle transform: split()
-    #   inside the lambda would re-split the full text per element
-    #   (O(tokens²) per doc — measured 2x the whole query's cost);
-    # - repartition by doc_id BEFORE the heavy md5 transform: the
+    # - tokenize ONCE per row before the shingle hashing: split()
+    #   inside a per-shingle expression would re-split the full text
+    #   per shingle (O(tokens²) per doc — measured 2x the whole
+    #   query's cost);
+    # - repartition by doc_id BEFORE the heavy md5 hashing: the
     #   window below requires hash(doc_id) distribution anyway, so
     #   this is the query's one exchange moved early — the shingle
     #   hashing then runs on every core instead of inside the
@@ -498,20 +499,32 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .repartition("doc_id")
     )
-    sh = tok.select(
+    # Explode cheap shingle POSITIONS, then hash per exploded row —
+    # NOT explode(transform(..md5..)) (the r13 shape, measured 2.9×
+    # the query at sf0.1): with the hash array as the generator
+    # input, InferFiltersFromGenerate pins a `size(<md5 transform>)
+    # > 0` filter below the exchange that re-evaluates EVERY shingle
+    # md5 a second time per row (Catalyst cannot simplify size()
+    # over an opaque lambda, unlike the sequence form here), and the
+    # transform lambda itself evaluates interpreted, outside
+    # whole-stage codegen. Hashing after the explode runs md5 once
+    # per shingle as a plain codegen expression; the inferred filter
+    # degrades to size(sequence(..)) — token-count arithmetic.
+    posed = tok.select(
         "doc_id",
-        # n = |shingles| derived from the token count, NOT size(hs):
-        # Catalyst collapses projections, so size(hs) would evaluate
-        # the whole md5 transform a SECOND time per row (measured
-        # ~2.6x the query)
+        # n = |shingles| derived from the token count
         F.greatest(F.size("w") - 2, F.lit(1)).alias("n"),
-        F.expr(
-            "transform(sequence(0, greatest(size(w) - 3, 0)),"
-            " i -> md5(concat_ws(' ', slice(w, i + 1, 3))))"
-        ).alias("hs"),
-    )
-    posed = sh.select(
-        "doc_id", "n", F.posexplode("hs").alias("pos", "h")
+        "w",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("w") - 3, F.lit(0)))
+        ).alias("pos"),
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", F.slice("w", F.col("pos") + 1, 3)).cast("binary")
+        ).alias("h"),
     )
     wmin = (
         W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
