@@ -45,15 +45,46 @@ _JACCARD_ORACLE = registry._REGISTRY["q_near_dup_jaccard"].oracle
     """,
 )
 def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ estimate vs exact distinct, one pass over events: the
-    driver-visible form of test_dedup.py's <=max(2, 2%) bound."""
+    """HLL++ estimate vs exact distinct over events: the
+    driver-visible form of test_dedup.py's <=max(2, 2%) bound.
+
+    Gates the SAME estimator q_approx_distinct ships (DataSketches
+    HLL, lgK=14 — see its docstring for the r14 measured switch off
+    the wide-buffer HLL++). Both aggregates run over the DISTINCT
+    key sets, one per column, joined on their 1-row outputs — NOT
+    one four-function agg over the raw events (the pre-r14 shape,
+    measured 2.6× the whole query at sf0.1). Two wins, both
+    semantics-free:
+
+    - an HLL sketch is duplicate-idempotent, so sketching the
+      deduplicated keys yields the identical estimate over 1,500
+      rows instead of 100,000;
+    - the exact twin needs that distinct set anyway, and computing
+      it as ONE per-column partial-agged distinct avoids the
+      distinct-rewrite Expand keying the partial aggregation by
+      (user_id, event_type, gid) and shipping a sketch buffer once
+      per distinct user_id group.
+
+    The isNotNull guards match countDistinct/hll_sketch_agg's null
+    handling (both skip nulls), so outputs are unchanged."""
     ev = load(spark, sf_dir, "events")
-    agg = ev.agg(
-        F.countDistinct("user_id").alias("n_devices_exact"),
-        F.countDistinct("event_type").alias("n_states_exact"),
-        F.approx_count_distinct("user_id", 0.01).alias("ad"),
-        F.approx_count_distinct("event_type", 0.01).alias("ast"),
+    dev = ev.where(F.col("user_id").isNotNull()).select("user_id").distinct()
+    dst = (
+        ev.where(F.col("event_type").isNotNull())
+        .select("event_type")
+        .distinct()
     )
+    exact_u = dev.agg(
+        F.count("*").alias("n_devices_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .alias("ad"),
+    )
+    exact_t = dst.agg(
+        F.count("*").alias("n_states_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_type", F.lit(14)))
+        .alias("ast"),
+    )
+    agg = exact_u.crossJoin(exact_t)  # two 1-row aggregates
     return agg.select(
         "n_devices_exact",
         "n_states_exact",

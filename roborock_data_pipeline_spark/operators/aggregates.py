@@ -191,13 +191,25 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_approx_distinct")  # no oracle: HLL implementations differ by engine
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 (EXT, scale path): approx_count_distinct — the 100 TB
-    variant of q_count_distinct. Rows-only driver check; the pytest
-    suite asserts <2% relative error against the exact counts."""
+    """A8 (EXT, scale path): HLL-sketch distinct estimate — the
+    100 TB variant of q_count_distinct. Rows-only driver check; the
+    pytest suite asserts <2% relative error against the exact counts
+    and q_approx_distinct_check is the oracle-checked gate.
+
+    DataSketches ``hll_sketch_agg`` at lgK=14 (~1% RSE, the same
+    accuracy class as the previous approx_count_distinct rsd=0.01),
+    switched r14 on measurement: the HLL++ aggregate at rsd 0.01
+    declares its 1639-long register file as individual buffer
+    attributes, which costs ~0.65 s of fixed per-aggregate overhead
+    here and ~15 µs/row — 12× the DataSketches object sketch on the
+    same scan (0.13 s vs 1.5 s at sf0.1). Same sketch family, same
+    bound, mergeable across systems."""
     ev = load(spark, sf_dir, "events")
     return ev.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_devices"),
-        F.approx_count_distinct("event_type", 0.01).alias("n_states"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14)))
+        .alias("n_devices"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_type", F.lit(14)))
+        .alias("n_states"),
     )
 
 
