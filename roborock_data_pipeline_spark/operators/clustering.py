@@ -97,17 +97,24 @@ def kmeans_fit(df: DataFrame, k: int, iters: int,
     """
     init = df.orderBy(id_col).limit(k).select(vec_col).collect()
     cents = [list(r[vec_col]) for r in init]
+    d = len(cents[0])
     for _ in range(iters):
         assigned = assign_clusters(df, cents, vec_col)
+        # collect the k x d (cluster, pos, mean) rows directly — the
+        # pre-r14 shape re-grouped them into per-cluster arrays with a
+        # second groupBy (one more exchange + ObjectHashAggregate per
+        # iteration) only to disassemble the arrays on the driver; the
+        # per-dimension means are identical either way and k x d rows
+        # are driver metadata at any corpus size
         rows = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster", "pos")
             .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .collect()
         )
-        new = {r["cluster"]: [float(p["m"]) for p in r["pm"]] for r in rows}
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(r["cluster"], [0.0] * d)[r["pos"]] = float(r["m"])
         # empty clusters keep their previous centroid
         cents = [new.get(j, cents[j]) for j in range(k)]
     return assign_clusters(df, cents, vec_col), cents

@@ -1188,14 +1188,16 @@ def pq_fit(
 
     Seeds: the ksub vectors with the smallest xxhash64(vec_id) — a
     deterministic pseudo-random sample, no RNG state."""
-    d = len(emb.select("embedding").first()["embedding"])
-    d_sub = d // m
     seed_rows = (
         emb.select("vec_id", "embedding")
         .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(ksub)
         .collect()
     )
+    # d from the seed rows — a separate first() was one whole extra
+    # Spark job per training call
+    d = len(seed_rows[0]["embedding"])
+    d_sub = d // m
     codebook = [
         [
             [float(r["embedding"][sub * d_sub + j]) for j in range(d_sub)]
