@@ -1205,32 +1205,56 @@ def pq_fit(
         ]
         for sub in range(m)
     ]
+    import numpy as np
+
     for _ in range(iters):
-        enc = _pq_codes_udf(codebook)
-        assigned = emb.select(
-            "vec_id",
-            "embedding",
-            F.posexplode(enc(F.col("embedding"))).alias("sub", "code"),
-        )
+        # Fused encode+partial-sum kernel (r14, same shape as
+        # clustering.kmeans_fit): the pre-r14 update posexploded the
+        # code assignments to n x m rows (each dragging the full
+        # embedding) and re-sliced them to n x d (sub, code, pos, v)
+        # rows before the mean aggregation. The encode kernel already
+        # holds the batch and the subspace views, so it now emits ONE
+        # (sub, code, count, sum-subvector) partial per populated
+        # code per task — the update aggregation input shrinks from
+        # n x d rows to tasks x m x ksub x d_sub, corpus-size-free.
+        # float64 accumulation as before; codebooks verified
+        # identical at sf0.001/0.01/0.1 against the exploded form.
+        cents = [np.asarray(c, dtype=np.float64) for c in codebook]
+        half_norms = [(c * c).sum(axis=1) / 2.0 for c in cents]
+
+        def _partials(batches):
+            acc: dict[tuple[int, int], tuple[int, object]] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                for s in range(m):
+                    sub = x[:, s * d_sub : (s + 1) * d_sub]
+                    codes = np.argmax(sub @ cents[s].T - half_norms[s], axis=1)
+                    for c in np.unique(codes):
+                        msk = codes == c
+                        n0, s0 = acc.get((s, int(c)), (0, 0.0))
+                        acc[(s, int(c))] = (
+                            n0 + int(msk.sum()),
+                            s0 + sub[msk].sum(axis=0),
+                        )
+            if acc:
+                yield pd.DataFrame(
+                    [(s, c, n, list(v)) for (s, c), (n, v) in acc.items()],
+                    columns=["sub", "code", "n", "s"],
+                )
+
         means = (
-            assigned.select(
-                "sub",
-                "code",
-                F.posexplode(
-                    F.slice(
-                        F.col("embedding"),
-                        F.col("sub") * d_sub + 1,
-                        d_sub,
-                    )
-                ).alias("pos", "v"),
-            )
+            emb.select("embedding")
+            .mapInPandas(_partials, "sub int, code int, n long, s array<double>")
+            .select("sub", "code", "n", F.posexplode("s").alias("pos", "v"))
             .groupBy("sub", "code", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("c"))
+            .agg(F.sum("v").alias("sv"), F.sum("n").alias("sn"))
             .collect()
         )
         new = [[list(c) for c in sub_cents] for sub_cents in codebook]
         for r in means:
-            new[r["sub"]][r["code"]][r["pos"]] = float(r["c"])
+            new[r["sub"]][r["code"]][r["pos"]] = float(r["sv"]) / float(r["sn"])
         codebook = new
     return codebook
 
