@@ -84,7 +84,7 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("event_type", F.lit(14)))
         .alias("ast"),
     )
-    agg = exact_u.crossJoin(exact_t)  # two 1-row aggregates
+    agg = exact_u.crossJoin(F.broadcast(exact_t))  # two 1-row aggregates
     return agg.select(
         "n_devices_exact",
         "n_states_exact",

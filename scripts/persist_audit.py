@@ -42,6 +42,8 @@ AUDITED = [
     "q_pagerank",            # graph.py power iterations
     "q_tfidf_top_terms",     # text.py exploded token table, 2 readers
     "q_source_overlap",      # text.py distinct (source, token) vocab
+    "q_contamination",       # quality.py shingle postings, 2 filtered readers
+    "q_boilerplate_strip",   # quality.py segment explode, 2 readers (r14)
 ]
 
 # After the decision (r11): persists DROPPED except the measured
@@ -73,17 +75,29 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in AUDITED:
         fn = qs[name].fn
+        # INTERLEAVE the two arms sample-by-sample (r14): running all
+        # persist samples before all nopersist samples handed the
+        # second arm every JIT/codegen warm-up the first arm paid —
+        # measured ~1.4x first-arm penalty on a query whose two arms
+        # are IDENTICAL code (q_kmeans_clusters, no persist site), so
+        # ordered arms can flip any decision with a true ratio under
+        # that bias. Alternating samples exposes both arms to the
+        # same warm-up trajectory; min-of-n is taken per arm as
+        # before.
+        samples: dict[str, list[float]] = {"persist": [], "nopersist": []}
+        for _ in range(n_runs):
+            for mode in ("persist", "nopersist"):
+                if mode == "nopersist":
+                    DataFrame.persist = lambda self, *a, **k: self
+                    DataFrame.unpersist = lambda self, *a, **k: self
+                try:
+                    samples[mode].append(run_once(spark, fn, sf_dir))
+                finally:
+                    DataFrame.persist = real_persist
+                    DataFrame.unpersist = real_unpersist
         rec: dict[str, float] = {}
         for mode in ("persist", "nopersist"):
-            if mode == "nopersist":
-                DataFrame.persist = lambda self, *a, **k: self
-                DataFrame.unpersist = lambda self, *a, **k: self
-            try:
-                times = [run_once(spark, fn, sf_dir) for _ in range(n_runs)]
-            finally:
-                DataFrame.persist = real_persist
-                DataFrame.unpersist = real_unpersist
-            rec[mode] = round(min(times), 4)
+            rec[mode] = round(min(samples[mode]), 4)
             print(f"{name:24s} {mode:9s} min-of-{n_runs}: {rec[mode]:.3f}s",
                   flush=True)
         rec["nopersist_over_persist"] = round(
