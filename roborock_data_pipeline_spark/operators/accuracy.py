@@ -66,7 +66,13 @@ def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       per distinct user_id group.
 
     The isNotNull guards match countDistinct/hll_sketch_agg's null
-    handling (both skip nulls), so outputs are unchanged."""
+    handling (both skip nulls), so outputs are unchanged.
+
+    Coverage note (ADVICE r14): because this gate sketches the
+    pre-deduplicated key set, it does not exercise the sketch's
+    cross-partition merge path (sparse→dense promotion at volume);
+    that path is covered by q_hll_daily_users_check, which sketches
+    the raw per-day event stream."""
     ev = load(spark, sf_dir, "events")
     dev = ev.where(F.col("user_id").isNotNull()).select("user_id").distinct()
     dst = (

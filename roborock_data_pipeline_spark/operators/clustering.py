@@ -39,6 +39,15 @@ from roborock_data_pipeline_spark.registry import query
 from roborock_data_pipeline_spark.sources.tables import load
 
 
+def _sq_dists(X, C, c_sq):
+    """THE assignment distance rule (single definition — ADVICE r14:
+    the fused training kernel and assign_clusters must never diverge
+    on the formula or tie-break): squared-L2 matrix via the expansion
+    ``|x|^2 - 2 X @ C.T + |c|^2``; callers take argmin(axis=1), whose
+    first-min tie-break = lowest cluster id."""
+    return (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+
+
 def assign_clusters(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """Add `cluster` (argmin squared-L2 centroid index, first-min
@@ -73,7 +82,7 @@ def assign_clusters(df: DataFrame, centroids: list[list[float]],
                 yield pdf
                 continue
             X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            d2 = _sq_dists(X, C, c_sq)
             pdf["cluster"] = d2.argmin(axis=1).astype("int32")
             # the expansion form can go epsilon-negative on exact hits
             pdf["dist"] = np.maximum(d2.min(axis=1), 0.0)
@@ -121,8 +130,7 @@ def kmeans_fit(df: DataFrame, k: int, iters: int,
                 if len(pdf) == 0:
                     continue
                 X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-                cl = d2.argmin(axis=1)
+                cl = _sq_dists(X, C, c_sq).argmin(axis=1)
                 for j in np.unique(cl):
                     m = cl == j
                     n0, s0 = acc.get(int(j), (0, 0.0))

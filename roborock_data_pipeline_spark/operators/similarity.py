@@ -1134,6 +1134,20 @@ PQ_ITERS = 3
 # this near-uniform geometry (same 64-bit code budget either way).
 
 
+def _pq_subspace_codes(x, s: int, d_sub: int, cents, half_norms):
+    """THE per-subspace encode rule (single definition — ADVICE r14:
+    the fused training kernel and the encoder must never diverge on
+    the distance formula or tie-break): slice subspace ``s`` out of
+    the batch matrix and argmin distance to its centroids as
+    ``argmax(<sub, c> - |c|^2/2)`` — one BLAS matmul per call,
+    first-max tie-break = lowest code, matching exact arithmetic.
+    Returns (sub_view, codes)."""
+    import numpy as np
+
+    sub = x[:, s * d_sub : (s + 1) * d_sub]
+    return sub, np.argmax(sub @ cents[s].T - half_norms[s], axis=1)
+
+
 def _pq_codes_udf(codebook: list[list[list[float]]]):
     """Vectorized PQ encoder: codes array per embedding via one BLAS
     matmul per subspace inside an Arrow batch — the same sanctioned
@@ -1145,10 +1159,8 @@ def _pq_codes_udf(codebook: list[list[list[float]]]):
     per-row eval (~1 ms/row), and costs ~14 s of driver-side
     analysis/compile per plan — the relational join form adds two
     n*m-row shuffles instead. The Arrow kernel is map-only (no
-    shuffle, partitioning preserved), and argmin runs as
-    ``argmax(<s,c> - |c|^2/2)`` per batch: (batch x ksub) matmul,
-    first-max tie-break = lowest code, matching the exact-arithmetic
-    tie rule."""
+    shuffle, partitioning preserved); the argmin/tie rule is
+    _pq_subspace_codes, shared with the training kernel."""
     import numpy as np
 
     cents = [np.asarray(c, dtype=np.float64) for c in codebook]
@@ -1161,8 +1173,7 @@ def _pq_codes_udf(codebook: list[list[list[float]]]):
         x = np.array(embs.tolist(), dtype=np.float64)
         out = np.empty((x.shape[0], m), dtype=np.int32)
         for s in range(m):
-            sub = x[:, s * d_sub : (s + 1) * d_sub]
-            out[:, s] = np.argmax(sub @ cents[s].T - half_norms[s], axis=1)
+            _, out[:, s] = _pq_subspace_codes(x, s, d_sub, cents, half_norms)
         return pd.Series(list(out))
 
     return encode
@@ -1173,6 +1184,7 @@ def pq_fit(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = PQ_ITERS,
+    seed_rows=None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks with Lloyd iterations.
 
@@ -1187,13 +1199,17 @@ def pq_fit(
     empty-cluster collapse).
 
     Seeds: the ksub vectors with the smallest xxhash64(vec_id) — a
-    deterministic pseudo-random sample, no RNG state."""
-    seed_rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(ksub)
-        .collect()
-    )
+    deterministic pseudo-random sample, no RNG state. A caller that
+    already holds those rows (pq_topk fetches them in the same job
+    as its probe vector — r15: one Spark job per fit saved) passes
+    them via ``seed_rows`` (ordered by (xxhash64(vec_id), vec_id))."""
+    if seed_rows is None:
+        seed_rows = (
+            emb.select("vec_id", "embedding")
+            .orderBy(F.xxhash64("vec_id"), "vec_id")
+            .limit(ksub)
+            .collect()
+        )
     # d from the seed rows — a separate first() was one whole extra
     # Spark job per training call
     d = len(seed_rows[0]["embedding"])
@@ -1229,8 +1245,9 @@ def pq_fit(
                     continue
                 x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
                 for s in range(m):
-                    sub = x[:, s * d_sub : (s + 1) * d_sub]
-                    codes = np.argmax(sub @ cents[s].T - half_norms[s], axis=1)
+                    sub, codes = _pq_subspace_codes(
+                        x, s, d_sub, cents, half_norms
+                    )
                     for c in np.unique(codes):
                         msk = codes == c
                         n0, s0 = acc.get((s, int(c)), (0, 0.0))
@@ -1276,9 +1293,32 @@ def pq_topk(
     The exact cosine rides along from the same scan row, so the ANN
     candidates come out exact-scored for free (the rerank step of a
     real IVF-PQ)."""
-    codebook = pq_fit(emb)
+    # ONE metadata job fetches the probe vector AND the training
+    # seeds (r15: they were two separate collects — each a whole
+    # Spark job at the measured ~0.35 s fresh-plan/job floor). Both
+    # subtrees stay scan-shaped at any scale: a pushed-down point
+    # filter and a TakeOrdered over (xxhash64(vec_id), vec_id). The
+    # hash rides along so the driver can re-establish the exact seed
+    # order (a UNION does not preserve per-branch ordering).
+    probe = (
+        emb.where(F.col("vec_id") == query_vec_id)
+        .select(F.lit(None).cast("long").alias("h"), "vec_id", "embedding")
+    )
+    seeds = (
+        emb.select(
+            F.xxhash64("vec_id").alias("h"), "vec_id", "embedding"
+        )
+        .orderBy("h", "vec_id")
+        .limit(PQ_KSUB)
+    )
+    rows = probe.unionAll(seeds).collect()
+    q = next(r["embedding"] for r in rows if r["h"] is None)
+    seed_rows = sorted(
+        (r for r in rows if r["h"] is not None),
+        key=lambda r: (r["h"], r["vec_id"]),
+    )
+    codebook = pq_fit(emb, seed_rows=seed_rows)
     d_sub = len(codebook[0][0])
-    q = emb.where(F.col("vec_id") == query_vec_id).first()["embedding"]
     qn = sum(float(x) * float(x) for x in q) ** 0.5
     # LUT[sub][code] = <q_sub, centroid> — driver-side metadata math
     lut = [
