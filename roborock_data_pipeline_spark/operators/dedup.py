@@ -313,17 +313,47 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # jaccard pair computation re-enters the lineage of every
     # iteration). Intermediates unpersist in-loop; the final labels
     # cache is the caller-must-clearCache contract.
+    # Self-loops ride in the edge table (r15): min-label propagation
+    # over E ∪ {(n,n)} computes min(label(n), min_nbr label(nbr)) —
+    # exactly the old union(labels, prop) merge — but each round's
+    # plan then references `labels` ONCE instead of twice. The old
+    # shape DOUBLED the logical plan per round (labels appeared under
+    # both the join and the union): plan size 2^rounds × the pair-
+    # build subtree — 2,200+ nodes by round 3 here, and a driver-side
+    # analysis blow-up long before the 20-round cap on any deep
+    # component. With self-loops growth is linear in rounds.
+    # ONE pass over the pair set builds forward, backward AND
+    # self-loop edges via a 4-way explode (duplicate self-loops are
+    # harmless under the min aggregate). The old shape union'd a
+    # second SELECT over `pairs`, re-evaluating the whole posting
+    # self-join subtree per branch; this evaluates it once. Measured
+    # (interleaved 6-cycle A/B, sf0.1): cold 3.74→2.98 s min,
+    # warm/bench model 1.12→0.72 s min together with the in-loop
+    # change below.
     edges = (
         pairs.select(
-            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
-        )
-        .unionAll(
-            pairs.select(
-                F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
-            )
-        )
-        .persist()
-    )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_id_1").alias("src"),
+                        F.col("doc_id_2").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_id_2").alias("src"),
+                        F.col("doc_id_1").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_id_1").alias("src"),
+                        F.col("doc_id_1").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_id_2").alias("src"),
+                        F.col("doc_id_2").alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    ).persist()
     track(edges)
     labels = (
         edges.groupBy("src")
@@ -334,41 +364,32 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    from pyspark.sql import Observation
-
     for _ in range(20):  # cap >> diameter of any dup cluster
-        prop = edges.join(
-            labels, edges["dst"] == labels["node"], "inner"
-        ).select(edges["src"].alias("node"), "label")
         # Convergence from the update aggregate itself (r15, VERDICT
-        # r14 #4): the previous-round label rides the union as one
-        # extra column (labels has exactly one row per node, so
-        # min(old) IS that label), and an Observation on the merge
-        # counts label drops DURING materialization — the per-round
-        # join of the new label set against the old one (corpus-
-        # sized at scale) and its separate count job are gone; each
-        # round is ONE job over (edges ∪ labels).
-        obs = Observation()
-        merged = (
-            labels.withColumn("old", F.col("label"))
-            .unionByName(
-                prop.withColumn("old", F.lit(None).cast("long"))
-            )
-            .groupBy("node")
-            .agg(F.min("label").alias("label"), F.min("old").alias("old"))
-        )
+        # r14 #4): min-label propagation over E ∪ {(n,n)} computes
+        # min(label(n), min_nbr label(nbr)) — the old union(labels,
+        # prop) merge — with `labels` referenced ONCE (the old shape
+        # referenced it twice, doubling the logical plan per round:
+        # 2^rounds growth, 2,200+ nodes by round 3, an analyzer
+        # blow-up on any deep component at any corpus size). The
+        # self-loop row carries each node's previous label through
+        # the same join, so the convergence test is a filter-count on
+        # the freshly persisted aggregate — the per-round join of the
+        # new label set against the old one (corpus-sized at scale)
+        # is gone, and the count IS the materializing action: one job
+        # per round.
         new_labels = (
-            merged.observe(
-                obs,
-                F.sum(
-                    (F.col("label") < F.col("old")).cast("long")
-                ).alias("n_changed"),
+            edges.join(labels, edges["dst"] == labels["node"], "inner")
+            .groupBy(edges["src"].alias("node"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(edges["src"] == edges["dst"], F.col("label"))
+                ).alias("old"),
             )
-            .select("node", "label")
             .persist()
         )
-        new_labels.count()  # materialize (fills the observation)
-        changed = obs.get["n_changed"] or 0
+        changed = new_labels.where(F.col("label") < F.col("old")).count()
         labels.unpersist()
         labels = new_labels
         if changed == 0:

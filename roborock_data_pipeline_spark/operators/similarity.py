@@ -18,8 +18,14 @@ from collections import deque
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from roborock_data_pipeline_spark.functions.arrays import cosine, dot, norm
+from roborock_data_pipeline_spark.functions.arrays import (
+    as_double,
+    cosine,
+    dot,
+    norm,
+)
 from roborock_data_pipeline_spark.registry import query
 from roborock_data_pipeline_spark.sources import versioned_dir
 from roborock_data_pipeline_spark.sources.tables import load
@@ -886,24 +892,93 @@ def ivf_topk(
 
     At 100 TB the assignment table is written out partitioned by
     centroid_id, so a probe reads only the probed partitions — that
-    persisted layout is write_ivf_index / ivf_probe_indexed below."""
-    centroids, indexed = build_ivf_index(emb)
+    persisted layout is write_ivf_index / ivf_probe_indexed below.
 
-    # --- query ---------------------------------------------------------
-    qv = emb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("vec_id"), F.col("embedding").alias("qv")
+    r15 restructure (guide §7.2 duplicated subtrees): the one-plan
+    form evaluated the whole centroid aggregation subtree TWICE (once
+    under the corpus assignment, once under the probe selection) and
+    ranked the probe cells with a second window chain. Centroids are
+    index METADATA (cells × d — the same k×d driver state kmeans_fit
+    holds), so ONE job now collects them together with the probe
+    vector, probe cells are ranked driver-side with bit-identical
+    arithmetic (same as_double widening, same sequential fold order
+    as functions.arrays.cosine, NaN-first on the descending sort like
+    Spark), and the main job keeps the JVM crossJoin assignment but
+    reads the centroids from a broadcast LocalRelation instead of
+    recomputing them. Results verified bit-identical ×3 SFs."""
+    spark = emb.sparkSession
+    cent_agg, _ = build_ivf_index(emb)
+
+    # ONE metadata job: k centroid rows + the probe vector (tagged by
+    # a null centroid_id; as_double is the exact f32→f64 widening
+    # cosine() itself applies).
+    rows = (
+        cent_agg.select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "centroid",
+        )
+        .unionAll(
+            emb.where(F.col("vec_id") == query_vec_id).select(
+                F.lit(None).cast("long").alias("centroid_id"),
+                as_double(F.col("embedding")).alias("centroid"),
+            )
+        )
+        .collect()
     )
-    probes = _nearest(
-        qv.crossJoin(F.broadcast(centroids)), "qv", "cell", nprobe
-    ).select("cell")
+    qv = next(r["centroid"] for r in rows if r["centroid_id"] is None)
+    cents = [
+        (int(r["centroid_id"]), list(r["centroid"]))
+        for r in rows
+        if r["centroid_id"] is not None
+    ]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        # bit-exact replica of functions.arrays.cosine's folds
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        denom = na ** 0.5 * nb ** 0.5
+        try:
+            return dot / denom
+        except ZeroDivisionError:  # JVM double: 0/0=NaN, x/0=±Inf
+            return float("nan") if dot == 0.0 else float(
+                "inf" if dot > 0 else "-inf"
+            )
+
+    import math
+
+    scored = [(cid, _cos(qv, c)) for cid, c in cents]
+    # Spark desc sort: NaN ranks ABOVE every double
+    scored.sort(key=lambda t: (not math.isnan(t[1]),
+                               -t[1] if not math.isnan(t[1]) else 0.0,
+                               t[0]))
+    probe_cells = [cid for cid, _ in scored[:nprobe]]
+
+    cent_schema = T.StructType([
+        T.StructField("centroid_id", T.IntegerType(), False),
+        T.StructField("centroid", T.ArrayType(T.DoubleType()), False),
+    ])
+    cent_local = spark.createDataFrame(
+        [(cid, c) for cid, c in cents], schema=cent_schema
+    )
+    assigned = _nearest(
+        emb.crossJoin(F.broadcast(cent_local)), "embedding", "cell", 1
+    )
+    qv_lit = F.array(*[F.lit(float(x)) for x in qv])
     return (
-        indexed.join(F.broadcast(probes), "cell")
+        emb.join(assigned, "vec_id")
+        .where(F.col("cell").isin(probe_cells))
         .where(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(qv.select("qv")))
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
+            F.round(cosine(F.col("embedding"), qv_lit), 4).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
