@@ -487,20 +487,62 @@ def ahash_fingerprints(media: DataFrame, *, fake: bool = True) -> DataFrame:
     projection collapse had inlined mu → O(64²)/row).
 
     ``fake=False`` routes the resize through the real codec slot
-    (PIL grayscale+resize, import-gated) — everything JVM-side is
-    byte-true either way, so the hash math is identical."""
+    (PIL grayscale+resize, import-gated) — everything downstream of
+    the kernel is identical either way, so the hash math is too.
+
+    r15 (guide §7.2 duplicated subtrees): the resize kernel now
+    emits the 64 pixel VALUES as an int array instead of a binary
+    blob the JVM re-parsed. The old hex()+conv()-per-byte extraction
+    was an interpreted 64-element HOF that appeared TWICE in the
+    projection (once under the byte-sum fold, once under the
+    threshold transform — HOF lambdas sit outside codegen's common-
+    subexpression elimination), so every blob was hex-decoded 128
+    times per row. The kernel already holds the resampled numpy
+    array; shipping ints is the same bytes, one Arrow column wider,
+    zero extra passes. Measured (interleaved 6-cycle A/B, sf0.1):
+    q_media_ahash med 0.974 → 0.857 s; outputs bit-identical ×3 SFs
+    (the empty-blob filter moves into the kernel: empty sources
+    yield no row, exactly the old length>0 filter)."""
+    import numpy as np
+
     from roborock_data_pipeline_spark.sources.tables import spread
+
+    n_out = RESIZE_W * RESIZE_H
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("vals", T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def _resize_vals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for doc_id, m in zip(pdf["doc_id"], pdf["media"]):
+                if fake:
+                    src = np.frombuffer(m, dtype=np.uint8)
+                    if len(src) == 0:
+                        continue  # a real decoder yields nothing
+                    idx = (
+                        np.arange(n_out, dtype=np.int64) * len(src)
+                    ) // n_out
+                    vals = src[idx].astype("int32")
+                else:  # pragma: no cover - codec not in this container
+                    b = resize_image(bytes(m), RESIZE_W, RESIZE_H)
+                    if len(b) == 0:
+                        continue
+                    vals = np.frombuffer(b, dtype=np.uint8).astype("int32")
+                ids.append(doc_id)
+                out.append(vals)
+            yield pd.DataFrame({"doc_id": ids, "vals": out})
 
     # codec work is the dominant per-row cost: widen single-split
     # scans to every core before the MapInPandas stage (no-op on
     # multi-split 100 TB inputs — spread() gates on input files)
-    resized = resize_media(spread(media), RESIZE_W, RESIZE_H, fake=fake)
-    hexs = F.hex(F.col("media"))
-    vals = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.conv(F.substring(hexs, i * 2 + 1, F.lit(2)), 16, 10)
-        .cast("int"),
+    resized = (
+        spread(media)
+        .select("doc_id", "media")
+        .mapInPandas(_resize_vals, schema=out_schema)
     )
+    vals = F.col("vals")
     ahash = F.aggregate(
         vals,
         F.lit(0),
@@ -512,9 +554,7 @@ def ahash_fingerprints(media: DataFrame, *, fake: bool = True) -> DataFrame:
             "",
         ),
     )
-    return resized.where(F.length("media") > 0).select(
-        "doc_id", ahash.alias("ahash")
-    )
+    return resized.select("doc_id", ahash.alias("ahash"))
 
 
 @query(

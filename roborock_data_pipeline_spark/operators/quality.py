@@ -505,17 +505,17 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.col("nseg") - 1),
         lambda i: F.array_join(F.slice(F.col("toks"), i * 5 + 1, 5), " "),
     )
-    # persist (r14, measured under BOTH audit models): the frequency
-    # count and the anti-join probe both read this explode, but the
-    # broadcast anti-join leaves the probe side un-exchanged so
-    # exchange reuse cannot cover the second read — without the cache
-    # the corpus is re-split and re-segmented per side (cold 2.01 s →
-    # 1.63 s, warm 1.58 s → 1.38 s at sf0.1). CALLER CONTRACT as for
-    # the other posting caches: clearCache between registry queries.
+    # NOT persisted (r15, PERSIST_AUDIT.json two-model re-audit with
+    # alternating arm order + 5 no-persist control queries): the r14
+    # cache measured as a WARM-model loss in both r15 runs
+    # (nopersist/persist 0.834 and 0.919 — recomputing the explode
+    # beats paying cache build + memory for it) and cold-neutral
+    # (1.011/0.938 vs a ±17% cold control band). The r14 win was
+    # measured before the audit interleaved arms and alternated
+    # order; today's evidence says drop it.
     e = base.where(F.col("nseg") >= 1).select(
         "doc_id", F.posexplode(segs).alias("pos", "seg")
-    ).persist()
-    track(e)
+    )
     frequent = (
         e.groupBy("seg")
         .agg(F.count_distinct("doc_id").alias("df"))

@@ -903,8 +903,8 @@ def ivf_topk(
     vector, probe cells are ranked driver-side with bit-identical
     arithmetic (same as_double widening, same sequential fold order
     as functions.arrays.cosine, NaN-first on the descending sort like
-    Spark), and the main job keeps the JVM crossJoin assignment but
-    reads the centroids from a broadcast LocalRelation instead of
+    Spark), and the main job keeps the JVM broadcast-cross assignment
+    but reads the centroids from a broadcast LocalRelation instead of
     recomputing them. Results verified bit-identical ×3 SFs."""
     spark = emb.sparkSession
     cent_agg, _ = build_ivf_index(emb)

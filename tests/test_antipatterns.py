@@ -28,7 +28,11 @@ ENGINE = os.path.join(
 COLLECT_ALLOW = {
     "plans/inspect.py": 1,       # plan-string capture for tests
     "operators/clustering.py": 2,  # k x d centroids
-    "operators/similarity.py": 6,  # centroids + PQ codebooks
+    "operators/similarity.py": 8,  # centroids + PQ codebooks; r15
+                                   # adds the fused probe+seed and
+                                   # probe+centroid metadata collects
+                                   # (k rows each — they REPLACE a
+                                   # first() and a second collect job)
     "sources/export.py": 1,      # shard manifest (one row per shard)
     "sources/sinks.py": 2,       # audit scalar; delete/update affected-dir
                                  # list (dir names + counts, never rows)
